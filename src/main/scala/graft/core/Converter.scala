@@ -1,0 +1,194 @@
+package graft.core
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GoCast
+
+/** Outcome of one file conversion (reference `Result`,
+  * converter/converter.go:21-27). */
+final case class ConvertResult(
+    inputFile: String,
+    outputFile: String,
+    inputBytes: Long,
+    outputBytes: Long,
+    error: Option[String]) {
+  def ok: Boolean = error.isEmpty
+}
+
+/** Run summary (reference main.go:35-59). */
+final case class ConvertSummary(results: Seq[ConvertResult]) {
+  def converted: Int = results.count(_.ok)
+  def failed: Int = results.count(!_.ok)
+  def inputBytes: Long = results.filter(_.ok).map(_.inputBytes).sum
+  def outputBytes: Long = results.filter(_.ok).map(_.outputBytes).sum
+  def savedBytes: Long = inputBytes - outputBytes
+  def exitCode: Int = if (failed > 0) 1 else 0
+}
+
+/** CSV → Parquet conversion with the reference's semantics, re-expressed
+  * on Spark (reference dataflow converter/converter.go:67-412):
+  *
+  *   discovery → [per file] sample-pass inference → full-pass read with
+  *   explicit all-string schema → reference casts → parquet → verify →
+  *   (delete source)
+  *
+  * Spark-first design notes:
+  *  - The inference pass reads only the first `sampleRows` records
+  *    driver-side (O(sample) IO on any file size; see [[Inference]]).
+  *  - The data pass is a declarative scan→project→write plan: Spark's CSV
+  *    datasource parses in parallel across splits, the casts are native
+  *    codegen'd expressions ([[graft.functions.GoCast]]), and the Parquet
+  *    sink uses Spark's vectorized writer (128 MB row groups + snappy are
+  *    Spark defaults, matching converter/converter.go:320-325).
+  *  - Ragged rows (field count != header) are DROPPED whole, matching the
+  *    observed Go behavior: csv.Reader locks FieldsPerRecord to the header
+  *    width, so ragged rows surface as errors and the row loop skips them
+  *    (converter/converter.go:349-356). Spark's DROPMALFORMED does the same
+  *    for token-count mismatches.
+  *  - Quirk Q4 deviation (documented, SURVEY §7.4.3): a non-true/false
+  *    value in a BOOLEAN column nulls the *field* here; the reference
+  *    emits invalid JSON and drops the *row*.
+  */
+object Converter {
+
+  /** Output path derivation (converter/converter.go:107-114):
+    * `basename(in)` minus extension + `.parquet`, into `output` dir if set,
+    * else the input's own directory. */
+  def outputPath(input: String, outputDir: String): String = {
+    val p = new Path(input)
+    val base = {
+      val name = p.getName
+      val dot = name.lastIndexOf('.')
+      if (dot > 0) name.substring(0, dot) else name
+    }
+    val dir = if (outputDir != null && outputDir.nonEmpty) new Path(outputDir) else p.getParent
+    new Path(dir, base + ".parquet").toString
+  }
+
+  /** Build the cast projection for one column per the reference's
+    * recordToJSON (converter/converter.go:380-412): trim → empty→null →
+    * type-specific parse-to-null. */
+  def castColumn(name: String, t: FieldType): org.apache.spark.sql.Column = {
+    val trimmed = trim(col(name))
+    val cell = when(trimmed === lit(""), lit(null)).otherwise(trimmed)
+    val typed = t match {
+      case FieldType.TInt64   => GoCast.goLong(cell)
+      case FieldType.TFloat64 => GoCast.goDouble(cell)
+      case FieldType.TBool    => GoCast.goBool(cell)
+      case FieldType.TString  => cell
+    }
+    typed.as(name)
+  }
+
+  /** Declarative conversion plan for one file: scan (all-string schema,
+    * malformed rows dropped) → reference casts. Exposed separately so
+    * tests and the query surface can reuse it without writing. */
+  def conversionPlan(spark: SparkSession, input: String, schema: InferredSchema, delimiter: Char): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")        // skip the header line; names come from the schema
+      .option("enforceSchema", "true")
+      .option("delimiter", delimiter.toString)
+      .option("mode", "DROPMALFORMED") // ragged rows dropped, like Go FieldsPerRecord
+      .option("unescapedQuoteHandling", "STOP_AT_CLOSING_QUOTE") // ≈ LazyQuotes
+      .option("escape", "\"") // RFC-4180 doubled quotes, like Go csv (Spark default is \)
+      // Go's encoding/csv supports embedded newlines in quoted fields;
+      // Spark needs multiLine for that. Scale note: multiLine makes a
+      // single file non-splittable — conversion still parallelizes across
+      // files, which is the reference's own unit of parallelism (O12).
+      .option("multiLine", "true")
+      .option("nullValue", "")
+      .schema(schema.rawSchema)
+      .csv(input)
+    raw.select(schema.headers.zip(schema.types).map { case (h, t) => castColumn(h, t) }: _*)
+  }
+
+  /** Convert one CSV file. Mirrors convertFile (converter/converter.go:116-183):
+    * infer → write → verify non-empty output → cleanup partial output on
+    * failure → delete original only after a verified write. */
+  def convertFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult = {
+    val out = outputPath(input, cfg.output)
+    val fs = Inference.fileSystem(spark, input)
+    val inputBytes =
+      try fs.getFileStatus(new Path(input)).getLen
+      catch { case e: Exception => return ConvertResult(input, out, 0, 0, Some(s"stat input: ${e.getMessage}")) }
+    try {
+      val schema = Inference.detectFile(spark, input, cfg.delimiterChar, cfg.sampleRows)
+      val df = conversionPlan(spark, input, schema, cfg.delimiterChar)
+      val outFs = Inference.fileSystem(spark, out)
+      val outBytes =
+        if (cfg.singleFile) writeSingleFile(spark, df, out)
+        else {
+          df.write.mode("overwrite").parquet(out)
+          contentLength(outFs, new Path(out))
+        }
+      // verify (converter/converter.go:160-166): output exists and is non-empty
+      if (outBytes <= 0) throw new IllegalStateException(s"output missing or empty: $out")
+      if (cfg.deleteOriginal) {
+        // failure to delete only warns in the reference (converter.go:168-175)
+        try fs.delete(new Path(input), false)
+        catch { case e: Exception => System.err.println(s"[graft] warn: could not delete $input: ${e.getMessage}") }
+      }
+      ConvertResult(input, out, inputBytes, outBytes, None)
+    } catch {
+      case e: Exception =>
+        // partial-output cleanup (converter/converter.go:153-158)
+        try Inference.fileSystem(spark, out).delete(new Path(out), true) catch { case _: Exception => () }
+        ConvertResult(input, out, inputBytes, 0, Some(e.getMessage))
+    }
+  }
+
+  /** Reference contract: a single `<base>.parquet` FILE, not a directory
+    * (SURVEY §7.4.2). coalesce(1) into a temp dir, then rename the part
+    * file. Scale note: this serializes the write; `singleFile = false`
+    * keeps Spark's parallel directory output for large inputs. */
+  private def writeSingleFile(spark: SparkSession, df: DataFrame, out: String): Long = {
+    val outPath = new Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(outPath.getParent, s".${outPath.getName}.tmp-${System.nanoTime()}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    if (fs.exists(outPath)) fs.delete(outPath, true)
+    if (!fs.rename(part, outPath)) throw new IllegalStateException(s"rename $part -> $outPath failed")
+    fs.delete(tmp, true)
+    fs.getFileStatus(outPath).getLen
+  }
+
+  private def contentLength(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
+    fs.getContentSummary(p).getLength
+
+  /** Discovery + fan-out, mirroring ConvertAll (converter/converter.go:67-105):
+    * stat input; directory → non-recursive, case-sensitive `*.csv` glob;
+    * file → singleton; empty glob → warn + empty summary. Files are
+    * converted on a fixed-width pool of 4 driver threads (reference
+    * semaphore width, converter.go:91) — each conversion is itself a
+    * parallel Spark job, so this bounds concurrent jobs, not concurrency.
+    */
+  def convertAll(spark: SparkSession, cfg: GraftConfig): ConvertSummary = {
+    val inPath = new Path(cfg.input)
+    val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files: Seq[String] =
+      if (fs.getFileStatus(inPath).isDirectory)
+        fs.globStatus(new Path(inPath, "*.csv")).toSeq.map(_.getPath.toString).sorted
+      else Seq(cfg.input)
+    if (files.isEmpty) {
+      System.err.println(s"[graft] warn: no CSV files found in ${cfg.input}")
+      return ConvertSummary(Nil)
+    }
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val futures = files.map(f => pool.submit(new java.util.concurrent.Callable[ConvertResult] {
+        override def call(): ConvertResult = convertFile(spark, f, cfg)
+      }))
+      ConvertSummary(futures.map(_.get()))
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(1, TimeUnit.MINUTES)
+      ()
+    }
+  }
+}

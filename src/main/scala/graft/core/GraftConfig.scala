@@ -1,0 +1,128 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Converter configuration, mirroring the reference's 7 flat keys and
+  * layering rules (config/config.go:12-85): defaults ← YAML ← CLI flags.
+  *
+  * Deviations (documented, SURVEY.md §7.4.5): `deleteOriginal` defaults to
+  * FALSE here (the reference defaults to true — a destructive default is
+  * wrong for a library); the CLI sets it true for parity mode unless
+  * `--keep` is passed.
+  */
+final case class GraftConfig(
+    input: String = "",
+    output: String = "",
+    delimiter: String = ",",
+    sampleRows: Int = 100,
+    batchSize: Int = 10000, // log cadence only — quirk Q3 (README claims row-group size; code disagrees)
+    deleteOriginal: Boolean = false,
+    logLevel: String = "info",
+    /** Write a single `<base>.parquet` file like the reference (coalesce(1)
+      * + rename). Disable for large inputs to keep parallel output. */
+    singleFile: Boolean = true) {
+
+  /** First character of the delimiter, after unescaping `\t`-style escapes.
+    * The reference silently uses only the first byte
+    * (converter/converter.go:127-130); we accept common escapes first. */
+  def delimiterChar: Char = GraftConfig.delimiterChar(delimiter)
+}
+
+object GraftConfig {
+
+  private val KnownFlags = Set(
+    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level")
+
+  def delimiterChar(d: String): Char = d match {
+    case null | ""  => ','
+    case "\\t"      => '\t'
+    case "\\n"      => '\n'
+    case "\\r"      => '\r'
+    case s          => s.charAt(0)
+  }
+
+  /** Hand-rolled parser for the reference's flat YAML config — 7 scalar
+    * keys, no nesting (config.yaml has exactly `input, output, delimiter,
+    * sample_rows, batch_size, delete_original, log_level`). Keeping this
+    * dependency-free matches the offline build constraint. */
+  def parseYaml(text: String): Map[String, String] =
+    text.linesIterator
+      .map(_.takeWhile(_ != '#').trim)
+      .filter(l => l.nonEmpty && l.contains(":"))
+      .map { l =>
+        val idx = l.indexOf(':')
+        val k = l.substring(0, idx).trim
+        var v = l.substring(idx + 1).trim
+        if (v.length >= 2 && ((v.head == '"' && v.last == '"') || (v.head == '\'' && v.last == '\'')))
+          v = v.substring(1, v.length - 1)
+        k -> v
+      }
+      .toMap
+
+  /** Apply YAML values over `base`. Unknown keys are ignored; malformed
+    * numbers keep the previous value (the reference's yaml lib would error;
+    * we choose leniency and log upstream). */
+  def fromYaml(base: GraftConfig, text: String): GraftConfig = {
+    val kv = parseYaml(text)
+    def int(k: String, cur: Int) = kv.get(k).flatMap(v => v.toIntOption).getOrElse(cur)
+    def bool(k: String, cur: Boolean) = kv.get(k).map(_.equalsIgnoreCase("true")).getOrElse(cur)
+    base.copy(
+      input = kv.getOrElse("input", base.input),
+      output = kv.getOrElse("output", base.output),
+      delimiter = kv.getOrElse("delimiter", base.delimiter),
+      sampleRows = int("sample_rows", base.sampleRows),
+      batchSize = int("batch_size", base.batchSize),
+      deleteOriginal = bool("delete_original", base.deleteOriginal),
+      logLevel = kv.getOrElse("log_level", base.logLevel))
+  }
+
+  /** CLI flag parse + layering, mirroring config.Load (config/config.go:22-85):
+    *  - defaults; then `--config` YAML (missing default file is OK, missing
+    *    *explicit* file is fatal); then flags, where only non-empty /
+    *    positive values override (quirk Q7: `--batch-size 0` and
+    *    `--sample-rows 0` cannot override) and `--keep` can only force
+    *    keep, never force delete.
+    */
+  def load(args: Seq[String]): Either[String, GraftConfig] = {
+    val flags = scala.collection.mutable.Map.empty[String, String]
+    var keep = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--keep" => keep = true; i += 1
+        case flag if flag.startsWith("--") =>
+          val key = flag.stripPrefix("--")
+          if (!KnownFlags.contains(key)) return Left(s"unknown flag: $flag")
+          if (i + 1 >= args.length) return Left(s"missing value for $flag")
+          flags(key) = args(i + 1); i += 2
+        case other => return Left(s"unexpected argument: $other")
+      }
+      ()
+    }
+
+    // reference parity: CLI mode deletes originals by default (config.go:25)
+    var cfg = GraftConfig(deleteOriginal = true)
+
+    flags.get("config") match {
+      case Some(path) =>
+        if (!Files.exists(Paths.get(path))) return Left(s"config file not found: $path")
+        cfg = fromYaml(cfg, Files.readAllLines(Paths.get(path)).asScala.mkString("\n"))
+      case None =>
+        val default = Paths.get("config.yaml")
+        if (Files.exists(default))
+          cfg = fromYaml(cfg, Files.readAllLines(default).asScala.mkString("\n"))
+    }
+
+    flags.get("input").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(input = v))
+    flags.get("output").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(output = v))
+    flags.get("delimiter").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(delimiter = v))
+    flags.get("sample-rows").flatMap(_.toIntOption).filter(_ > 0).foreach(v => cfg = cfg.copy(sampleRows = v))
+    flags.get("batch-size").flatMap(_.toIntOption).filter(_ > 0).foreach(v => cfg = cfg.copy(batchSize = v))
+    flags.get("log-level").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(logLevel = v))
+    if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
+
+    if (cfg.input.isEmpty) Left("input is required (--input or config file)")
+    else Right(cfg)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, LongType}
+
+import graft.core.GoParse
+
+/** Native Catalyst expressions implementing the reference's cell-cast
+  * semantics (converter/converter.go:380-412): a cell that fails to parse
+  * as the column's inferred type becomes NULL — never an error.
+  *
+  * These exist (instead of `col.cast(...)`) because:
+  *  - Spark 4 defaults to ANSI mode, where `cast` *throws* on overflow /
+  *    malformed input instead of the reference's silent-null;
+  *  - JVM and Go parsers disagree on edge syntax (`inf`, `1_000.5`, hex
+  *    floats, `"1d"`, whitespace) — `GoParse` pins the Go grammar;
+  *  - a codegen'd Expression stays inside WholeStageCodegen, unlike a
+  *    Scala UDF.
+  *
+  * All three are deterministic, null-intolerant scalar expressions over a
+  * string child.
+  */
+abstract class GoCastExpression extends UnaryExpression {
+  override def nullable: Boolean = true
+  /** Java snippet: given the name of a `String` variable, produce a boxed
+    * parse result (null on failure). */
+  protected def parserMethod: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("goParsed")
+      val box = boxedJavaType
+      // explicit .xxxValue() unbox — Janino has no auto-unboxing
+      s"""
+         |$box $tmp = graft.core.GoParse.$parserMethod($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.$unboxMethod(); }
+       """.stripMargin
+    })
+
+  protected def boxedJavaType: String
+  protected def unboxMethod: String
+}
+
+case class GoLong(child: Expression) extends GoCastExpression {
+  override def dataType: DataType = LongType
+  override protected def parserMethod: String = "parseLongBoxed"
+  override protected def boxedJavaType: String = "java.lang.Long"
+  override protected def unboxMethod: String = "longValue"
+  override protected def nullSafeEval(input: Any): Any = GoParse.parseLongBoxed(input.toString)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "go_long"
+}
+
+case class GoDouble(child: Expression) extends GoCastExpression {
+  override def dataType: DataType = DoubleType
+  override protected def parserMethod: String = "parseDoubleBoxed"
+  override protected def boxedJavaType: String = "java.lang.Double"
+  override protected def unboxMethod: String = "doubleValue"
+  override protected def nullSafeEval(input: Any): Any = GoParse.parseDoubleBoxed(input.toString)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "go_double"
+}
+
+case class GoBool(child: Expression) extends GoCastExpression {
+  override def dataType: DataType = BooleanType
+  override protected def parserMethod: String = "parseBoolBoxed"
+  override protected def boxedJavaType: String = "java.lang.Boolean"
+  override protected def unboxMethod: String = "booleanValue"
+  override protected def nullSafeEval(input: Any): Any = GoParse.parseBoolBoxed(input.toString)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "go_bool"
+}
+
+object GoCast {
+  def goLong(c: Column): Column = Bridge.column(GoLong(Bridge.expression(c)))
+  def goDouble(c: Column): Column = Bridge.column(GoDouble(Bridge.expression(c)))
+  def goBool(c: Column): Column = Bridge.column(GoBool(Bridge.expression(c)))
+}
