@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table (batch forms; the
+  * streaming equivalents live in graft.streaming).
+  *
+  * Timestamps are emitted as formatted strings and durations as integer
+  * microseconds — both bit-stable across engines — because the events
+  * table is written with nanosecond parquet timestamps, which Spark reads
+  * at microsecond precision while other engines keep ns; comparing raw
+  * timestamp surfaces would hash-mismatch spuriously.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows: count + revenue per (window, event_type).
+    * Epoch-aligned `date_trunc` is the batch equivalent of
+    * `window($"ts", "1 hour")` (same bucketing, scalar output). */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Gap-based sessionization (30-minute inactivity): the classic
+    * lag → new-session flag → cumulative-sum pattern. All arithmetic in
+    * integer microseconds for cross-engine determinism. */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cumulative = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(cumulative))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max("us") - min("us")).as("duration_us"),
+        round(sum("value"), 2).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** As-of lookup: for each purchase, the user's most recent prior signup
+    * event (an as-of join against the same stream, composed from window
+    * functions — preference order (a) of the custom-operator ladder:
+    * built-ins express it, so no custom plan node is needed). */
+  def purchaseAfterSignup(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("prior_signup",
+        last(when(col("event_type") === "signup", col("event_id")), ignoreNulls = true).over(byUser))
+      .where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "prior_signup")
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface: aggregation, joins, windows, set ops, top-k.
+  *
+  * The reference (a CSV→Parquet converter) has none of these operators —
+  * SURVEY.md §2.1 documents each absence — so this module is the
+  * "engine" half of the north star: the full DataFrame algebra a user
+  * would expect, designed for scale:
+  *
+  *  - dimension joins (`region`, `nation`, `customer`, `supplier`,
+  *    `part`) are explicitly `broadcast()` — at 100 TB the fact tables
+  *    (`lineitem`, `orders`, `events`) dominate; broadcasting dims keeps
+  *    every join shuffle-free on the fact side;
+  *  - aggregations go through partial (map-side) aggregation
+  *    automatically since all are `groupBy.agg` over codegen'd
+  *    expressions;
+  *  - filters sit directly on scans so Catalyst pushes them into the
+  *    parquet reader (verified via explain in BenchSpec);
+  *  - every query ends in a deterministic ORDER BY so the driver's
+  *    hash-compare is stable; doubles are rounded to fixed decimals to
+  *    absorb engine-order summation jitter.
+  */
+object Relational {
+
+  /** Q1-style pricing summary: full-scan groupBy with sum/avg/count. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Top customers by revenue: fact⋈dim join with broadcast + top-k. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(10)
+  }
+
+  /** Q3-style shipping priority: 3-way join, filter on both sides,
+    * revenue per order, top 10. */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-30").cast("timestamp")
+    val customer = Tables(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val orders = Tables(spark, dir, "orders").where(col("o_orderdate") < cutoff)
+    val lineitem = Tables(spark, dir, "lineitem").where(col("l_shipdate") > cutoff)
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q4-style order priority count via EXISTS (left-semi join). */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val lateItems = Tables(spark, dir, "lineitem")
+    orders
+      .join(lateItems, orders("o_orderkey") === lateItems("l_orderkey") &&
+        lateItems("l_shipdate") > orders("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q5-style regional revenue: 6-table star join, dims broadcast. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").where(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val customer = Tables(spark, dir, "customer")
+    val supplier = Tables(spark, dir, "supplier")
+    val orders = Tables(spark, dir, "orders")
+    val lineitem = Tables(spark, dir, "lineitem")
+    lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(supplier), lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey") &&
+        customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Q6-style forecast: pure scan + pushed-down filter + single agg. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Per-customer top-3 orders by price — ranking window function. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn", "o_orderkey")
+  }
+
+  /** Running revenue total per customer — cumulative window frame. */
+  def runningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .withColumn("running", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Buyers minus low-balance customers — EXCEPT set semantics. */
+  def exceptBuyers(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables(spark, dir, "orders").select(col("o_custkey").as("custkey"))
+    val lowBal = Tables(spark, dir, "customer").where(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("custkey"))
+    buyers.except(lowBal).orderBy("custkey")
+  }
+
+  /** High-balance ∩ building-segment customers — INTERSECT semantics. */
+  def intersectSegments(spark: SparkSession, dir: String): DataFrame = {
+    val rich = Tables(spark, dir, "customer").where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    val building = Tables(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    rich.intersect(building).orderBy("custkey")
+  }
+
+  /** Distinct part count per supplier — count(distinct) + top-k. */
+  def supplierPartBreadth(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(countDistinct("l_partkey").as("n_parts"),
+        round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy(desc("n_parts"), asc("l_suppkey"))
+      .limit(25)
+}

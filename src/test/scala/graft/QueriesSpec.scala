@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape spec for the SparkEntry query surface. Value-level
+  * correctness is enforced by the DuckDB parity gate
+  * (tools/check_parity.py replicating the driver); here we pin the
+  * contract: every query runs, returns rows at sf0.001, has an oracle
+  * with identical column names, and is deterministic across two runs.
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every query has an oracle (or is explicitly rows-only)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs, is non-empty, and repeats deterministically") {
+      val df1 = fn(spark, dir)
+      val rows1 = df1.collect()
+      assert(rows1.nonEmpty, s"$name returned no rows at sf0.001")
+      val rows2 = fn(spark, dir).collect()
+      assert(rows1.sameElements(rows2), s"$name is not deterministic")
+    }
+  }
+}
