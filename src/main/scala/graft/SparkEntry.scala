@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Events, Relational}
+import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,59 @@ object SparkEntry {
     "q12_events_hourly" -> Events.hourly _,
     "q13_events_sessions" -> Events.sessions _,
     "q14_purchase_after_signup" -> Events.purchaseAfterSignup _,
+    "q20_text_stats" -> TextAnalysis.textStats _,
+    "q21_lang_id" -> TextAnalysis.langId _,
+    "q22_token_counts" -> TextAnalysis.tokenCounts _,
+    "q23_quality_filter" -> TextAnalysis.qualityFilter _,
+    "q24_fingerprints" -> TextAnalysis.fingerprints _,
+    "q25_rolling_hash" -> TextAnalysis.rollingHash _,
+    "q30_dedup_exact" -> Dedup.exact _,
+    "q31_dedup_normalized" -> Dedup.normalized _,
+    "q32_minhash_lsh" -> Dedup.minhashLsh _,
+    "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "q34_simhash" -> Dedup.simhash _,
+    "q35_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q36_embedding_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
+    "q37_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    "q38_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q40_multimodal_meta" -> Multimodal.mediaMeta _,
   )
+
+  /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
+    * shingles (mirrors Dedup.shingles). */
+  private val ShinglesCte =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+      |    ELSE [array_to_string(t, ' ')] END)) AS sh FROM tok)""".stripMargin
+
+  /** MinHash + LSH banding CTEs on top of [[ShinglesCte]] (k=8, b=4, r=2;
+    * mirrors Dedup.minhash/minhashLsh). */
+  private val MinhashCte = ShinglesCte + """,
+      |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+      |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, seed // 2 AS band,
+      |            md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
+      |          FROM mh GROUP BY doc_id, seed // 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b USING (band, band_key)
+      |         WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** Unit-vector CTEs for the embeddings table (mirrors
+    * Similarity.unitVec: double precision, index-order sums). */
+  private val UnitVecCte =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |u AS (SELECT vec_id,
+      |        [x / sqrt(list_sum([y * y for y in v])) for x in v] AS u
+      |      FROM e)""".stripMargin
+
+  private def simhashVotes(src: String): String =
+    (1 to 32).map(i =>
+      s"sum(CASE WHEN substring(md5($src), $i, 1) >= '8' THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+
+  private val simhashBits =
+    (1 to 32).map(i => s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
   /** DuckDB oracle for each query (same parquet tables, same column
     * names, same ordering). */
@@ -161,5 +213,173 @@ object SparkEntry {
         |  FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q20_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+        |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |  round(length(regexp_replace(text, '\s', '', 'g')) * 1.0 /
+        |    greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS avg_token_len,
+        |  round(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |    greatest(length(text), 1), 4) AS punct_ratio
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q21_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in)\b')) AS n_en,
+        |    len(regexp_extract_all(text, '\b(der|die|und|das|ist)\b')) AS n_de,
+        |    len(regexp_extract_all(text, '\b(le|la|et|les|est)\b')) AS n_fr,
+        |    len(regexp_extract_all(text, '\b(el|los|las|una|es)\b')) AS n_es
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'unk'
+        |       WHEN n_en >= greatest(n_de, n_fr, n_es) THEN 'en'
+        |       WHEN n_de >= greatest(n_fr, n_es) THEN 'de'
+        |       WHEN n_fr >= n_es THEN 'fr'
+        |       ELSE 'es' END AS lang_pred,
+        |  count(*) AS n
+        |FROM scored
+        |GROUP BY lang, lang_pred
+        |ORDER BY lang, lang_pred""".stripMargin,
+    "q22_token_counts" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS bpe_tokens
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q23_quality_filter" ->
+      """SELECT doc_id,
+        |  round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |      + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|of|to|and|is|in)\b')) * 10.0 /
+        |          greatest(len(regexp_extract_all(text, '\S+')), 1), 1.0)
+        |      + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |          greatest(length(text), 1)), 4) AS quality
+        |FROM documents
+        |WHERE round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |      + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|of|to|and|is|in)\b')) * 10.0 /
+        |          greatest(len(regexp_extract_all(text, '\S+')), 1), 1.0)
+        |      + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |          greatest(length(text), 1)), 4) >= 0.5
+        |ORDER BY doc_id""".stripMargin,
+    "q24_fingerprints" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q25_rolling_hash" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(7 AS BIGINT),
+        |      [CAST(ascii(c) AS BIGINT) for c in regexp_split_to_array(text, '') if c <> '']),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_hash
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q30_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q31_dedup_normalized" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin,
+    "q32_minhash_lsh" -> (MinhashCte + """
+        |SELECT doc_a, doc_b,
+        |  round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 8.0, 3) AS est_jaccard
+        |FROM cand
+        |JOIN mh x ON x.doc_id = doc_a
+        |JOIN mh y ON y.doc_id = doc_b AND x.seed = y.seed
+        |GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q33_ngram_jaccard" -> (MinhashCte + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |FROM inter
+        |JOIN counts ca ON ca.doc_id = doc_a
+        |JOIN counts cb ON cb.doc_id = doc_b
+        |WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q34_simhash" -> (ShinglesCte + s""",
+        |votes AS (
+        |  SELECT doc_id,
+        |    ${simhashVotes("sh")}
+        |  FROM sh GROUP BY doc_id)
+        |SELECT doc_id, $simhashBits AS simhash
+        |FROM votes ORDER BY doc_id""".stripMargin),
+    "q35_simhash_neardup" -> (ShinglesCte + s""",
+        |votes AS (
+        |  SELECT doc_id,
+        |    ${simhashVotes("sh")}
+        |  FROM sh GROUP BY doc_id),
+        |fp AS (SELECT doc_id, $simhashBits AS simhash FROM votes),
+        |nib AS (SELECT doc_id, simhash, n AS nib,
+        |          substring(simhash, n * 8 + 1, 8) AS nib_key
+        |        FROM fp CROSS JOIN (SELECT unnest(range(4)) AS n)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sha,
+        |                b.doc_id AS doc_b, b.simhash AS shb
+        |         FROM nib a JOIN nib b USING (nib, nib_key)
+        |         WHERE a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(${(1 to 32).map(i => s"(CASE WHEN substring(sha, $i, 1) <> substring(shb, $i, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE ${(1 to 32).map(i => s"(CASE WHEN substring(sha, $i, 1) <> substring(shb, $i, 1) THEN 1 ELSE 0 END)").mkString(" + ")} <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q36_embedding_neardup" -> (UnitVecCte + """
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_sum([a.u[i] * b.u[i] for i in range(1, len(a.u) + 1)]), 4) AS cos_sim
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 500 AND b.vec_id < 500
+        |  AND round(list_sum([a.u[i] * b.u[i] for i in range(1, len(a.u) + 1)]), 4) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin),
+    "q37_sim_topk" -> (UnitVecCte + """
+        |, scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |    list_sum([q.u[i] * e.u[i] for i in range(1, len(q.u) + 1)]) AS cos
+        |  FROM u q JOIN u e ON e.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin),
+    "q38_ann_lsh" -> (UnitVecCte + """
+        |, b AS (
+        |  SELECT vec_id, u,
+        |    """.stripMargin +
+      (1 to 8).map(i => s"(CASE WHEN u[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ") +
+      """ AS bucket
+        |  FROM u),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+        |    list_sum([q.u[i] * e.u[i] for i in range(1, len(q.u) + 1)]) AS cos
+        |  FROM b q JOIN b e USING (bucket)
+        |  WHERE q.vec_id < 200 AND e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    "q40_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(text::BLOB) AS n_bytes,
+        |  octet_length(text::BLOB) % 640 AS width,
+        |  (octet_length(text::BLOB) * 7) % 480 AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  round((octet_length(text::BLOB) * 31 % 256) / 255.0, 4) AS mean_pixel
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,156 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the exact → normalized →
+  * MinHash-LSH → SimHash ladder of a training-data pipeline.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - the dedup unit is the word 3-gram SHINGLE, not the word: the
+  *    corpus vocabulary is tiny (31 words), so word-set Jaccard between
+  *    unrelated docs averages ~0.6 — banding on words would emit O(n²)
+  *    candidate pairs. Shingle Jaccard between unrelated docs is ~0.001
+  *    and ~1.0 for true near-dups (measured), so LSH candidates stay
+  *    near-linear.
+  *  - MinHash signatures are k=8 md5-minima; LSH banding is b=4, r=2 —
+  *    the candidate join keys on (band, band_key), a shuffle that scales
+  *    with corpus size, never with pair count. Exact Jaccard runs only
+  *    on surviving candidates.
+  *  - all hashes are md5 over explicit strings: deterministic,
+  *    engine-portable (the DuckDB oracle reproduces them bit-for-bit),
+  *    and seedable by prefixing the seed index.
+  */
+object Dedup {
+
+  private def tokens: Column = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+
+  /** Distinct word-3-gram shingles; short docs (<3 tokens) collapse to a
+    * single whole-text shingle. */
+  def shingles(t: Column): Column = array_distinct(
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array(concat_ws(" ", t))))
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(tokens)).as("sh"))
+
+  /** Exact dedup: hash-aggregate on the raw text. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+
+  /** Normalized dedup: group on the canonical fingerprint (casing /
+    * punctuation / whitespace-insensitive md5 — TextAnalysis.fingerprint). */
+  def normalized(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      .select("keep_id", "n_dups")
+      .orderBy("keep_id")
+
+  /** MinHash signatures: k seeded md5-minima per doc.
+    * Exposed for reuse by the LSH candidate join and the estimator. */
+  def minhash(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    docShingles(spark, dir)
+      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(k - 1))).as("seed"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+
+  /** LSH banding (b bands of r rows) → candidate pairs → MinHash-estimated
+    * Jaccard. The join is on (band, band_key): cost scales with docs, not
+    * pairs. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8; val r = 2
+    val mh = minhash(spark, dir, k).cache()
+    val bands = mh
+      .withColumn("band", expr(s"seed div $r"))
+      .groupBy("doc_id", "band")
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
+        "|")).as("band_key"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(mh.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(mh.as("y"), col("y.doc_id") === col("doc_b") && col("x.seed") === col("y.seed"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(sum(when(col("x.mh") === col("y.mh"), 1).otherwise(0)) / lit(k * 1.0), 3)
+        .as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard, computed only for LSH candidate pairs
+    * (candidate-filtered verification — the scalable two-phase shape). */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val inter = cand
+      .join(sh.as("wa"), col("wa.doc_id") === col("doc_a"))
+      .join(sh.as("wb"), col("wb.doc_id") === col("doc_b") && col("wa.sh") === col("wb.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.as("ca"), col("ca.doc_id") === col("doc_a"))
+      .join(counts.as("cb"), col("cb.doc_id") === col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") * lit(1.0) /
+          (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")), 4).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash from shingle md5 hex digits: bit i votes +1 when hex
+    * digit i of the shingle's md5 is >= '8'. One groupBy with 32 parallel
+    * sums — no per-bit explode, single shuffle of |docs| rows. (16 bits
+    * proved too coarse: 4-bit LSH bands collide at ~23% for unrelated
+    * docs, a quadratic candidate explosion; 8-bit bands collide at
+    * ~1.6%.) */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val votes = (1 to 32).map { i =>
+      sum(when(substring(md5(col("sh")), i, 1) >= "8", 1).otherwise(-1)).as(s"v$i")
+    }
+    val fp = concat((1 to 32).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*)
+    docShingles(spark, dir)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: 4 bands of 8 bits for candidates (a pair
+    * with hamming <= 4 over 32 bits must agree on at least one band by
+    * pigeonhole... hamming <= 3 strictly; <= 4 with high probability),
+    * then the exact 32-position hamming distance. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 4): DataFrame = {
+    val sh = simhash(spark, dir).cache()
+    val nibbles = sh.select(col("doc_id"), col("simhash"),
+      explode(sequence(lit(0), lit(3))).as("nib"))
+      .withColumn("nib_key", expr("substring(simhash, nib * 8 + 1, 8)"))
+    val cand = nibbles.as("a")
+      .join(nibbles.as("b"),
+        col("a.nib") === col("b.nib") && col("a.nib_key") === col("b.nib_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sha"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("shb"))
+      .distinct()
+    val hamming = (1 to 32).map(i =>
+      when(substring(col("sha"), i, 1) =!= substring(col("shb"), i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .withColumn("hamming", hamming.cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

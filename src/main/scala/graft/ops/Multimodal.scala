@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One record of opaque media: typed metadata + the raw bytes. In a real
+  * pipeline `payload` holds an encoded image/audio/video blob; here the
+  * documents' UTF-8 bytes stand in (the container has no media columns or
+  * codec libraries). */
+final case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+/** Decoder output: per-asset metadata a multimodal training pipeline
+  * extracts before batching. */
+final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+    height: Long, channels: Long, mean_pixel: Double)
+
+/** Multimodal-column plumbing: binary payloads flow through a typed
+  * `Dataset` with a partition-at-a-time decode. The Spark-side shape —
+  * schema, encoder, `mapPartitions` batch signature, partition sizing —
+  * is real and tested; only [[Multimodal.stubDecode]] is a stand-in.
+  *
+  * Scale notes: `mapPartitions` (not per-row `map`) is deliberate — a
+  * real decoder amortizes codec/model initialization once per partition
+  * (the same shape a Python pipeline gets from `mapInPandas` batches).
+  * Binary payloads ride Spark's binary columns, so parquet encodes them
+  * as BYTE_ARRAY with page compression; decode output is a narrow typed
+  * row, so the downstream plan is columnar again.
+  */
+object Multimodal {
+
+  /** STUB — deterministic fake decode. A production build replaces this
+    * body with a real codec call (e.g. JPEG header parse + pixel stats);
+    * everything around it keeps working because the contract is just
+    * bytes → metadata. */
+  def stubDecode(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length.toLong
+    MediaMeta(
+      doc_id = -1L, // filled by caller
+      n_bytes = n,
+      width = n % 640,
+      height = (n * 7) % 480,
+      channels = 3L,
+      mean_pixel = BigDecimal((n * 31 % 256) / 255.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  /** Typed decode pipeline over the documents' bytes. */
+  def decode(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        // per-partition init would go here (codec handles, model weights)
+        batch.map(r => stubDecode(r.payload).copy(doc_id = r.doc_id))
+      }
+  }
+
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    decode(spark, dir).toDF().orderBy("doc_id")
+}

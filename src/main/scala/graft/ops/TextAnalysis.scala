@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting layer a large-scale
+  * training-data pipeline runs before dedup and filtering.
+  *
+  * Everything here is built from codegen'd `functions._` expressions
+  * (regexp, higher-order array functions) — no UDFs — so each operator is
+  * a single narrow scan→project/agg plan that scales linearly with the
+  * corpus and never shuffles except for explicit aggregations.
+  *
+  * Cross-engine determinism: token/char counting uses explicit regex
+  * classes valid in both Java regex and RE2; hashes are md5 (bit-stable
+  * everywhere) or integer polynomial arithmetic mod 1e9+7 (exact in
+  * int64); ratios are rounded to fixed decimals.
+  */
+object TextAnalysis {
+
+  // counts cast to long: DuckDB surfaces lengths as BIGINT and the
+  // driver compares schemas
+  private def nTokens(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+    * symbol — the classic byte-pair pre-split shape. */
+  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-document surface statistics. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTokens(col("text")).as("n_tokens"),
+        round(length(regexp_replace(col("text"), "\\s", "")) * lit(1.0) /
+          greatest(nTokens(col("text")), lit(1)), 4).as("avg_token_len"),
+        round(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+          greatest(length(col("text")), lit(1)), 4).as("punct_ratio"))
+      .orderBy("doc_id")
+
+  /** Stopword-profile language ID (n-gram-free heuristic): count
+    * language-marker stopwords, take a deterministic argmax, and report
+    * the confusion matrix against the labeled `lang` column. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(words: String): Column =
+      size(regexp_extract_all(col("text"), lit(s"\\b($words)\\b"), lit(0)))
+    val scored = Tables(spark, dir, "documents")
+      .withColumn("n_en", hits("the|and|of|to|in"))
+      .withColumn("n_de", hits("der|die|und|das|ist"))
+      .withColumn("n_fr", hits("le|la|et|les|est"))
+      .withColumn("n_es", hits("el|los|las|una|es"))
+    scored
+      .withColumn("lang_pred",
+        when(col("n_en") === 0 && col("n_de") === 0 && col("n_fr") === 0 && col("n_es") === 0, "unk")
+          .when(col("n_en") >= greatest(col("n_de"), col("n_fr"), col("n_es")), "en")
+          .when(col("n_de") >= greatest(col("n_fr"), col("n_es")), "de")
+          .when(col("n_fr") >= col("n_es"), "fr")
+          .otherwise("es"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** Corpus token accounting per source: whitespace tokens and BPE-ish
+    * pre-tokens (map-side combine keeps the shuffle to |sources| rows). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens(col("text"))).cast("long").as("ws_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))).cast("long").as("bpe_tokens"))
+      .orderBy("source")
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword
+    * density + non-alnum penalty; the standard pre-training quality
+    * filter shape. Returns docs above threshold. */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
+    val lenScore = least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0))
+    val stopScore = least(stop * lit(10.0) / greatest(nTokens(col("text")), lit(1)), lit(1.0))
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+      greatest(length(col("text")), lit(1))
+    docs
+      .withColumn("quality", round(lit(0.4) * lenScore + lit(0.4) * stopScore +
+        lit(0.2) * (lit(1.0) - punct), 4))
+      .where(col("quality") >= 0.5)
+      .select("doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
+  /** Normalization fingerprint: lowercase → strip non-alnum → collapse
+    * whitespace → md5. The canonical near-exact-dup key (casing /
+    * punctuation / whitespace insensitive). */
+  def fingerprint(c: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " ")))
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Polynomial rolling hash over the character stream (mod 1e9+7, base
+    * 31) via the `aggregate` higher-order function — exact int64
+    * arithmetic, no hash-library dependence, reproducible in any engine. */
+  def rollingHash(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) === 1)
+    val rh = aggregate(chars, lit(7L),
+      (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), rh.as("roll_hash"))
+      .orderBy("doc_id")
+  }
+}
