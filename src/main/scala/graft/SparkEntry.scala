@@ -61,13 +61,15 @@ object SparkEntry {
       |    ELSE [array_to_string(t, ' ')] END)) AS sh FROM tok)""".stripMargin
 
   /** MinHash + LSH banding CTEs on top of [[ShinglesCte]] (k=8, b=4, r=2;
-    * mirrors Dedup.minhash/minhashLsh). */
-  private val MinhashCte = ShinglesCte + """,
-      |mh AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
-      |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
-      |bands AS (SELECT doc_id, seed // 2 AS band,
-      |            md5(string_agg(mh, '|' ORDER BY seed)) AS band_key
-      |          FROM mh GROUP BY doc_id, seed // 2),
+    * mirrors Dedup.minhashSignatures/minhashLsh: signature row per doc,
+    * band keys from adjacent signature pairs). */
+  private val MinhashCte = ShinglesCte + s""",
+      |sigs AS (SELECT doc_id,
+      |    ${(0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i").mkString(",\n      |    ")}
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (SELECT doc_id, bnd AS band,
+      |    CASE bnd ${(0 until 4).map(i => s"WHEN $i THEN md5(m${2 * i} || '|' || m${2 * i + 1})").mkString(" ")} END AS band_key
+      |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS bnd)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |         FROM bands a JOIN bands b USING (band, band_key)
       |         WHERE a.doc_id < b.doc_id)""".stripMargin
@@ -283,13 +285,12 @@ object SparkEntry {
         |FROM documents
         |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))
         |ORDER BY keep_id""".stripMargin,
-    "q32_minhash_lsh" -> (MinhashCte + """
+    "q32_minhash_lsh" -> (MinhashCte + s"""
         |SELECT doc_a, doc_b,
-        |  round(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 8.0, 3) AS est_jaccard
+        |  round((${(0 until 8).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 3) AS est_jaccard
         |FROM cand
-        |JOIN mh x ON x.doc_id = doc_a
-        |JOIN mh y ON y.doc_id = doc_b AND x.seed = y.seed
-        |GROUP BY doc_a, doc_b
+        |JOIN sigs x ON x.doc_id = doc_a
+        |JOIN sigs y ON y.doc_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin),
     "q33_ngram_jaccard" -> (MinhashCte + """,
         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

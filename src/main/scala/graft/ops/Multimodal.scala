@@ -47,7 +47,7 @@ object Multimodal {
   /** Typed decode pipeline over the documents' bytes. */
   def decode(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRecord]
       .mapPartitions { batch =>

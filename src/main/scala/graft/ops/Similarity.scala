@@ -35,7 +35,7 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def unitEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    Tables.embeddingsSpread(spark, dir)
       .select(col("vec_id"), unitVec(col("embedding")).as("u"))
 
   /** Exact cosine top-k for a bounded query set against the full corpus. */

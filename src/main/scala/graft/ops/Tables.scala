@@ -14,6 +14,27 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Spread a scan across the cluster when the file layout under-splits
+    * it (a single small parquet file = one task, which serializes any
+    * heavy per-row work — hashing, regex, vector math — onto one core).
+    * No-op when the scan already has enough splits, so at production
+    * scale (many files / row groups) this adds nothing; locally it's a
+    * ~MB shuffle that unlocks full parallelism for the compute above it. */
+  def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
+  /** Documents, spread for compute-heavy per-row work. */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, apply(spark, dir, "documents"), "doc_id")
+
+  /** Embeddings, spread for vector math. */
+  def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
+    spread(spark, apply(spark, dir, "embeddings"), "vec_id")
+
   /** Events with `ts` normalized to a micro-precision TimestampType
     * column regardless of the underlying parquet physical type (NANOS →
     * integer-div by 1000; integer division keeps full precision — nanos

@@ -30,7 +30,7 @@ object TextAnalysis {
 
   /** Per-document surface statistics. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -47,7 +47,7 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame = {
     def hits(words: String): Column =
       size(regexp_extract_all(col("text"), lit(s"\\b($words)\\b"), lit(0)))
-    val scored = Tables(spark, dir, "documents")
+    val scored = Tables.documents(spark, dir)
       .withColumn("n_en", hits("the|and|of|to|in"))
       .withColumn("n_de", hits("der|die|und|das|ist"))
       .withColumn("n_fr", hits("le|la|et|les|est"))
@@ -67,7 +67,7 @@ object TextAnalysis {
   /** Corpus token accounting per source: whitespace tokens and BPE-ish
     * pre-tokens (map-side combine keeps the shuffle to |sources| rows). */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -79,7 +79,7 @@ object TextAnalysis {
     * density + non-alnum penalty; the standard pre-training quality
     * filter shape. Returns docs above threshold. */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.documents(spark, dir)
     val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
     val lenScore = least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0))
     val stopScore = least(stop * lit(10.0) / greatest(nTokens(col("text")), lit(1)), lit(1.0))
@@ -100,7 +100,7 @@ object TextAnalysis {
     md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " ")))
 
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
@@ -111,7 +111,7 @@ object TextAnalysis {
     val chars = filter(split(col("text"), ""), c => length(c) === 1)
     val rh = aggregate(chars, lit(7L),
       (acc, c) => (acc * lit(31L) + ascii(c)) % lit(1000000007L))
-    Tables(spark, dir, "documents")
+    Tables.documents(spark, dir)
       .select(col("doc_id"), rh.as("roll_hash"))
       .orderBy("doc_id")
   }
