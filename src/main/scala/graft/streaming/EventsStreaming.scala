@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events schema: the streaming
+  * counterparts of the batch operators in [[graft.ops.Events]].
+  *
+  * The reference is batch-only (SURVEY.md §2.1: streaming ABSENT), so
+  * this module is pure extension: file-source streams → watermarked
+  * event-time windows → memory/parquet sinks, plus keyed custom state
+  * via mapGroupsWithState. The same code drives a Kafka source at scale —
+  * only the `readStream.format` changes; windows, watermarks, and state
+  * stores shard by key across executors.
+  */
+object EventsStreaming {
+
+  /** Events schema as the parquet files surface it with nanos-as-long
+    * (Spark 4 cannot read TIMESTAMP(NANOS) natively — see
+    * graft.ops.Tables). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanoseconds since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of events with `ts` normalized to a
+    * micro-precision timestamp. `maxFilesPerTrigger` (caller-set option)
+    * turns a directory of parquet files into a multi-batch stream. */
+  def readEvents(spark: SparkSession, srcDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time windows with a 30-minute watermark:
+    * count + revenue per (window, type). Late data beyond the watermark
+    * is dropped; state for closed windows is evicted — bounded memory on
+    * an unbounded stream. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming exact-dedup on event_id: built-in `dropDuplicates` with a
+    * watermark bounding the dedup state. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  final case class UserCount(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Keyed custom state via mapGroupsWithState: running per-user event
+    * count + value total, updated every micro-batch. State lives in the
+    * executor-sharded state store (RocksDB/HDFS-backed on a cluster). */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): Dataset[UserCount] = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, Double)], state: GroupState[UserCount]) =>
+          val prev = state.getOption.getOrElse(UserCount(userId, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          batch.foreach { case (_, value) => n += 1; v += value }
+          val next = UserCount(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming query over `src` into an in-memory table and block
+    * until every available file is processed (test/dev harness; a
+    * production job would use a durable sink + checkpoint dir and
+    * Trigger.ProcessingTime/AvailableNow). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.Tables
+
+/** Streaming specs: feed the sf0.001 events parquet through file-source
+  * streams (multi-batch via maxFilesPerTrigger) and assert the streaming
+  * results converge to the batch answers.
+  */
+class EventsStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Copy the events parquet twice into a fresh dir so the stream runs
+    * as (at least) two micro-batches with duplicate event_ids across
+    * batches. */
+  private def mkStreamDir(copies: Int): String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    val src = java.nio.file.Path.of(s"$sfDir/events.parquet")
+    (1 to copies).foreach { i =>
+      Files.copy(src, dir.resolve(s"events_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  test("windowed hourly counts over the stream match the batch answer") {
+    val dir = mkStreamDir(1)
+    val stream = EventsStreaming.readEvents(spark, dir)
+    EventsStreaming.runToMemory(
+      EventsStreaming.hourlyCounts(stream), "hourly_stream", OutputMode.Complete())
+    val streamed = spark.table("hourly_stream")
+      .orderBy("hour_start", "event_type").collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_start", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("streaming dropDuplicates dedups event_ids across micro-batches") {
+    val dir = mkStreamDir(2) // same events twice, in two files/batches
+    val stream = EventsStreaming.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    EventsStreaming.runToMemory(
+      EventsStreaming.dedupedEvents(stream).select("event_id"), "dedup_stream", OutputMode.Append())
+    val n = spark.table("dedup_stream").count()
+    val batchN = Tables.events(spark, sfDir).count()
+    assert(n == batchN, s"streamed dedup $n vs batch $batchN")
+  }
+
+  test("mapGroupsWithState running counts converge to batch totals") {
+    val dir = mkStreamDir(1)
+    val stream = EventsStreaming.readEvents(spark, dir, maxFilesPerTrigger = 1)
+    EventsStreaming.runToMemory(
+      EventsStreaming.runningUserCounts(spark, stream).toDF(), "counts_stream", OutputMode.Update())
+    // running counts only grow, so the max per user is the final state
+    val finalCounts = spark.table("counts_stream")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+      .orderBy("user_id").collect()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy("user_id").collect()
+    assert(finalCounts.sameElements(batch))
+  }
+}
