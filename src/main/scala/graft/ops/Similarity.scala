@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.dotProduct
+
 /** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
   *
   * Two paths, mirroring how a production vector pipeline is layered:
@@ -27,12 +29,15 @@ object Similarity {
     * into a plain dot product — one sqrt per vector instead of per pair). */
   private def unitVec(v: Column): Column = {
     val d = transform(v, x => x.cast("double"))
-    val norm = sqrt(aggregate(zip_with(d, d, (a, b) => a * b), lit(0.0), (acc, x) => acc + x))
+    val norm = sqrt(dotProduct(d, d))
     transform(d, x => x / norm)
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Pair scoring uses the codegen'd [[graft.functions.DotProduct]]
+    * expression: one fused loop, no per-pair intermediate array (the
+    * `aggregate(zip_with(...))` HOF shape allocates one), identical
+    * index-order summation. */
+  private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
   private def unitEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddingsSpread(spark, dir)

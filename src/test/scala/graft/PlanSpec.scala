@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates. These pin the scale-critical plan
+  * properties README claims: filters reach the parquet scan, scans prune
+  * columns, dim joins broadcast, hot paths stay inside WholeStageCodegen,
+  * and LSH candidate generation is an equi-join (never a cartesian /
+  * nested-loop product).
+  *
+  * If a refactor regresses one of these, correctness tests stay green but
+  * the 100x scale-up breaks — that's exactly what these specs catch.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q06: filters are pushed to the parquet scan and columns pruned") {
+    val p = plan(SparkEntry.queries("q06_forecast_revenue")(spark, dir))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*l_discount.*\\].*"), "discount filter not pushed")
+    assert(p.matches("(?s).*PushedFilters: \\[.*l_quantity.*\\].*"), "quantity filter not pushed")
+    // ReadSchema must carry only the three needed columns of lineitem's 11
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount") &&
+      readSchema.contains("l_quantity"), readSchema)
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q05: dimension joins broadcast (no shuffle on the fact side for dims)") {
+    val p = plan(SparkEntry.queries("q05_region_revenue")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q01: aggregation runs inside WholeStageCodegen") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, dir)
+    df.collect() // AQE finalizes the physical plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(N)" prefixes mark WholeStageCodegen stages in plan strings
+    assert(p.contains("*("), p.take(2000))
+    assert(p.contains("partial_sum"), "q1 should partial-aggregate map-side")
+    assert(p.contains("HashAggregate"), "q1 should hash-aggregate")
+  }
+
+  test("converter cast projection stays codegen'd (custom GoCast expressions)") {
+    import graft.core.{Converter, FieldType, InferredSchema}
+    val schema = InferredSchema(Seq("a", "b"), Seq(FieldType.TInt64, FieldType.TFloat64))
+    val tmp = java.nio.file.Files.createTempDirectory("plan")
+    java.nio.file.Files.write(tmp.resolve("t.csv"), "a,b\n1,2.5\n".getBytes)
+    val df = Converter.conversionPlan(spark, tmp.resolve("t.csv").toString, schema, ',')
+    val p = plan(df)
+    assert(p.contains("codegen id"), p.take(2000))
+    assert(p.contains("go_long") && p.contains("go_double"), "GoCast expressions missing from plan")
+  }
+
+  test("LSH candidate joins are equi-joins, never cartesian") {
+    for (q <- Seq("q32_minhash_lsh", "q35_simhash_neardup", "q38_ann_lsh")) {
+      val p = plan(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"$q uses a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join")
+    }
+  }
+
+  test("q30 exact dedup is a single hash-aggregate shuffle") {
+    val p = plan(SparkEntry.queries("q30_dedup_exact")(spark, dir))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    // exactly one aggregation exchange (partial -> final) plus the sort
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+    assert(exchanges <= 2, s"too many shuffles for exact dedup:\n${p.take(2000)}")
+  }
+}
