@@ -34,6 +34,8 @@ object SparkEntry {
     "q12_events_hourly" -> Events.hourly _,
     "q13_events_sessions" -> Events.sessions _,
     "q14_purchase_after_signup" -> Events.purchaseAfterSignup _,
+    "q15_session_window" -> Events.sessionWindows _,
+    "q16_salted_type_stats" -> ((s, d) => Events.saltedTypeStats(s, d)),
     "q20_text_stats" -> TextAnalysis.textStats _,
     "q21_lang_id" -> TextAnalysis.langId _,
     "q22_token_counts" -> TextAnalysis.tokenCounts _,
@@ -49,6 +51,7 @@ object SparkEntry {
     "q36_embedding_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     "q37_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "q38_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    "q39_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q40_multimodal_meta" -> Multimodal.mediaMeta _,
   )
 
@@ -215,6 +218,29 @@ object SparkEntry {
         |  FROM events)
         |WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    "q15_session_window" ->
+      """WITH t AS (
+        |  SELECT user_id, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM t),
+        |sessions AS (
+        |  SELECT user_id, value, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+    "q16_salted_type_stats" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q20_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars,
         |  len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -365,6 +391,37 @@ object SparkEntry {
         |    list_sum([q.u[i] * e.u[i] for i in range(1, len(q.u) + 1)]) AS cos
         |  FROM b q JOIN b e USING (bucket)
         |  WHERE q.vec_id < 200 AND e.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    "q39_ann_ivf" -> (UnitVecCte + """
+        |, cents AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < 16),
+        |adist AS (
+        |  SELECT u.vec_id, u.u, cent_id,
+        |    list_sum([u.u[i] * cu[i] for i in range(1, len(u.u) + 1)]) AS cdot
+        |  FROM u CROSS JOIN cents),
+        |assigned AS (
+        |  SELECT vec_id, u, cent_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
+        |    FROM adist)
+        |  WHERE crn = 1),
+        |probes AS (
+        |  SELECT vec_id AS q_id, u AS qu, cent_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
+        |    FROM adist WHERE vec_id < 100)
+        |  WHERE crn <= 2),
+        |scored AS (
+        |  SELECT q_id, a.vec_id AS neighbor_id,
+        |    list_sum([qu[i] * a.u[i] for i in range(1, len(qu) + 1)]) AS cos
+        |  FROM probes p JOIN assigned a USING (cent_id)
+        |  WHERE a.vec_id <> p.q_id),
         |ranked AS (
         |  SELECT q_id, neighbor_id, cos,
         |    CAST(row_number() OVER (PARTITION BY q_id

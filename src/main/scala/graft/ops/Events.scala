@@ -47,6 +47,37 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Gap-based sessions via the built-in `session_window` (the native
+    * Catalyst session operator — merges events closer than the gap;
+    * equivalent to the lag/cumsum formulation in [[sessions]] except at
+    * exact-gap boundaries, which cannot occur in microsecond data).
+    * Bounds emitted as integer micros for cross-engine determinism. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "start_us")
+
+  /** Two-phase salted aggregation — the hot-key skew mitigation. Phase 1
+    * shuffles on (key, salt): a key holding 20% of a 100 TB table spreads
+    * over `salt` reducers instead of melting one. Phase 2 merges the
+    * tiny per-salt partials. The salt is a deterministic pmod of the row
+    * id (not rand()) so results are reproducible. Identical answer to a
+    * plain groupBy — the oracle IS the plain groupBy. */
+  def saltedTypeStats(spark: SparkSession, dir: String, salt: Int = 16): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(salt)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("pn"), sum("value").as("pv"))
+      .groupBy("event_type")
+      .agg(sum("pn").cast("long").as("n"), round(sum("pv"), 2).as("sum_value"))
+      .orderBy("event_type")
+
   /** As-of lookup: for each purchase, the user's most recent prior signup
     * event (an as-of join against the same stream, composed from window
     * functions — preference order (a) of the custom-operator ladder:

@@ -76,6 +76,45 @@ object Similarity {
   private def signBucket(u: Column, bits: Int): Column =
     concat((1 to bits).map(i => when(element_at(u, i) >= 0, "1").otherwise("0")): _*)
 
+  /** IVF-style ANN: assign every vector to its nearest of `nCentroids`
+    * coarse centroids (the inverted file), then answer queries by
+    * probing the `nProbe` nearest centroid lists and ranking exact
+    * cosine within them.
+    *
+    * The centroid set here is the first `nCentroids` vectors — a
+    * deterministic stand-in for a k-means codebook (training is an
+    * offline job; the INDEX SHAPE is what matters and is identical:
+    * candidate generation is an equi-join on centroid id, cost ∝
+    * corpus/nCentroids × nProbe per query, never the full corpus). */
+  def ivfTopK(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      nProbe: Int = 2, nQueries: Int = 100, k: Int = 3): DataFrame = {
+    val e = unitEmbeddings(spark, dir)
+    val cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("u").as("cu"))
+    def nearestCentroids(src: DataFrame, idCol: String, vecCol: String, take: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(round(col("cdot"), 6).desc, col("cent_id"))
+      src.join(broadcast(cents))
+        .withColumn("cdot", dot(col(vecCol), col("cu")))
+        .withColumn("crn", row_number().over(w))
+        .where(col("crn") <= take)
+        .drop("cu", "cdot", "crn")
+    }
+    val assigned = nearestCentroids(e, "vec_id", "u", 1)
+    val probes = nearestCentroids(
+      e.where(col("vec_id") < nQueries).select(col("vec_id").as("q_id"), col("u").as("qu")),
+      "q_id", "qu", nProbe)
+    val scored = probes.join(assigned, Seq("cent_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), dot(col("qu"), col("u")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("neighbor_id"), round(col("cos"), 4).as("cos_sim"), col("rank"))
+      .orderBy("q_id", "rank")
+  }
+
   /** ANN via sign-LSH buckets: candidates share the 8-bit sign code
     * (hash equi-join), ranked by exact cosine within the bucket. */
   def lshTopK(spark: SparkSession, dir: String,
