@@ -35,6 +35,9 @@ object SparkEntry {
     "q13_events_sessions" -> Events.sessions _,
     "q14_purchase_after_signup" -> Events.purchaseAfterSignup _,
     "q15_session_window" -> Events.sessionWindows _,
+    "q17_rollup_revenue" -> Relational.rollupRevenue _,
+    "q18_window_suite" -> Relational.windowSuite _,
+    "q19_value_percentiles" -> Relational.valuePercentiles _,
     "q16_salted_type_stats" -> ((s, d) => Events.saltedTypeStats(s, d)),
     "q20_text_stats" -> TextAnalysis.textStats _,
     "q21_lang_id" -> TextAnalysis.langId _,
@@ -238,6 +241,35 @@ object SparkEntry {
         |ORDER BY user_id, start_us""".stripMargin,
     "q16_salted_type_stats" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q17_rollup_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q18_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS sum3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q19_value_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 2) AS p50,
+        |  round(quantile_cont(value, 0.95), 2) AS p95,
+        |  round(max(value), 2) AS p100
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

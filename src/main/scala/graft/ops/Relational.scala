@@ -141,6 +141,59 @@ object Relational {
     rich.intersect(building).orderBy("custkey")
   }
 
+  /** Hierarchical totals via ROLLUP (region ⊃ nation): subtotals and a
+    * grand total in one pass — grouping-set aggregation. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    // the Dataset-API rollup trips Spark 4's ambiguous-self-join check
+    // on the grouping attributes; the SQL surface plans the identical
+    // Expand + Aggregate without the Dataset column-lineage bookkeeping
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      .createOrReplaceTempView("rollup_src_q17")
+    spark.sql(
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM rollup_src_q17
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)
+  }
+
+  /** The analytic-function suite in one pass: lag, lead, ntile,
+    * percent_rank, and a moving average over a 3-row frame. */
+  def windowSuite(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val moving = w.rowsBetween(-2, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        // moving SUM, not avg: dividing by the frame size creates
+        // third-decimal .005 boundaries where engines' double rounding
+        // disagrees; sums of 2-decimal prices round-trip exactly
+        round(sum("o_totalprice").over(moving), 2).as("sum3"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Exact interpolated percentiles per group (median + tail). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("p50"),
+        round(expr("percentile(value, 0.95)"), 2).as("p95"),
+        round(max("value"), 2).as("p100"))
+      .orderBy("event_type")
+
   /** Distinct part count per supplier — count(distinct) + top-k. */
   def supplierPartBreadth(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
