@@ -109,15 +109,54 @@ object Converter {
   /** Convert one CSV file. Mirrors convertFile (converter/converter.go:116-183):
     * infer → write → verify non-empty output → cleanup partial output on
     * failure → delete original only after a verified write. */
-  def convertFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult = {
+  def convertFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult =
+    finishConversion(spark, input, cfg) {
+      val schema = Inference.detectFile(spark, input, cfg.delimiterChar, cfg.sampleRows)
+      conversionPlan(spark, input, schema, cfg.delimiterChar)
+    }
+
+  /** Convert one JSON-lines file with the SAME inference semantics as the
+    * CSV path (an extension — the reference is CSV-only): every scalar is
+    * read as its string rendering (`primitivesAsString`), nested
+    * structures collapse to their JSON text (the reference data model is
+    * flat), headers are normalized, and the reference lattice classifies
+    * the sampled string values before the GoCast projection.
+    *
+    * Scale note: Spark's JSON schema inference scans the input; for huge
+    * files set a sampling ratio upstream — the value lattice itself still
+    * only reads `sampleRows` rows driver-side. */
+  def convertJsonFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult =
+    finishConversion(spark, input, cfg) {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val raw0 = spark.read.option("primitivesAsString", "true").json(input)
+      val flattened = raw0.select(raw0.schema.fields.map { f =>
+        val c = col(s"`${f.name}`")
+        f.dataType match {
+          case _: StructType | _: ArrayType | _: MapType => to_json(c).as(f.name)
+          case _ => c.cast("string").as(f.name)
+        }
+      }.toSeq: _*)
+      val headers = Normalize.headers(flattened.columns.toSeq)
+      val renamed = flattened.toDF(headers: _*)
+      val sampled = renamed.take(cfg.sampleRows).iterator.map { row =>
+        headers.indices.map(i => if (row.isNullAt(i)) "" else row.getString(i)).toArray
+      }
+      val schema = Inference.detect(headers, sampled, cfg.sampleRows)
+      renamed.select(schema.headers.zip(schema.types).map { case (h, t) => castColumn(h, t) }: _*)
+    }
+
+  /** Shared finish: run the plan, write (single-file or directory),
+    * verify, clean partial output on failure, delete source only after a
+    * verified write. */
+  private def finishConversion(spark: SparkSession, input: String, cfg: GraftConfig)
+      (plan: => DataFrame): ConvertResult = {
     val out = outputPath(input, cfg.output)
     val fs = Inference.fileSystem(spark, input)
     val inputBytes =
       try fs.getFileStatus(new Path(input)).getLen
       catch { case e: Exception => return ConvertResult(input, out, 0, 0, Some(s"stat input: ${e.getMessage}")) }
     try {
-      val schema = Inference.detectFile(spark, input, cfg.delimiterChar, cfg.sampleRows)
-      val df = conversionPlan(spark, input, schema, cfg.delimiterChar)
+      val df = plan
       val outFs = Inference.fileSystem(spark, out)
       val outBytes =
         if (cfg.singleFile) writeSingleFile(spark, df, out)
@@ -171,9 +210,10 @@ object Converter {
   def convertAll(spark: SparkSession, cfg: GraftConfig): ConvertSummary = {
     val inPath = new Path(cfg.input)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val glob = if (cfg.format == "json") "*.json" else "*.csv"
     val files: Seq[String] =
       if (fs.getFileStatus(inPath).isDirectory)
-        fs.globStatus(new Path(inPath, "*.csv")).toSeq.map(_.getPath.toString).sorted
+        fs.globStatus(new Path(inPath, glob)).toSeq.map(_.getPath.toString).sorted
       else Seq(cfg.input)
     if (files.isEmpty) {
       System.err.println(s"[graft] warn: no CSV files found in ${cfg.input}")
@@ -182,7 +222,9 @@ object Converter {
     val pool = Executors.newFixedThreadPool(4)
     try {
       val futures = files.map(f => pool.submit(new java.util.concurrent.Callable[ConvertResult] {
-        override def call(): ConvertResult = convertFile(spark, f, cfg)
+        override def call(): ConvertResult =
+          if (cfg.format == "json") convertJsonFile(spark, f, cfg)
+          else convertFile(spark, f, cfg)
       }))
       ConvertSummary(futures.map(_.get()))
     } finally {

@@ -19,6 +19,9 @@ final case class GraftConfig(
     batchSize: Int = 10000, // log cadence only — quirk Q3 (README claims row-group size; code disagrees)
     deleteOriginal: Boolean = false,
     logLevel: String = "info",
+    /** Source format: "csv" (reference parity) or "json" (JSON-lines
+      * extension). */
+    format: String = "csv",
     /** Write a single `<base>.parquet` file like the reference (coalesce(1)
       * + rename). Disable for large inputs to keep parallel output. */
     singleFile: Boolean = true) {
@@ -32,7 +35,7 @@ final case class GraftConfig(
 object GraftConfig {
 
   private val KnownFlags = Set(
-    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level")
+    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level", "format")
 
   def delimiterChar(d: String): Char = d match {
     case null | ""  => ','
@@ -120,9 +123,12 @@ object GraftConfig {
     flags.get("sample-rows").flatMap(_.toIntOption).filter(_ > 0).foreach(v => cfg = cfg.copy(sampleRows = v))
     flags.get("batch-size").flatMap(_.toIntOption).filter(_ > 0).foreach(v => cfg = cfg.copy(batchSize = v))
     flags.get("log-level").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(logLevel = v))
+    flags.get("format").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(format = v))
     if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
 
     if (cfg.input.isEmpty) Left("input is required (--input or config file)")
+    else if (cfg.format != "csv" && cfg.format != "json")
+      Left(s"unsupported format: ${cfg.format} (expected csv or json)")
     else Right(cfg)
   }
 }
