@@ -35,6 +35,7 @@ object SparkEntry {
     "q13_events_sessions" -> Events.sessions _,
     "q14_purchase_after_signup" -> Events.purchaseAfterSignup _,
     "q15_session_window" -> Events.sessionWindows _,
+    "q41_asof_user_order" -> Events.asofUserOrder _,
     "q17_rollup_revenue" -> Relational.rollupRevenue _,
     "q18_window_suite" -> Relational.windowSuite _,
     "q19_value_percentiles" -> Relational.valuePercentiles _,
@@ -239,6 +240,18 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, sid
         |ORDER BY user_id, start_us""".stripMargin,
+    "q41_asof_user_order" ->
+      """WITH od AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |      ORDER BY o_orderkey DESC) AS dr
+        |    FROM orders)
+        |  WHERE dr = 1)
+        |SELECT e.event_id, e.user_id, od.o_orderkey AS last_order
+        |FROM events e
+        |ASOF LEFT JOIN od
+        |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "q16_salted_type_stats" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events

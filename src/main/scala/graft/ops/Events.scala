@@ -78,6 +78,43 @@ object Events {
       .agg(sum("pn").cast("long").as("n"), round(sum("pv"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  /** Cross-table as-of join: for each event, the user's most recent order
+    * at-or-before the event time (user_id ↔ o_custkey). Composed from a
+    * union + last_value-ignore-nulls window — preference order (a) of the
+    * custom-operator ladder: a tagged union sorted per key is exactly the
+    * merge an as-of join performs, and Spark plans it as one shuffle +
+    * one sort, the same cost as a dedicated sort-merge as-of operator.
+    * The oracle is DuckDB's NATIVE `ASOF JOIN`, so the semantics are
+    * checked against an independent first-class implementation. */
+  def asofUserOrder(spark: SparkSession, dir: String): DataFrame = {
+    // one order per (user, date): order dates are day-granular, so a user
+    // can have several orders at the same as-of key — an ambiguity every
+    // as-of implementation resolves arbitrarily. Dedup makes the match
+    // unique and the oracle deterministic.
+    val perDay = Window.partitionBy("o_custkey", "o_orderdate").orderBy(desc("o_orderkey"))
+    val orders = Tables(spark, dir, "orders")
+      .withColumn("dr", row_number().over(perDay)).where(col("dr") === 1)
+      .select(col("o_custkey").as("user_id"),
+        // o_orderdate surfaces as TIMESTAMP_NTZ; session TZ is UTC so the
+        // LTZ cast is value-preserving
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey"))
+    val events = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"))
+    // tag=0 sorts orders before events at equal timestamps → "at-or-before"
+    val tagged = orders.withColumn("tag", lit(0))
+      .unionByName(events.withColumn("tag", lit(1)))
+    val w = Window.partitionBy("user_id").orderBy("us", "tag", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_order", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .where(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("last_order"))
+      .orderBy("event_id")
+  }
+
   /** As-of lookup: for each purchase, the user's most recent prior signup
     * event (an as-of join against the same stream, composed from window
     * functions — preference order (a) of the custom-operator ladder:
