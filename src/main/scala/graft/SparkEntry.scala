@@ -57,6 +57,7 @@ object SparkEntry {
     "q38_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "q39_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q40_multimodal_meta" -> Multimodal.mediaMeta _,
+    "q42_frame_sample" -> Multimodal.frameSample _,
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -484,5 +485,11 @@ object SparkEntry {
         |  round((octet_length(text::BLOB) * 31 % 256) / 255.0, 4) AS mean_pixel
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q42_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        |  (doc_id * 1000003 + f * 7919) % 1000000007 AS frame_hash
+        |FROM (SELECT doc_id, octet_length(text::BLOB) AS n_bytes FROM documents),
+        |  unnest(range(0, (n_bytes - 1) // 100 + 1)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

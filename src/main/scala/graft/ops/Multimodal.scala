@@ -58,4 +58,26 @@ object Multimodal {
 
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     decode(spark, dir).toDF().orderBy("doc_id")
+
+  /** Frame sampling: the 1→N decode shape (one video payload → many frame
+    * rows). The STUB samples one "frame" per 100 bytes of payload with a
+    * deterministic content hash; a real build swaps the frame expression
+    * for a codec call inside mapPartitions. Built with
+    * `posexplode(sequence(...))` so the expansion happens inside codegen —
+    * no driver loop, no UDF, and the explode parallelizes across the
+    * spread partitions. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .select(col("doc_id"), col("n_bytes"),
+        posexplode(sequence(lit(0L), expr("(n_bytes - 1) div 100"))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("long").as("frame_idx"),
+        // stub frame content hash: offset arithmetic on the byte stream
+        ((col("doc_id") * 1000003L + col("col") * 7919L) % 1000000007L).as("frame_hash"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }
