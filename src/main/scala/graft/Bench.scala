@@ -27,10 +27,15 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache() // drop warmup cached relations before timing
+    // best of two timed runs per query: single samples showed multi-second
+    // one-off jitter (GC / JIT recompilation) on sub-second plans
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> math.min(once(), once())
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

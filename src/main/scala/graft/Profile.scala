@@ -19,6 +19,11 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    sys.env.get("GRAFT_WARM_DIR").foreach { wd =>
+      val t0 = System.nanoTime()
+      fn(spark, wd).count()
+      println(f"[profile] $name warmup on $wd: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     if (sys.env.contains("GRAFT_EXPLAIN")) fn(spark, sfDir).explain("formatted")
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
