@@ -477,13 +477,17 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
     "q40_multimodal_meta" ->
-      """SELECT doc_id,
-        |  octet_length(text::BLOB) AS n_bytes,
-        |  octet_length(text::BLOB) % 640 AS width,
-        |  (octet_length(text::BLOB) * 7) % 480 AS height,
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(text::BLOB) AS n,
+        |    greatest(octet_length(text::BLOB) % 640, 1) AS w,
+        |    greatest((octet_length(text::BLOB) * 7) % 480, 1) AS h
+        |  FROM documents)
+        |SELECT doc_id, n AS n_bytes, w AS width, h AS height,
         |  CAST(3 AS BIGINT) AS channels,
-        |  round((octet_length(text::BLOB) * 31 % 256) / 255.0, 4) AS mean_pixel
-        |FROM documents
+        |  round((n * 31 % 256) / 255.0, 4) AS mean_pixel,
+        |  CASE WHEN w >= h THEN 224 ELSE greatest(w * 224 // h, 1) END AS resized_w,
+        |  CASE WHEN w >= h THEN greatest(h * 224 // w, 1) ELSE 224 END AS resized_h
+        |FROM m
         |ORDER BY doc_id""".stripMargin,
     "q42_frame_sample" ->
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,

@@ -12,7 +12,8 @@ final case class MediaRecord(doc_id: Long, payload: Array[Byte])
 /** Decoder output: per-asset metadata a multimodal training pipeline
   * extracts before batching. */
 final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
-    height: Long, channels: Long, mean_pixel: Double)
+    height: Long, channels: Long, mean_pixel: Double,
+    resized_w: Long, resized_h: Long)
 
 /** Multimodal-column plumbing: binary payloads flow through a typed
   * `Dataset` with a partition-at-a-time decode. The Spark-side shape —
@@ -34,14 +35,23 @@ object Multimodal {
     * bytes → metadata. */
   def stubDecode(payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
+    val w = math.max(n % 640, 1)
+    val h = math.max((n * 7) % 480, 1)
+    // resize stub: fit into a 224x224 box preserving aspect ratio,
+    // integer-only math (floor division) so every engine agrees
+    val (rw, rh) =
+      if (w >= h) (224L, math.max(h * 224 / w, 1))
+      else (math.max(w * 224 / h, 1), 224L)
     MediaMeta(
       doc_id = -1L, // filled by caller
       n_bytes = n,
-      width = n % 640,
-      height = (n * 7) % 480,
+      width = w,
+      height = h,
       channels = 3L,
       mean_pixel = BigDecimal((n * 31 % 256) / 255.0)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      resized_w = rw,
+      resized_h = rh)
   }
 
   /** Typed decode pipeline over the documents' bytes. */
