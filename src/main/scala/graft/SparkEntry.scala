@@ -493,7 +493,7 @@ object SparkEntry {
       """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
         |  (doc_id * 1000003 + f * 7919) % 1000000007 AS frame_hash
         |FROM (SELECT doc_id, octet_length(text::BLOB) AS n_bytes FROM documents),
-        |  unnest(range(0, (n_bytes - 1) // 100 + 1)) AS t(f)
+        |  unnest(range(0, (greatest(n_bytes, 1) - 1) // 100 + 1)) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

@@ -51,7 +51,14 @@ final case class ConvertSummary(results: Seq[ConvertResult]) {
   *    for token-count mismatches.
   *  - Quirk Q4 deviation (documented, SURVEY §7.4.3): a non-true/false
   *    value in a BOOLEAN column nulls the *field* here; the reference
-  *    emits invalid JSON and drops the *row*.
+  *    emits invalid JSON and drops the *row*. The same
+  *    invalid-JSON-row-drop class applies in the reference to `inf`/`nan`
+  *    cells in DOUBLE columns (Go %g renders `+Inf`, invalid JSON) and to
+  *    raw control characters in strings (only `\` and `"` are escaped,
+  *    converter.go:405-408): graft deliberately KEEPS those rows with the
+  *    parsed value — storing data beats dropping rows over a formatting
+  *    artifact of the reference's JSON intermediate (which Spark does not
+  *    have).
   */
 object Converter {
 
@@ -63,7 +70,9 @@ object Converter {
     val base = {
       val name = p.getName
       val dot = name.lastIndexOf('.')
-      if (dot > 0) name.substring(0, dot) else name
+      // dot >= 0: Go's filepath.Ext strips a leading-dot extension too
+      // (".csv" -> "" -> ".parquet")
+      if (dot >= 0) name.substring(0, dot) else name
     }
     val dir = if (outputDir != null && outputDir.nonEmpty) new Path(outputDir) else p.getParent
     new Path(dir, base + ".parquet").toString
@@ -73,7 +82,9 @@ object Converter {
     * recordToJSON (converter/converter.go:380-412): trim → empty→null →
     * type-specific parse-to-null. */
   def castColumn(name: String, t: FieldType): org.apache.spark.sql.Column = {
-    val trimmed = trim(col(name))
+    // GoTrim, not trim(): Spark's trim strips only ASCII spaces; the
+    // reference (and our inference) trims Go's full whitespace set
+    val trimmed = GoCast.goTrim(col(name))
     val cell = when(trimmed === lit(""), lit(null)).otherwise(trimmed)
     val typed = t match {
       case FieldType.TInt64   => GoCast.goLong(cell)
@@ -188,13 +199,17 @@ object Converter {
     val outPath = new Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(outPath.getParent, s".${outPath.getName}.tmp-${System.nanoTime()}")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-    if (fs.exists(outPath)) fs.delete(outPath, true)
-    if (!fs.rename(part, outPath)) throw new IllegalStateException(s"rename $part -> $outPath failed")
-    fs.delete(tmp, true)
-    fs.getFileStatus(outPath).getLen
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      if (fs.exists(outPath)) fs.delete(outPath, true)
+      if (!fs.rename(part, outPath)) throw new IllegalStateException(s"rename $part -> $outPath failed")
+      fs.getFileStatus(outPath).getLen
+    } finally {
+      // never leak the hidden temp dir, even when the write/rename fails
+      try fs.delete(tmp, true) catch { case _: Exception => () }
+    }
   }
 
   private def contentLength(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =
@@ -211,8 +226,17 @@ object Converter {
     val inPath = new Path(cfg.input)
     val fs = inPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val glob = if (cfg.format == "json") "*.json" else "*.csv"
+    // a missing input is a reported failure, not a crash (reference
+    // returns a Result with the stat error and exits 1)
+    val status =
+      try fs.getFileStatus(inPath)
+      catch {
+        case e: Exception =>
+          return ConvertSummary(Seq(ConvertResult(cfg.input, "", 0, 0,
+            Some(s"stat input: ${e.getMessage}"))))
+      }
     val files: Seq[String] =
-      if (fs.getFileStatus(inPath).isDirectory)
+      if (status.isDirectory)
         fs.globStatus(new Path(inPath, glob)).toSeq.map(_.getPath.toString).sorted
       else Seq(cfg.input)
     if (files.isEmpty) {

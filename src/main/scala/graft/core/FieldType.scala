@@ -33,7 +33,7 @@ object FieldType {
     * reaches inferType, trims to "", and widens the column to string.
     */
   def infer(raw: String): FieldType = {
-    val v = if (raw == null) "" else raw.trim
+    val v = if (raw == null) "" else GoParse.trimSpace(raw)
     if (v.isEmpty) TString
     else if (GoParse.parseBool(v).isDefined) TBool
     else if (GoParse.parseLong(v).isDefined) TInt64

@@ -72,7 +72,33 @@ object GoParse {
     else None
   }
 
+  /** Mirror of Go's `unicode.IsSpace` (strings.TrimSpace's predicate):
+    * Latin-1 fast path {'\t','\n','\v','\f','\r',' ',U+0085,U+00A0} plus
+    * the Unicode White_Space property above — NOT Java's
+    * `Character.isWhitespace` (which excludes U+00A0/U+0085 and includes
+    * the 0x1C-0x1F separators) and NOT `String.trim` (which cuts every
+    * char <= 0x20). */
+  def isGoSpace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000B' | '\f' | '\r' | ' ' | '\u0085' | '\u00A0' => true
+    case _ if c > 0xFF => Character.isSpaceChar(c) || Character.isWhitespace(c)
+    case _ => false
+  }
+
+  /** Mirror of Go's `strings.TrimSpace`. */
+  def trimSpace(s: String): String = {
+    if (s == null) return null
+    var start = 0
+    var end = s.length
+    while (start < end && isGoSpace(s.charAt(start))) start += 1
+    while (end > start && isGoSpace(s.charAt(end - 1))) end -= 1
+    if (start == 0 && end == s.length) s else s.substring(start, end)
+  }
+
   // ---- boxed variants for Catalyst codegen (see functions.GoCast) ----
+  def trimSpaceUtf8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+    if (s == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(trimSpace(s.toString))
+
   def parseDoubleBoxed(s: String): java.lang.Double =
     parseDouble(s) match { case Some(d) => java.lang.Double.valueOf(d); case None => null }
   def parseLongBoxed(s: String): java.lang.Long =

@@ -49,9 +49,25 @@ object GraftConfig {
     * keys, no nesting (config.yaml has exactly `input, output, delimiter,
     * sample_rows, batch_size, delete_original, log_level`). Keeping this
     * dependency-free matches the offline build constraint. */
+  /** Strip a trailing comment, but never inside a quoted value (the
+    * naive takeWhile('#') would mangle `delimiter: "#"` and paths
+    * containing '#'). */
+  private def stripComment(line: String): String = {
+    var inQuote = '\u0000'
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuote != '\u0000') { if (c == inQuote) inQuote = '\u0000' }
+      else if (c == '"' || c == '\'') inQuote = c
+      else if (c == '#') return line.substring(0, i)
+      i += 1
+    }
+    line
+  }
+
   def parseYaml(text: String): Map[String, String] =
     text.linesIterator
-      .map(_.takeWhile(_ != '#').trim)
+      .map(l => stripComment(l).trim)
       .filter(l => l.nonEmpty && l.contains(":"))
       .map { l =>
         val idx = l.indexOf(':')

@@ -15,7 +15,7 @@ object Normalize {
   def header(raw: String, index: Int): String = {
     var h = if (raw == null) "" else raw
     if (h.startsWith(Bom)) h = h.substring(1)
-    h = h.trim.replace(' ', '_').replace('.', '_')
+    h = GoParse.trimSpace(h).replace(' ', '_').replace('.', '_')
     if (h.isEmpty) s"column_$index" else h
   }
 

@@ -74,8 +74,24 @@ case class GoBool(child: Expression) extends GoCastExpression {
   override def prettyName: String = "go_bool"
 }
 
+/** Go `strings.TrimSpace` as a codegen'd expression. Exists because
+  * Spark's `trim()` strips only ASCII 0x20 while the reference trims the
+  * full Go whitespace set — using `trim()` would let inference (which
+  * trims Go-style) classify a tab-padded cell as INT64 and then have the
+  * cast stage reject the untrimmed value to NULL. */
+case class GoTrim(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override protected def nullSafeEval(input: Any): Any =
+    GoParse.trimSpaceUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.GoParse.trimSpaceUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "go_trim"
+}
+
 object GoCast {
   def goLong(c: Column): Column = Bridge.column(GoLong(Bridge.expression(c)))
   def goDouble(c: Column): Column = Bridge.column(GoDouble(Bridge.expression(c)))
   def goBool(c: Column): Column = Bridge.column(GoBool(Bridge.expression(c)))
+  def goTrim(c: Column): Column = Bridge.column(GoTrim(Bridge.expression(c)))
 }

@@ -82,7 +82,10 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("n_bytes", length(col("payload")).cast("long"))
       .select(col("doc_id"), col("n_bytes"),
-        posexplode(sequence(lit(0L), expr("(n_bytes - 1) div 100"))))
+        // greatest(n,1): an empty payload still yields one frame row on
+        // both engines (Spark div truncates toward zero, DuckDB //
+        // floors - they disagree at -1)
+        posexplode(sequence(lit(0L), expr("(greatest(n_bytes, 1) - 1) div 100"))))
       .select(
         col("doc_id"),
         col("pos").cast("long").as("frame_idx"),

@@ -53,12 +53,15 @@ object EventsStreaming {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
-  /** Streaming exact-dedup on event_id: built-in `dropDuplicates` with a
-    * watermark bounding the dedup state. */
+  /** Streaming exact-dedup on event_id with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` evicts per-key state once the
+    * watermark passes (plain `dropDuplicates("event_id")` would keep one
+    * state entry per id forever when the event-time column is not part
+    * of the key). */
   def dedupedEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   final case class UserCount(user_id: Long, n_events: Long, total_value: Double)
 

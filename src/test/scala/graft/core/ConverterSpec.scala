@@ -106,6 +106,20 @@ class ConverterSpec extends AnyFunSuite {
     assert(df.where(df("b").isNull).count() == 2)
   }
 
+  test("Go-whitespace trim parity: tab-padded cells infer AND cast consistently") {
+    val dir = tmpDir()
+    // quoted fields preserve the tab; Spark's trim() would strip only
+    // spaces, making inference (INT64) disagree with the cast (null)
+    val in = writeCsv(dir, "tabs.csv",
+      "a,b\n\"\t5\",\"\u00A07\"\n\"\t6\t\",\"8 \"\n")
+    val r = Converter.convertFile(spark, in, cfg(dir))
+    assert(r.ok, r.error)
+    val df = spark.read.parquet(r.outputFile)
+    assert(df.schema("a").dataType == LongType, df.schema)
+    assert(df.schema("b").dataType == LongType, df.schema) // U+00A0 is Go whitespace
+    assert(df.collect().flatMap(r0 => Seq(r0.getLong(0), r0.getLong(1))).sorted.toSeq == Seq(5L, 6L, 7L, 8L))
+  }
+
   test("numeric edge parity in data casts (FIXTURES §2.10)") {
     val dir = tmpDir()
     // sample sees ints/floats; later rows probe the Go parse edges
