@@ -86,6 +86,45 @@ object EventsStreaming {
       }
   }
 
+  final case class SessionState(start_us: Long, last_us: Long, n: Long, value: Double)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, session_value: Double)
+
+  /** Streaming gap sessionization via flatMapGroupsWithState: per-user
+    * state carries the open session; a new event past the gap CLOSES the
+    * previous session and emits it (0..n outputs per invocation — the
+    * flatMap shape). The final open session per user stays in state,
+    * exactly like a production sessionizer (it would close via an
+    * event-time timeout when the watermark passes). */
+  def closedSessions(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
+          // events within one micro-batch are not ordered per key: sort
+          val evs = batch.toSeq.sortBy(e => (e._2, e._3))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur = state.getOption
+          evs.foreach { case (_, us, value) =>
+            cur match {
+              case Some(s) if us - s.last_us > gapUs =>
+                closed += ClosedSession(userId, s.start_us, s.last_us, s.n, s.value)
+                cur = Some(SessionState(us, us, 1, value))
+              case Some(s) =>
+                cur = Some(s.copy(last_us = us, n = s.n + 1, value = s.value + value))
+              case None =>
+                cur = Some(SessionState(us, us, 1, value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Run a streaming query over `src` into an in-memory table and block
     * until every available file is processed (test/dev harness; a
     * production job would use a durable sink + checkpoint dir and

@@ -26,12 +26,23 @@ object StreamDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val mode = if (args.length > 1) args(1) else "hourly"
     val events = EventsStreaming.readEvents(spark, src)
-    EventsStreaming.runToMemory(
-      EventsStreaming.hourlyCounts(events), "demo_hourly", OutputMode.Complete())
-    val out = spark.table("demo_hourly").orderBy("hour_start", "event_type")
-    println(s"[stream-demo] ${out.count()} (window, type) rows; first 10:")
-    out.show(10, truncate = false)
+    mode match {
+      case "sessions" =>
+        EventsStreaming.runToMemory(
+          EventsStreaming.closedSessions(spark, events).toDF(),
+          "demo_sessions", OutputMode.Append())
+        val out = spark.table("demo_sessions").orderBy("user_id", "start_us")
+        println(s"[stream-demo] ${out.count()} closed sessions; first 5:")
+        out.show(5, truncate = false)
+      case _ =>
+        EventsStreaming.runToMemory(
+          EventsStreaming.hourlyCounts(events), "demo_hourly", OutputMode.Complete())
+        val out = spark.table("demo_hourly").orderBy("hour_start", "event_type")
+        println(s"[stream-demo] ${out.count()} (window, type) rows; first 10:")
+        out.show(10, truncate = false)
+    }
     spark.stop()
   }
 }

@@ -60,6 +60,19 @@ class GoParseSpec extends AnyFunSuite {
     assert(GoParse.parseDouble("-1e400").isEmpty)
   }
 
+  test("trimSpace mirrors Go strings.TrimSpace, not Java trim") {
+    assert(GoParse.trimSpace("\t a \n") == "a")
+    assert(GoParse.trimSpace(" x ") == "x") // NBSP: Java trim keeps it
+    assert(GoParse.trimSpace("y") == "y")       // NEL: Java isWhitespace says no
+    assert(GoParse.trimSpace(" z ") == "z") // EM SPACE (Zs)
+    assert(GoParse.trimSpace("v") == "v")
+    assert(GoParse.trimSpace("") == "")
+    assert(GoParse.trimSpace("   ") == "")
+    assert(GoParse.trimSpace("a b") == "a b")         // interior space kept
+    // U+001F is NOT Go whitespace (Java's isWhitespace disagrees)
+    assert(GoParse.trimSpace("q") == "q")
+  }
+
   test("parseBool is lowercased true/false only") {
     assert(GoParse.parseBool("true").contains(true))
     assert(GoParse.parseBool("TRUE").contains(true))

