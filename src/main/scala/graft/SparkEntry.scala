@@ -51,6 +51,7 @@ object SparkEntry {
     "q32_minhash_lsh" -> Dedup.minhashLsh _,
     "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q34_simhash" -> Dedup.simhash _,
+    "q43_hybrid_neardup" -> Dedup.hybridNearDup _,
     "q35_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q36_embedding_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     "q37_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -378,6 +379,35 @@ object SparkEntry {
         |JOIN counts ca ON ca.doc_id = doc_a
         |JOIN counts cb ON cb.doc_id = doc_b
         |WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q43_hybrid_neardup" -> (MinhashCte + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |jac AS (
+        |  SELECT doc_a, doc_b,
+        |    round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b),
+        |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |uv AS (SELECT vec_id,
+        |         [x / sqrt(list_sum([y * y for y in v])) for x in v] AS u
+        |       FROM ev)
+        |SELECT doc_a, doc_b, jaccard,
+        |  round(list_sum([a.u[i] * b.u[i] for i in range(1, len(a.u) + 1)]), 4) AS cos_sim,
+        |  CASE WHEN jaccard >= 0.5 THEN 'dup'
+        |       WHEN jaccard >= 0.2
+        |         OR round(list_sum([a.u[i] * b.u[i] for i in range(1, len(a.u) + 1)]), 4) >= 0.4
+        |         THEN 'review'
+        |       ELSE 'keep' END AS verdict
+        |FROM jac
+        |JOIN uv a ON a.vec_id = doc_a
+        |JOIN uv b ON b.vec_id = doc_b
         |ORDER BY doc_a, doc_b""".stripMargin),
     "q34_simhash" -> (ShinglesCte + s""",
         |votes AS (

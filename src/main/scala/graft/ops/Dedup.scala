@@ -120,6 +120,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hybrid near-dup verdict: MinHash-LSH text candidates scored by BOTH
+    * exact shingle Jaccard and embedding cosine (doc_id ↔ vec_id) — the
+    * production pattern where surface-form and semantic signals must
+    * agree before a pair is dropped. Candidate generation stays the
+    * LSH equi-join; the embedding join is a plain key join, so nothing
+    * here scales with pair count. */
+  def hybridNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val text = ngramJaccard(spark, dir, threshold = 0.0)
+    val e = Tables.embeddingsSpread(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val unit = e.select(col("vec_id"),
+      transform(col("v"), x => x / sqrt(graft.functions.VectorFunctions.dotProduct(col("v"), col("v")))).as("u"))
+    text
+      .join(unit.select(col("vec_id").as("doc_a"), col("u").as("ua")), Seq("doc_a"))
+      .join(unit.select(col("vec_id").as("doc_b"), col("u").as("ub")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        round(graft.functions.VectorFunctions.dotProduct(col("ua"), col("ub")), 4).as("cos_sim"))
+      .withColumn("verdict",
+        when(col("jaccard") >= 0.5, "dup")
+          .when(col("jaccard") >= 0.2 || col("cos_sim") >= 0.4, "review")
+          .otherwise("keep"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** 32-bit SimHash from shingle md5 hex digits: bit i votes +1 when hex
     * digit i of the shingle's md5 is >= '8'. One groupBy with 32 parallel
     * sums — no per-bit explode, single shuffle of |docs| rows. (16 bits
