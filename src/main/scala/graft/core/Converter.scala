@@ -2,7 +2,7 @@ package graft.core
 
 import java.util.concurrent.{Executors, TimeUnit}
 
-import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 

@@ -130,8 +130,6 @@ class ConverterSpec extends AnyFunSuite {
     val df = spark.read.parquet(r.outputFile).orderBy("i")
     val rows = df.collect()
     assert(df.schema("i").dataType == LongType && df.schema("f").dataType == DoubleType)
-    def i(n: Int) = if (rows(n).isNullAt(0)) None else Some(rows(n).getLong(0))
-    def f(n: Int) = if (rows(n).isNullAt(1)) None else Some(rows(n).getDouble(1))
     val got = rows.map(r0 => (if (r0.isNullAt(0)) None else Some(r0.getLong(0)),
       if (r0.isNullAt(1)) None else Some(r0.getDouble(1)))).toSet
     assert(got == Set(
