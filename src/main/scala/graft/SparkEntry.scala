@@ -52,6 +52,9 @@ object SparkEntry {
     "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q34_simhash" -> Dedup.simhash _,
     "q43_hybrid_neardup" -> Dedup.hybridNearDup _,
+    "q44_customers_without_orders" -> Relational.customersWithoutOrders _,
+    "q45_small_quantity_revenue" -> Relational.smallQuantityRevenue _,
+    "q46_props_buckets" -> Events.propsBuckets _,
     "q35_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q36_embedding_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     "q37_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -254,6 +257,28 @@ object SparkEntry {
         |ASOF LEFT JOIN od
         |  ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "q44_customers_without_orders" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+    "q45_small_quantity_revenue" ->
+      """SELECT round(sum(l_extendedprice), 2) AS total_price,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN (SELECT l_partkey AS p_key, avg(l_quantity) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l.l_partkey = a.p_key
+        |WHERE l.l_quantity < a.avg_qty * 0.5""".stripMargin,
+    "q46_props_buckets" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY k_bucket
+        |ORDER BY k_bucket""".stripMargin,
     "q16_salted_type_stats" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events

@@ -78,6 +78,17 @@ object Events {
       .agg(sum("pn").cast("long").as("n"), round(sum("pv"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  /** Semi-structured extraction: pull the numeric `k` field out of the
+    * JSON `props` column (`get_json_object` is codegen'd; no UDF) and
+    * aggregate by decile bucket. */
+  def propsBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+      .where(col("k").isNotNull)
+      .groupBy(expr("k div 10").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k_bucket")
+
   /** Cross-table as-of join: for each event, the user's most recent order
     * at-or-before the event time (user_id ↔ o_custkey). Composed from a
     * union + last_value-ignore-nulls window — preference order (a) of the

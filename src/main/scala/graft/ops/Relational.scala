@@ -194,7 +194,33 @@ object Relational {
         round(max("value"), 2).as("p100"))
       .orderBy("event_type")
 
-  /** Distinct part count per supplier — count(distinct) + top-k. */
+  /** Customers with no orders in early 1995 — NOT EXISTS as a left-anti
+    * join (the unfiltered variant is empty on this data: every customer
+    * has at least one order). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+      .where(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q17-style correlated aggregate: lineitems below half their part's
+    * average quantity. Decorrelated as an aggregate + equi-join (what
+    * Catalyst does to the subquery form anyway — written explicitly so
+    * the plan is one agg shuffle + one join, no per-row subquery). */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .where(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(
+        round(sum("l_extendedprice"), 2).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
   def supplierPartBreadth(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_suppkey")
