@@ -66,6 +66,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q44 anti-join plans as a broadcast/hash anti join, not a cartesian") {
+    val p = plan(SparkEntry.queries("q44_customers_without_orders")(spark, dir))
+    assert(p.contains("LeftAnti"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q30 exact dedup is a single hash-aggregate shuffle") {
     val p = plan(SparkEntry.queries("q30_dedup_exact")(spark, dir))
     assert(p.contains("HashAggregate"), p.take(1500))
