@@ -170,9 +170,9 @@ object Converter {
       val df = plan
       val outFs = Inference.fileSystem(spark, out)
       val outBytes =
-        if (cfg.singleFile) writeSingleFile(spark, df, out)
+        if (cfg.singleFile) writeSingleFile(spark, df, out, cfg.codec)
         else {
-          df.write.mode("overwrite").parquet(out)
+          df.write.option("compression", cfg.codec).mode("overwrite").parquet(out)
           contentLength(outFs, new Path(out))
         }
       // verify (converter/converter.go:160-166): output exists and is non-empty
@@ -195,12 +195,13 @@ object Converter {
     * (SURVEY §7.4.2). coalesce(1) into a temp dir, then rename the part
     * file. Scale note: this serializes the write; `singleFile = false`
     * keeps Spark's parallel directory output for large inputs. */
-  private def writeSingleFile(spark: SparkSession, df: DataFrame, out: String): Long = {
+  private def writeSingleFile(spark: SparkSession, df: DataFrame, out: String,
+      codec: String = "snappy"): Long = {
     val outPath = new Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(outPath.getParent, s".${outPath.getName}.tmp-${System.nanoTime()}")
     try {
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.option("compression", codec).mode("overwrite").parquet(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
       if (fs.exists(outPath)) fs.delete(outPath, true)

@@ -22,6 +22,9 @@ final case class GraftConfig(
     /** Source format: "csv" (reference parity) or "json" (JSON-lines
       * extension). */
     format: String = "csv",
+    /** Parquet compression codec (snappy = reference default; zstd
+      * trades CPU for ratio at scale). */
+    codec: String = "snappy",
     /** Write a single `<base>.parquet` file like the reference (coalesce(1)
       * + rename). Disable for large inputs to keep parallel output. */
     singleFile: Boolean = true) {
@@ -35,7 +38,9 @@ final case class GraftConfig(
 object GraftConfig {
 
   private val KnownFlags = Set(
-    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level", "format")
+    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level", "format", "codec")
+
+  private val KnownCodecs = Set("snappy", "gzip", "zstd", "lz4", "uncompressed")
 
   def delimiterChar(d: String): Char = d match {
     case null | ""  => ','
@@ -140,11 +145,14 @@ object GraftConfig {
     flags.get("batch-size").flatMap(_.toIntOption).filter(_ > 0).foreach(v => cfg = cfg.copy(batchSize = v))
     flags.get("log-level").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(logLevel = v))
     flags.get("format").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(format = v))
+    flags.get("codec").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(codec = v))
     if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
 
     if (cfg.input.isEmpty) Left("input is required (--input or config file)")
     else if (cfg.format != "csv" && cfg.format != "json")
       Left(s"unsupported format: ${cfg.format} (expected csv or json)")
+    else if (!KnownCodecs.contains(cfg.codec))
+      Left(s"unsupported codec: ${cfg.codec} (expected ${KnownCodecs.toSeq.sorted.mkString("/")})")
     else Right(cfg)
   }
 }

@@ -190,6 +190,21 @@ class ConverterSpec extends AnyFunSuite {
     assert(r2.ok && Files.exists(JPath.of(in2)))
   }
 
+  test("compression codec: each supported codec round-trips; zstd beats uncompressed") {
+    val dir = tmpDir()
+    val body = "a,b\n" + (1 to 500).map(i => s"$i,word$i word$i word$i").mkString("\n") + "\n"
+    val sizes = Seq("uncompressed", "snappy", "zstd").map { codec =>
+      val in = writeCsv(dir, s"c_$codec.csv", body)
+      val r = Converter.convertFile(spark, in, cfg(dir).copy(codec = codec))
+      assert(r.ok, r.error)
+      assert(spark.read.parquet(r.outputFile).count() == 500)
+      codec -> r.outputBytes
+    }.toMap
+    assert(sizes("zstd") < sizes("uncompressed"), sizes)
+    // bad codec rejected at config level
+    assert(GraftConfig.load(Seq("--input", "/x", "--codec", "brotli9000")).isLeft)
+  }
+
   test("config layering: defaults ← YAML ← flags with Q7 override rules") {
     val dir = tmpDir()
     val yaml = dir.resolve("c.yaml")
