@@ -62,6 +62,13 @@ object SparkEntry {
     "q39_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q40_multimodal_meta" -> Multimodal.mediaMeta _,
     "q42_frame_sample" -> Multimodal.frameSample _,
+    "q47_range_join" -> Relational.balanceBands _,
+    "q48_pivot" -> Relational.segmentStatusPivot _,
+    "q49_cube" -> Relational.cubeRevenue _,
+    "q50_approx_distinct" -> Relational.approxOrderCounts _,
+    "q51_activity_full_outer" -> Relational.activityFullOuter _,
+    "q52_union_parties" -> Relational.nationParticipants _,
+    "q53_order_seasonality" -> Relational.orderSeasonality _,
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -550,5 +557,61 @@ object SparkEntry {
         |FROM (SELECT doc_id, octet_length(text::BLOB) AS n_bytes FROM documents),
         |  unnest(range(0, (greatest(n_bytes, 1) - 1) // 100 + 1)) AS t(f)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q47_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, (i * 1000 - 1000)::DOUBLE AS lo,
+        |    (i * 1000 + 1500)::DOUBLE AS hi
+        |  FROM (SELECT unnest(range(12)) AS i))
+        |SELECT band_id, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM bands JOIN customer ON c_acctbal >= lo AND c_acctbal < hi
+        |GROUP BY band_id
+        |ORDER BY band_id""".stripMargin,
+    "q48_pivot" ->
+      """SELECT c_mktsegment,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_f,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS rev_o,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2) AS rev_p
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q49_cube" ->
+      // gid via IS NULL tests (neither column is genuinely null in the
+      // data) — DuckDB's GROUPING_ID arg/bit conventions stay out of play
+      """SELECT r_name, o_orderpriority,
+        |  CAST(CASE WHEN r_name IS NULL THEN 2 ELSE 0 END
+        |     + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, o_orderpriority)
+        |ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // q50_approx_distinct: deliberately no oracle — HLL sketches are not
+    // cross-engine reproducible; QueriesSpec bounds the relative error.
+    "q51_activity_full_outer" ->
+      """SELECT user_id, n_orders, order_value, n_events
+        |FROM (SELECT o_custkey AS user_id, count(*) AS n_orders,
+        |        round(sum(o_totalprice), 2) AS order_value
+        |      FROM orders GROUP BY o_custkey) o
+        |FULL OUTER JOIN (SELECT user_id, count(*) AS n_events
+        |                 FROM events GROUP BY user_id) e
+        |  USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "q52_union_parties" ->
+      """SELECT nationkey, count(*) AS n_parties
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      UNION ALL
+        |      SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q53_order_seasonality" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+        |  count(*) AS n_items,
+        |  round(avg(date_diff('day', o_orderdate, l_shipdate)), 4) AS avg_ship_days
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_year, o_quarter
+        |ORDER BY o_year, o_quarter""".stripMargin,
   )
 }

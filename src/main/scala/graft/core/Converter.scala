@@ -63,9 +63,10 @@ final case class ConvertSummary(results: Seq[ConvertResult]) {
 object Converter {
 
   /** Output path derivation (converter/converter.go:107-114):
-    * `basename(in)` minus extension + `.parquet`, into `output` dir if set,
-    * else the input's own directory. */
-  def outputPath(input: String, outputDir: String): String = {
+    * `basename(in)` minus extension + `.<sink ext>` (".parquet" for
+    * reference parity), into `output` dir if set, else the input's own
+    * directory. */
+  def outputPath(input: String, outputDir: String, ext: String = ".parquet"): String = {
     val p = new Path(input)
     val base = {
       val name = p.getName
@@ -75,7 +76,7 @@ object Converter {
       if (dot >= 0) name.substring(0, dot) else name
     }
     val dir = if (outputDir != null && outputDir.nonEmpty) new Path(outputDir) else p.getParent
-    new Path(dir, base + ".parquet").toString
+    new Path(dir, base + ext).toString
   }
 
   /** Build the cast projection for one column per the reference's
@@ -161,7 +162,7 @@ object Converter {
     * verified write. */
   private def finishConversion(spark: SparkSession, input: String, cfg: GraftConfig)
       (plan: => DataFrame): ConvertResult = {
-    val out = outputPath(input, cfg.output)
+    val out = outputPath(input, cfg.output, "." + cfg.sink)
     val fs = Inference.fileSystem(spark, input)
     val inputBytes =
       try fs.getFileStatus(new Path(input)).getLen
@@ -170,9 +171,9 @@ object Converter {
       val df = plan
       val outFs = Inference.fileSystem(spark, out)
       val outBytes =
-        if (cfg.singleFile) writeSingleFile(spark, df, out, cfg.codec)
+        if (cfg.singleFile) writeSingleFile(spark, df, out, cfg.codec, cfg.sink)
         else {
-          df.write.option("compression", cfg.codec).mode("overwrite").parquet(out)
+          df.write.option("compression", cfg.codec).mode("overwrite").format(cfg.sink).save(out)
           contentLength(outFs, new Path(out))
         }
       // verify (converter/converter.go:160-166): output exists and is non-empty
@@ -196,12 +197,16 @@ object Converter {
     * file. Scale note: this serializes the write; `singleFile = false`
     * keeps Spark's parallel directory output for large inputs. */
   private def writeSingleFile(spark: SparkSession, df: DataFrame, out: String,
-      codec: String = "snappy"): Long = {
+      codec: String = "snappy", sink: String = "parquet"): Long = {
     val outPath = new Path(out)
     val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(outPath.getParent, s".${outPath.getName}.tmp-${System.nanoTime()}")
+    // text formats signal their codec via file extension (part-*.json.snappy);
+    // the rename to <base>.json would strip it and make the file unreadable —
+    // single-file JSON is therefore uncompressed (directory mode keeps codec)
+    val effCodec = if (sink == "json") "none" else codec
     try {
-      df.coalesce(1).write.option("compression", codec).mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.option("compression", effCodec).mode("overwrite").format(sink).save(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
       if (fs.exists(outPath)) fs.delete(outPath, true)

@@ -25,6 +25,9 @@ final case class GraftConfig(
     /** Parquet compression codec (snappy = reference default; zstd
       * trades CPU for ratio at scale). */
     codec: String = "snappy",
+    /** Sink format: "parquet" (reference parity), or the "orc"/"json"
+      * extensions (same inference + cast pipeline, different writer). */
+    sink: String = "parquet",
     /** Write a single `<base>.parquet` file like the reference (coalesce(1)
       * + rename). Disable for large inputs to keep parallel output. */
     singleFile: Boolean = true) {
@@ -38,9 +41,11 @@ final case class GraftConfig(
 object GraftConfig {
 
   private val KnownFlags = Set(
-    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level", "format", "codec")
+    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level", "format", "codec", "sink")
 
   private val KnownCodecs = Set("snappy", "gzip", "zstd", "lz4", "uncompressed")
+
+  private val KnownSinks = Set("parquet", "orc", "json")
 
   def delimiterChar(d: String): Char = d match {
     case null | ""  => ','
@@ -146,6 +151,7 @@ object GraftConfig {
     flags.get("log-level").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(logLevel = v))
     flags.get("format").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(format = v))
     flags.get("codec").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(codec = v))
+    flags.get("sink").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(sink = v))
     if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
 
     if (cfg.input.isEmpty) Left("input is required (--input or config file)")
@@ -153,6 +159,10 @@ object GraftConfig {
       Left(s"unsupported format: ${cfg.format} (expected csv or json)")
     else if (!KnownCodecs.contains(cfg.codec))
       Left(s"unsupported codec: ${cfg.codec} (expected ${KnownCodecs.toSeq.sorted.mkString("/")})")
+    else if (!KnownSinks.contains(cfg.sink))
+      Left(s"unsupported sink: ${cfg.sink} (expected ${KnownSinks.toSeq.sorted.mkString("/")})")
+    else if (cfg.sink == "orc" && cfg.codec == "gzip")
+      Left("codec gzip is not supported by the orc sink (use snappy/zstd/lz4/uncompressed)")
     else Right(cfg)
   }
 }

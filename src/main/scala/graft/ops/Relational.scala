@@ -228,4 +228,129 @@ object Relational {
         round(sum("l_quantity"), 2).as("total_qty"))
       .orderBy(desc("n_parts"), asc("l_suppkey"))
       .limit(25)
+
+  /** Range (band) join: customers bucketed into overlapping balance
+    * bands. The naive plan for a pure inequality join is a nested-loop
+    * over every (point, band) pair — quadratic, and the classic 100 TB
+    * killer. Instead both sides are mapped to a shared integer bucket
+    * grid (width = 1000): each band explodes to the buckets it covers,
+    * each point computes its single bucket, and the join becomes an
+    * equi-join on `bucket` with the range predicate left as a cheap
+    * residual filter. Band side stays tiny after explode → broadcast;
+    * the customer side never shuffles. PlanSpec pins the absence of
+    * BroadcastNestedLoopJoin/CartesianProduct. */
+  def balanceBands(spark: SparkSession, dir: String): DataFrame = {
+    val bands = spark.range(12).select(
+      col("id").as("band_id"),
+      (col("id") * 1000 - 1000).cast("double").as("lo"),
+      (col("id") * 1000 + 1500).cast("double").as("hi"))
+    // hi is exclusive; acctbal has 2-decimal granularity, so hi - 0.005
+    // lands in the bucket of the largest includable value
+    val bandBuckets = bands.withColumn(
+      "bucket", explode(sequence(floor(col("lo") / 1000), floor((col("hi") - 0.005) / 1000))))
+    val points = Tables(spark, dir, "customer")
+      .withColumn("bucket", floor(col("c_acctbal") / 1000))
+    points
+      .join(broadcast(bandBuckets), "bucket")
+      .where(col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("band_id")
+  }
+
+  /** PIVOT: revenue matrix of market segment × order status. The value
+    * list is explicit (`F`/`O`/`P`) so the plan is a single pass with no
+    * distinct-values pre-query and the output schema is static. */
+  def segmentStatusPivot(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** CUBE over (region, order priority) with `grouping_id` labeling each
+    * subtotal level — all four grouping sets in one Expand+Aggregate
+    * pass (same machinery as ROLLUP but the full power set). SQL surface
+    * for the same reason as [[rollupRevenue]]. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    val customer = Tables(spark, dir, "customer")
+    Tables(spark, dir, "orders")
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_orderpriority"), col("o_totalprice"))
+      .createOrReplaceTempView("cube_src_q49")
+    spark.sql(
+      """SELECT r_name, o_orderpriority,
+        |  CAST(grouping_id(r_name, o_orderpriority) AS BIGINT) AS gid,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM cube_src_q49
+        |GROUP BY CUBE (r_name, o_orderpriority)
+        |ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  /** HyperLogLog++ sketch vs exact distinct count, side by side. The
+    * sketch is the scale path: mergeable partial state (bytes per group,
+    * not a distinct-values hash table), one narrow shuffle. No DuckDB
+    * oracle — HLL implementations differ across engines — so the driver
+    * records a rows-only check; QueriesSpec bounds rel_err ≤ 2%. */
+  def approxOrderCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        // rsd 1%: denser HLL registers; still constant-size mergeable
+        // state per group, vs the unbounded hash table exact needs
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        countDistinct("l_orderkey").as("exact_orders"))
+      .withColumn("rel_err",
+        round(abs(col("approx_orders") - col("exact_orders")) / col("exact_orders"), 4))
+      .orderBy("l_returnflag")
+
+  /** FULL OUTER join of two aggregates: per-user order activity vs
+    * event activity. Both sides pre-aggregate before the join so the
+    * outer join shuffles group counts, not raw fact rows. */
+  def activityFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val perUserOrders = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("order_value"))
+    val perUserEvents = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    perUserOrders.join(perUserEvents, Seq("user_id"), "full_outer")
+      .orderBy("user_id")
+  }
+
+  /** UNION ALL with per-key counts: customer and supplier presence per
+    * nation — completes the set-op trio with q09 EXCEPT / q10 INTERSECT. */
+  def nationParticipants(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+    val s = Tables(spark, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+    c.unionByName(s)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_parties"))
+      .orderBy("nationkey")
+  }
+
+  /** Date-function suite: order seasonality by year × quarter with
+    * shipping latency. The orders⋈lineitem join is big⋈big on the
+    * natural key — a shuffle (sort-merge/shuffled-hash) join by design,
+    * exercising the non-broadcast path. */
+  def orderSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val lineitem = Tables(spark, dir, "lineitem")
+    orders.join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        quarter(col("o_orderdate")).cast("long").as("o_quarter"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 4).as("avg_ship_days"))
+      .orderBy("o_year", "o_quarter")
+  }
 }

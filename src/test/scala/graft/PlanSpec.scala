@@ -72,6 +72,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("q47 range join is a bucketed equi-join, never a nested-loop product") {
+    val p = plan(SparkEntry.queries("q47_range_join")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"range join fell back to cartesian:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"range join is a nested loop:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("q49 cube plans one Expand + aggregation, not a union of group-bys") {
+    val p = plan(SparkEntry.queries("q49_cube")(spark, dir))
+    assert(p.contains("Expand"), p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(!p.contains("Union"), "cube should not be a union of separate aggregations")
+  }
+
   test("q30 exact dedup is a single hash-aggregate shuffle") {
     val p = plan(SparkEntry.queries("q30_dedup_exact")(spark, dir))
     assert(p.contains("HashAggregate"), p.take(1500))

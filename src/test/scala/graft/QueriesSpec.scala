@@ -12,11 +12,24 @@ class QueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  /** Queries deliberately without a DuckDB oracle (driver falls back to
+    * its rows-only check); each needs a value-level assertion below. */
+  private val rowsOnly = Set("q50_approx_distinct")
+
   test("every query has an oracle (or is explicitly rows-only)") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without query: $orphans")
+  }
+
+  test("q50 HLL sketch stays within 2% of the exact distinct count") {
+    val rows = SparkEntry.queries("q50_approx_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val err = r.getAs[Double]("rel_err")
+      assert(err <= 0.02, s"rel_err $err for ${r.getAs[String]("l_returnflag")}")
+    }
   }
 
   test("entry() returns rows") {
