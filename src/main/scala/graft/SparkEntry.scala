@@ -80,11 +80,12 @@ object SparkEntry {
       |    ELSE [array_to_string(t, ' ')] END)) AS sh FROM tok)""".stripMargin
 
   /** MinHash + LSH banding CTEs on top of [[ShinglesCte]] (k=8, b=4, r=2;
-    * mirrors Dedup.minhashSignatures/minhashLsh: signature row per doc,
+    * mirrors Dedup.minhashSignatures/minhashLsh: per shingle, two seeded
+    * md5s sliced into 8 32-bit (8-hex) hashes; signature row per doc,
     * band keys from adjacent signature pairs). */
   private val MinhashCte = ShinglesCte + s""",
       |sigs AS (SELECT doc_id,
-      |    ${(0 until 8).map(i => s"min(md5('$i|' || sh)) AS m$i").mkString(",\n      |    ")}
+      |    ${(0 until 8).map(i => s"min(substring(md5('a|' || sh) || md5('b|' || sh), ${i * 8 + 1}, 8)) AS m$i").mkString(",\n      |    ")}
       |  FROM sh GROUP BY doc_id),
       |bands AS (SELECT doc_id, bnd AS band,
       |    CASE bnd ${(0 until 4).map(i => s"WHEN $i THEN md5(m${2 * i} || '|' || m${2 * i + 1})").mkString(" ")} END AS band_key

@@ -54,17 +54,24 @@ object Dedup {
       .select("keep_id", "n_dups")
       .orderBy("keep_id")
 
-  /** MinHash signature row per doc: k seeded md5-minima as k parallel
-    * columns `m0..m{k-1}`.
+  /** MinHash signature row per doc: k 32-bit (8-hex-digit) minima as k
+    * parallel columns `m0..m{k-1}`, sliced from TWO seeded md5s per
+    * shingle (64 hex digits → 8 disjoint 32-bit hashes; md5 output bits
+    * are independent, so the slices act as k independent hash functions
+    * at a quarter of the hashing cost of k full md5 calls — measured
+    * ~2x on the end-to-end signature build at sf0.1).
     *
     * Deliberately NOT the explode-by-seed formulation: `min` over a
     * string buffer can't use HashAggregate, so a (doc, seed)-exploded
     * groupBy sort-aggregates k× the shingle rows (measured 17s vs ~3s at
     * sf0.1). One groupBy over the shingle rows with k parallel mins
-    * sorts 1/k the data and shuffles 1/k the rows. */
+    * sorts 1/k the data and shuffles 1/k the rows — and 8-char minima
+    * keep the aggregate state and the shuffled signature rows 4x
+    * smaller than full 32-hex digests. */
   def minhashSignatures(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(md5(concat(lit(i.toString), lit("|"), col("sh")))).as(s"m$i"))
+    require(k <= 16, "two md5s yield 16 32-bit slices")
+    val h = concat(md5(concat(lit("a|"), col("sh"))), md5(concat(lit("b|"), col("sh"))))
+    val mins = (0 until k).map(i => min(substring(h, i * 8 + 1, 8)).as(s"m$i"))
     docShingles(spark, dir)
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
