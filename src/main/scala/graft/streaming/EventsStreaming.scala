@@ -125,6 +125,41 @@ object EventsStreaming {
       }
   }
 
+  /** Stream-static enrichment join: streaming events against a static
+    * customer dimension. The static side is broadcast — each micro-batch
+    * is enriched map-side with NO shuffle and no streaming state at all
+    * (the canonical production shape for dimension lookups on a stream;
+    * at scale the dim can also be a Delta/parquet snapshot re-read per
+    * batch). */
+  def enrichedEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment").as("segment"))
+
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within [signup, signup + window]. BOTH sides are watermarked
+    * and the join condition carries an event-time bound, so each side's
+    * buffered state is evicted once the watermark passes the bound —
+    * bounded state on two unbounded streams. Without the time bound (or
+    * the watermarks) Spark would have to buffer both streams forever. */
+  def purchasesAfterSignup(events: DataFrame, windowSpan: String = "1 hour"): DataFrame = {
+    val signups = events
+      .where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("signup_id"))
+      .withWatermark("s_ts", "30 minutes")
+    val purchases = events
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", "30 minutes")
+    purchases.join(signups,
+      expr(s"p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval $windowSpan"))
+      .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"), col("value"))
+  }
+
   /** Run a streaming query over `src` into an in-memory table and block
     * until every available file is processed (test/dev harness; a
     * production job would use a durable sink + checkpoint dir and

@@ -76,6 +76,43 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(joined.count() == closed.count())
   }
 
+  test("stream-static broadcast join enriches every event with its segment") {
+    val dir = mkStreamDir(1)
+    val stream = EventsStreaming.readEvents(spark, dir)
+    val customers = Tables(spark, sfDir, "customer")
+    EventsStreaming.runToMemory(
+      EventsStreaming.enrichedEvents(stream, customers), "enriched_stream", OutputMode.Append())
+    val streamed = spark.table("enriched_stream")
+    val batchEvents = Tables.events(spark, sfDir)
+    assert(streamed.count() == batchEvents.count(), "left join must not drop events")
+    // every user_id with a matching customer row carries its segment
+    val expected = batchEvents.join(
+      customers.select(col("c_custkey"), col("c_mktsegment")),
+      batchEvents("user_id") === col("c_custkey"))
+      .count()
+    assert(streamed.where(col("segment").isNotNull).count() == expected)
+  }
+
+  test("stream-stream interval join matches the batch time-bounded join") {
+    val dir = mkStreamDir(1)
+    val stream = EventsStreaming.readEvents(spark, dir)
+    EventsStreaming.runToMemory(
+      EventsStreaming.purchasesAfterSignup(stream), "ss_join_stream", OutputMode.Append())
+    val streamed = spark.table("ss_join_stream")
+      .orderBy("purchase_id", "signup_id").collect()
+    val ev = Tables.events(spark, sfDir)
+    val s = ev.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"), col("value"))
+    val batch = p.join(s,
+      expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour"))
+      .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"), col("value"))
+      .orderBy("purchase_id", "signup_id").collect()
+    assert(batch.nonEmpty, "fixture should produce at least one purchase-after-signup pair")
+    assert(streamed.sameElements(batch))
+  }
+
   test("mapGroupsWithState running counts converge to batch totals") {
     val dir = mkStreamDir(1)
     val stream = EventsStreaming.readEvents(spark, dir, maxFilesPerTrigger = 1)
