@@ -69,6 +69,8 @@ object SparkEntry {
     "q51_activity_full_outer" -> Relational.activityFullOuter _,
     "q52_union_parties" -> Relational.nationParticipants _,
     "q53_order_seasonality" -> Relational.orderSeasonality _,
+    "q54_promo_revenue" -> Relational.promoRevenue _,
+    "q55_approx_percentiles" -> Relational.approxPercentiles _,
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -614,5 +616,14 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_year, o_quarter
         |ORDER BY o_year, o_quarter""".stripMargin,
+    "q54_promo_revenue" ->
+      """SELECT p_brand,
+        |  round(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END), 2) AS promo_revenue,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
   )
 }

@@ -337,6 +337,40 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** Q14-style promo revenue share: conditional aggregation (the
+    * `sum(CASE WHEN …)` pattern) over a broadcast part join, plus a
+    * per-brand breakdown — exercises the `part` dimension and LIKE
+    * predicates. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    val li = Tables(spark, dir, "lineitem")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0.0))), 2)
+          .as("promo_revenue"),
+        round(sum(disc), 2).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Quantile sketch vs exact interpolated percentile. Like q50's HLL,
+    * the sketch (GK/KLL-style, `percentile_approx`) is the 100 TB path:
+    * bounded-size mergeable per-group state instead of buffering every
+    * value for an exact sort. Rows-only for the driver (sketch internals
+    * are not cross-engine reproducible); QueriesSpec bounds the error
+    * against the exact answer computed in the same query. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_approx(value, 0.5, 10000)"), 2).as("p50_approx"),
+        round(expr("percentile(value, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile_approx(value, 0.95, 10000)"), 2).as("p95_approx"),
+        round(expr("percentile(value, 0.95)"), 2).as("p95_exact"))
+      .orderBy("event_type")
+
   /** Date-function suite: order seasonality by year × quarter with
     * shipping latency. The orders⋈lineitem join is big⋈big on the
     * natural key — a shuffle (sort-merge/shuffled-hash) join by design,

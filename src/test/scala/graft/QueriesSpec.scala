@@ -14,7 +14,7 @@ class QueriesSpec extends AnyFunSuite {
 
   /** Queries deliberately without a DuckDB oracle (driver falls back to
     * its rows-only check); each needs a value-level assertion below. */
-  private val rowsOnly = Set("q50_approx_distinct")
+  private val rowsOnly = Set("q50_approx_distinct", "q55_approx_percentiles")
 
   test("every query has an oracle (or is explicitly rows-only)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
@@ -29,6 +29,18 @@ class QueriesSpec extends AnyFunSuite {
     for (r <- rows) {
       val err = r.getAs[Double]("rel_err")
       assert(err <= 0.02, s"rel_err $err for ${r.getAs[String]("l_returnflag")}")
+    }
+  }
+
+  test("q55 quantile sketch tracks the exact percentile per group") {
+    val rows = SparkEntry.queries("q55_approx_percentiles")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; q <- Seq("p50", "p95")) {
+      val approx = r.getAs[Double](s"${q}_approx")
+      val exact = r.getAs[Double](s"${q}_exact")
+      val tol = math.max(math.abs(exact) * 0.05, 0.5)
+      assert(math.abs(approx - exact) <= tol,
+        s"$q approx=$approx exact=$exact for ${r.getAs[String]("event_type")}")
     }
   }
 
