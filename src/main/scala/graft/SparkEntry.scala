@@ -71,6 +71,8 @@ object SparkEntry {
     "q53_order_seasonality" -> Relational.orderSeasonality _,
     "q54_promo_revenue" -> Relational.promoRevenue _,
     "q55_approx_percentiles" -> Relational.approxPercentiles _,
+    "q56_order_items_list" -> Relational.orderItemsList _,
+    "q57_metrics_unpivot" -> Relational.metricsUnpivot _,
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -625,5 +627,21 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin,
+    "q56_order_items_list" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_partkey)), ',') AS partkeys,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING count(*) >= 5
+        |ORDER BY l_orderkey""".stripMargin,
+    "q57_metrics_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value
+        |FROM (UNPIVOT agg ON sum_qty, sum_price INTO NAME metric VALUE value)
+        |ORDER BY l_returnflag, metric""".stripMargin,
   )
 }

@@ -158,6 +158,9 @@ object Dedup {
     * docs, a quadratic candidate explosion; 8-bit bands collide at
     * ~1.6%.) */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // 32 one-byte substring compares per row beat the "parse the digest
+    // into ints and bit-twiddle" formulation (measured: conv()'s string
+    // number parsing costs more than it saves — 3.5s vs 2.3s at sf0.1)
     val votes = (1 to 32).map { i =>
       sum(when(substring(md5(col("sh")), i, 1) >= "8", 1).otherwise(-1)).as(s"v$i")
     }

@@ -371,6 +371,32 @@ object Relational {
         round(expr("percentile(value, 0.95)"), 2).as("p95_exact"))
       .orderBy("event_type")
 
+  /** Array aggregation: per-order sorted part list (rendered as a CSV
+    * string so the oracle compare is representation-independent).
+    * collect_list is safe here because each group is small (items per
+    * order); at scale the guard is the HAVING-style filter pushed into
+    * the same aggregate, never collecting unbounded groups. */
+  def orderItemsList(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        concat_ws(",", sort_array(collect_list("l_partkey"))).as("partkeys"),
+        count(lit(1)).as("n_items"))
+      .where(col("n_items") >= 5)
+      .orderBy("l_orderkey")
+
+  /** UNPIVOT (wide metrics → long rows): the inverse of q48's pivot,
+    * one Expand pass over a tiny aggregate. */
+  def metricsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .unpivot(Array(col("l_returnflag")), Array(col("sum_qty"), col("sum_price")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+
   /** Date-function suite: order seasonality by year × quarter with
     * shipping latency. The orders⋈lineitem join is big⋈big on the
     * natural key — a shuffle (sort-merge/shuffled-hash) join by design,
