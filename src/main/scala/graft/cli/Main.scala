@@ -10,6 +10,9 @@ import graft.core.{Converter, GraftConfig}
   * Usage: graft.cli.Main --input <file-or-dir> [--output dir]
   *        [--delimiter ,] [--sample-rows 100] [--batch-size 10000]
   *        [--config config.yaml] [--log-level info] [--keep]
+  *        [--format csv|json] [--sink parquet|orc|json]
+  *        [--codec snappy|gzip|zstd|lz4|uncompressed]
+  *        [--dir-output] [--no-multiline]
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -21,6 +24,11 @@ object Main {
         val builder = SparkSession.builder()
           .appName("graft-csv-to-parquet")
           .config("spark.sql.session.timeZone", "UTC")
+          // conversion is a scan→cast→write pipeline with no shuffle, so
+          // split width IS the parallelism; 32 MB splits keep a mid-size
+          // file busy on every core (default 128 MB gives a 150 MB file
+          // just two tasks). Only effective with --no-multiline.
+          .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
         // under spark-submit the master comes from the launcher; standalone
         // CLI runs default to all local cores
         val spark = (if (sys.props.contains("spark.master")) builder

@@ -99,7 +99,8 @@ object Converter {
   /** Declarative conversion plan for one file: scan (all-string schema,
     * malformed rows dropped) → reference casts. Exposed separately so
     * tests and the query surface can reuse it without writing. */
-  def conversionPlan(spark: SparkSession, input: String, schema: InferredSchema, delimiter: Char): DataFrame = {
+  def conversionPlan(spark: SparkSession, input: String, schema: InferredSchema, delimiter: Char,
+      multiLine: Boolean = true): DataFrame = {
     val raw = spark.read
       .option("header", "true")        // skip the header line; names come from the schema
       .option("enforceSchema", "true")
@@ -111,7 +112,9 @@ object Converter {
       // Spark needs multiLine for that. Scale note: multiLine makes a
       // single file non-splittable — conversion still parallelizes across
       // files, which is the reference's own unit of parallelism (O12).
-      .option("multiLine", "true")
+      // `--no-multiline` trades embedded-newline support for a splittable
+      // scan (many tasks over one large file).
+      .option("multiLine", multiLine.toString)
       .option("nullValue", "")
       .schema(schema.rawSchema)
       .csv(input)
@@ -124,7 +127,7 @@ object Converter {
   def convertFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult =
     finishConversion(spark, input, cfg) {
       val schema = Inference.detectFile(spark, input, cfg.delimiterChar, cfg.sampleRows)
-      conversionPlan(spark, input, schema, cfg.delimiterChar)
+      conversionPlan(spark, input, schema, cfg.delimiterChar, cfg.multiLine)
     }
 
   /** Convert one JSON-lines file with the SAME inference semantics as the

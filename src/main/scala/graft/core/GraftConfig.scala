@@ -30,7 +30,12 @@ final case class GraftConfig(
     sink: String = "parquet",
     /** Write a single `<base>.parquet` file like the reference (coalesce(1)
       * + rename). Disable for large inputs to keep parallel output. */
-    singleFile: Boolean = true) {
+    singleFile: Boolean = true,
+    /** Support embedded newlines in quoted CSV fields (Go encoding/csv
+      * semantics). Costs splittability: a multiLine file is ONE scan task.
+      * Disable (`--no-multiline`) when fields are newline-free to let
+      * Spark split large files across tasks. */
+    multiLine: Boolean = true) {
 
   /** First character of the delimiter, after unescaping `\t`-style escapes.
     * The reference silently uses only the first byte
@@ -116,10 +121,14 @@ object GraftConfig {
   def load(args: Seq[String]): Either[String, GraftConfig] = {
     val flags = scala.collection.mutable.Map.empty[String, String]
     var keep = false
+    var dirOutput = false
+    var noMultiline = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--keep" => keep = true; i += 1
+        case "--dir-output" => dirOutput = true; i += 1
+        case "--no-multiline" => noMultiline = true; i += 1
         case flag if flag.startsWith("--") =>
           val key = flag.stripPrefix("--")
           if (!KnownFlags.contains(key)) return Left(s"unknown flag: $flag")
@@ -153,6 +162,8 @@ object GraftConfig {
     flags.get("codec").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(codec = v))
     flags.get("sink").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(sink = v))
     if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
+    if (dirOutput) cfg = cfg.copy(singleFile = false)
+    if (noMultiline) cfg = cfg.copy(multiLine = false)
 
     if (cfg.input.isEmpty) Left("input is required (--input or config file)")
     else if (cfg.format != "csv" && cfg.format != "json")

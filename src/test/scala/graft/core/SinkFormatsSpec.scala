@@ -66,4 +66,25 @@ class SinkFormatsSpec extends AnyFunSuite {
     assert(GraftConfig.load(Seq("--input", "x.csv", "--sink", "orc", "--codec", "gzip")).isLeft)
     assert(GraftConfig.load(Seq("--input", "x.csv", "--sink", "orc", "--codec", "zstd")).isRight)
   }
+
+  test("--dir-output and --no-multiline set the scale-path options") {
+    val cfg = GraftConfig.load(Seq("--input", "x.csv", "--dir-output", "--no-multiline"))
+      .fold(e => fail(e), identity)
+    assert(!cfg.singleFile && !cfg.multiLine)
+    val defaults = GraftConfig.load(Seq("--input", "x.csv")).fold(e => fail(e), identity)
+    assert(defaults.singleFile && defaults.multiLine)
+  }
+
+  test("no-multiline scan converts newline-free files identically") {
+    val dir: JPath = Files.createTempDirectory("graft-noml")
+    val in = dir.resolve("t.csv")
+    Files.write(in, csv.getBytes(StandardCharsets.UTF_8))
+    val cfg = GraftConfig(output = dir.resolve("out").toString,
+      deleteOriginal = false, multiLine = false)
+    val r = Converter.convertFile(spark, in.toString, cfg)
+    assert(r.ok, r.error)
+    val df = spark.read.parquet(r.outputFile)
+    assert(df.schema == expectedSchema)
+    assert(df.count() == 3)
+  }
 }

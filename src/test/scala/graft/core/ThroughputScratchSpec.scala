@@ -1,0 +1,42 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Scratch (not part of the default gate): isolate converter throughput
+  * components on a large generated CSV. Run explicitly:
+  *   sbt "testOnly graft.core.ThroughputScratchSpec"
+  * Skips silently when /tmp/lineitem_big.csv is absent. */
+class ThroughputScratchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val big = "/tmp/lineitem_big.csv"
+
+  test("throughput breakdown: parse-only vs parse+cast vs parse+cast+write") {
+    assume(new java.io.File(big).exists(), s"$big not present")
+    val mb = new java.io.File(big).length / 1024.0 / 1024.0
+    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
+    val schema = Inference.detectFile(spark, big, ',', 100)
+
+    def timed(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      info(f"$label: $s%.1fs  (${mb / s}%.1f MiB/s)")
+    }
+
+    val raw = spark.read
+      .option("header", "true").option("enforceSchema", "true")
+      .option("mode", "DROPMALFORMED").option("nullValue", "")
+      .schema(schema.rawSchema).csv(big)
+    timed("parse only (count)") { raw.count(); () }
+    val cast = Converter.conversionPlan(spark, big, schema, ',', multiLine = false)
+    timed("parse+GoCast (count)") { cast.count(); () }
+    timed("parse+GoCast+parquet write") {
+      cast.write.mode("overwrite").parquet("/tmp/scratch_out.parquet")
+    }
+    timed("plain Spark cast (count)") {
+      raw.selectExpr(schema.headers.map(h => s"cast(`$h` as string)"): _*).count(); ()
+    }
+  }
+}
