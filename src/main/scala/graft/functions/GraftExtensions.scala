@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("dot_product"),
       new ExpressionInfo("graft.functions.DotProduct", "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    // rung (c): a planner rule — rewrites pure-inequality band joins into
+    // bucketed equi-joins when spark.graft.bandJoin.bucketWidth is set
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
   }
 }
