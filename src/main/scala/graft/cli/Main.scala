@@ -12,7 +12,7 @@ import graft.core.{Converter, GraftConfig}
   *        [--config config.yaml] [--log-level info] [--keep]
   *        [--format csv|json] [--sink parquet|orc|json]
   *        [--codec snappy|gzip|zstd|lz4|uncompressed]
-  *        [--dir-output] [--no-multiline]
+  *        [--dir-output] [--no-multiline] [--partition-by col1,col2]
   */
 object Main {
   def main(args: Array[String]): Unit = {

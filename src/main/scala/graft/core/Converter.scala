@@ -176,7 +176,9 @@ object Converter {
       val outBytes =
         if (cfg.singleFile) writeSingleFile(spark, df, out, cfg.codec, cfg.sink)
         else {
-          df.write.option("compression", cfg.codec).mode("overwrite").format(cfg.sink).save(out)
+          val w = df.write.option("compression", cfg.codec).mode("overwrite")
+          val parts = cfg.partitionCols
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).format(cfg.sink).save(out)
           contentLength(outFs, new Path(out))
         }
       // verify (converter/converter.go:160-166): output exists and is non-empty

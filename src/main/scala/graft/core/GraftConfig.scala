@@ -35,7 +35,15 @@ final case class GraftConfig(
       * semantics). Costs splittability: a multiLine file is ONE scan task.
       * Disable (`--no-multiline`) when fields are newline-free to let
       * Spark split large files across tasks. */
-    multiLine: Boolean = true) {
+    multiLine: Boolean = true,
+    /** Comma-separated columns (post-normalization names) to partition
+      * the output by (hive-style `col=value/` directories → partition
+      * pruning downstream). Requires directory output. */
+    partitionBy: String = "") {
+
+  /** Parsed partition column list. */
+  def partitionCols: Seq[String] =
+    partitionBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   /** First character of the delimiter, after unescaping `\t`-style escapes.
     * The reference silently uses only the first byte
@@ -46,7 +54,8 @@ final case class GraftConfig(
 object GraftConfig {
 
   private val KnownFlags = Set(
-    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level", "format", "codec", "sink")
+    "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level",
+    "format", "codec", "sink", "partition-by")
 
   private val KnownCodecs = Set("snappy", "gzip", "zstd", "lz4", "uncompressed")
 
@@ -161,8 +170,9 @@ object GraftConfig {
     flags.get("format").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(format = v))
     flags.get("codec").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(codec = v))
     flags.get("sink").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(sink = v))
+    flags.get("partition-by").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(partitionBy = v))
     if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
-    if (dirOutput) cfg = cfg.copy(singleFile = false)
+    if (dirOutput || cfg.partitionCols.nonEmpty) cfg = cfg.copy(singleFile = false)
     if (noMultiline) cfg = cfg.copy(multiLine = false)
 
     if (cfg.input.isEmpty) Left("input is required (--input or config file)")

@@ -75,6 +75,24 @@ class SinkFormatsSpec extends AnyFunSuite {
     assert(defaults.singleFile && defaults.multiLine)
   }
 
+  test("--partition-by writes hive-style partitions (and implies dir output)") {
+    val cfg = GraftConfig.load(Seq("--input", "x.csv", "--partition-by", "name"))
+      .fold(e => fail(e), identity)
+    assert(!cfg.singleFile && cfg.partitionCols == Seq("name"))
+
+    val dir: JPath = Files.createTempDirectory("graft-part")
+    val in = dir.resolve("t.csv")
+    Files.write(in, csv.getBytes(StandardCharsets.UTF_8))
+    val r = Converter.convertFile(spark, in.toString,
+      GraftConfig(output = dir.resolve("out").toString, deleteOriginal = false,
+        singleFile = false, partitionBy = "name"))
+    assert(r.ok, r.error)
+    val sub = new java.io.File(r.outputFile).listFiles().map(_.getName).filter(_.startsWith("name="))
+    assert(sub.toSet == Set("name=alice", "name=bob", "name=carol"), sub.toSeq)
+    val back = spark.read.parquet(r.outputFile)
+    assert(back.count() == 3 && back.columns.toSet == Set("id", "score", "name"))
+  }
+
   test("no-multiline scan converts newline-free files identically") {
     val dir: JPath = Files.createTempDirectory("graft-noml")
     val in = dir.resolve("t.csv")
