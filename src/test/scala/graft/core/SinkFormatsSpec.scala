@@ -93,6 +93,17 @@ class SinkFormatsSpec extends AnyFunSuite {
     assert(back.count() == 3 && back.columns.toSet == Set("id", "score", "name"))
   }
 
+  test("partition-by with a nonexistent column reports an error, not a crash") {
+    val dir: JPath = Files.createTempDirectory("graft-partbad")
+    val in = dir.resolve("t.csv")
+    Files.write(in, csv.getBytes(StandardCharsets.UTF_8))
+    val r = Converter.convertFile(spark, in.toString,
+      GraftConfig(output = dir.resolve("out").toString, deleteOriginal = false,
+        singleFile = false, partitionBy = "no_such_col"))
+    assert(!r.ok && r.error.nonEmpty)
+    assert(Files.exists(in), "source must survive a failed conversion")
+  }
+
   test("no-multiline scan converts newline-free files identically") {
     val dir: JPath = Files.createTempDirectory("graft-noml")
     val in = dir.resolve("t.csv")

@@ -62,4 +62,25 @@ class BandJoinRewriteSpec extends AnyFunSuite {
       assert(got == joined.count())
     }
   }
+
+  test("extra conjuncts ride along in the residual condition") {
+    val extra = points.join(bands,
+      col("v") >= col("lo") && col("v") < col("hi") && col("band_id") % 2 === 0)
+      .select("pid", "band_id")
+    val expected = extra.orderBy("pid", "band_id").collect()
+    val (plan, got) = withWidth("25") {
+      (extra.queryExecution.executedPlan.toString, extra.orderBy("pid", "band_id").collect())
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(expected.nonEmpty && got.sameElements(expected))
+  }
+
+  test("rewrite leaves non-inner band joins untouched") {
+    val leftJoin = points.join(bands,
+      col("v") >= col("lo") && col("v") < col("hi"), "left")
+      .select("pid", "band_id")
+    val expected = leftJoin.orderBy("pid", "band_id").collect()
+    val got = withWidth("25") { leftJoin.orderBy("pid", "band_id").collect() }
+    assert(got.sameElements(expected))
+  }
 }
