@@ -87,10 +87,12 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("q30 exact dedup is a single hash-aggregate shuffle") {
-    val p = plan(SparkEntry.queries("q30_dedup_exact")(spark, dir))
+    val df = SparkEntry.queries("q30_dedup_exact")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString // inline Exchange detail
     assert(p.contains("HashAggregate"), p.take(1500))
     // exactly one aggregation exchange (partial -> final) plus the sort
-    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && l.contains("hashpartitioning"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges >= 1, "counter counted nothing — plan-string format changed?")
     assert(exchanges <= 2, s"too many shuffles for exact dedup:\n${p.take(2000)}")
   }
 }
