@@ -73,6 +73,7 @@ object SparkEntry {
     "q55_approx_percentiles" -> Relational.approxPercentiles _,
     "q56_order_items_list" -> Relational.orderItemsList _,
     "q57_metrics_unpivot" -> Relational.metricsUnpivot _,
+    "q58_dedup_keepers" -> ((s, d) => Dedup.keepers(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -643,5 +644,23 @@ object SparkEntry {
         |SELECT l_returnflag, metric, value
         |FROM (UNPIVOT agg ON sum_qty, sum_price INTO NAME metric VALUE value)
         |ORDER BY l_returnflag, metric""".stripMargin,
+    "q58_dedup_keepers" -> (MinhashCte + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id
+        |  FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b
+        |  WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5)
+        |SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin),
   )
 }

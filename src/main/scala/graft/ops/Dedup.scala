@@ -172,6 +172,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Materialized dedup: the surviving corpus after near-dup removal —
+    * what a training-data pipeline actually feeds downstream. Greedy
+    * min-id policy: a doc is dropped iff it has a confirmed near-dup
+    * (exact shingle Jaccard >= threshold on LSH candidates) with a
+    * smaller doc_id. Deliberately NOT transitive closure: connected
+    * components needs iterative propagation (graph joins); greedy
+    * keeps it one anti-join and is the standard first-pass policy —
+    * at 100 TB the anti-join is a shuffle on doc_id, candidates stay
+    * near-linear per the LSH design above. */
+  def keepers(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val losers = ngramJaccard(spark, dir, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(spark, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs: 4 bands of 8 bits for candidates (a pair
     * with hamming <= 4 over 32 bits must agree on at least one band by
     * pigeonhole... hamming <= 3 strictly; <= 4 with high probability),
