@@ -74,6 +74,7 @@ object SparkEntry {
     "q56_order_items_list" -> Relational.orderItemsList _,
     "q57_metrics_unpivot" -> Relational.metricsUnpivot _,
     "q58_dedup_keepers" -> ((s, d) => Dedup.keepers(s, d)),
+    "q59_dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -662,5 +663,33 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin),
+    // transitive closure via a recursive CTE mirrors Spark's min-label
+    // propagation fixpoint: both converge to the component minimum
+    "q59_dedup_clusters" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |jacpairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b
+        |  WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5),
+        |sym AS (SELECT doc_a, doc_b FROM jacpairs
+        |        UNION SELECT doc_b, doc_a FROM jacpairs),
+        |reach(doc_id, label) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT s.doc_a, r.label FROM sym s JOIN reach r ON r.doc_id = s.doc_b),
+        |per_doc AS (SELECT doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc_id)
+        |SELECT cluster_rep, count(*) AS n_members
+        |FROM per_doc
+        |GROUP BY cluster_rep
+        |HAVING count(*) >= 2
+        |ORDER BY cluster_rep""".stripMargin),
   )
 }

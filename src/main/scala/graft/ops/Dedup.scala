@@ -190,6 +190,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Transitive near-dup clusters via iterative min-label propagation
+    * (connected components over the confirmed-pair graph — the BSP
+    * pattern GraphX/Pregel uses, expressed as plain DataFrame joins).
+    * Each round every doc adopts the smallest label among itself and
+    * its neighbors; rounds repeat until a fixpoint (component diameter
+    * bounds the count — near-dup clusters are tiny, so 2-3 rounds).
+    * Per round: one join + one aggregate, both shuffles on doc_id —
+    * cost ∝ edges, never pairs². The driver-side loop is control flow
+    * only; all data stays distributed. */
+  def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      maxIters: Int = 10): DataFrame = {
+    val edges = ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val sym = edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).cache()
+    var labels = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym
+        .join(labels, sym("doc_b") === labels("doc_id"))
+        .groupBy(sym("doc_a").as("n_id"))
+        .agg(min("label").as("nbr_label"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("n_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+      .orderBy("cluster_rep")
+  }
+
   /** SimHash near-dup pairs: 4 bands of 8 bits for candidates (a pair
     * with hamming <= 4 over 32 bits must agree on at least one band by
     * pigeonhole... hamming <= 3 strictly; <= 4 with high probability),
