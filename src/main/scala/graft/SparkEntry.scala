@@ -75,6 +75,7 @@ object SparkEntry {
     "q57_metrics_unpivot" -> Relational.metricsUnpivot _,
     "q58_dedup_keepers" -> ((s, d) => Dedup.keepers(s, d)),
     "q59_dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "q60_stats_suite" -> Relational.statsSuite _,
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -691,5 +692,14 @@ object SparkEntry {
         |GROUP BY cluster_rep
         |HAVING count(*) >= 2
         |ORDER BY cluster_rep""".stripMargin),
+    "q60_stats_suite" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+        |  round(stddev_samp(l_quantity), 4) AS qty_stddev,
+        |  round(var_samp(l_discount), 6) AS disc_var
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -397,6 +397,20 @@ object Relational {
         "metric", "value")
       .orderBy("l_returnflag", "metric")
 
+  /** Statistical aggregate suite: correlation, covariance, and spread
+    * per group in one pass — all are single-pass mergeable aggregates
+    * (sum/sum²/sum-of-products state), so the cost model is identical
+    * to q01's sums. */
+  def statsSuite(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(corr("l_quantity", "l_extendedprice"), 4).as("qty_price_corr"),
+        round(covar_samp("l_quantity", "l_extendedprice"), 2).as("qty_price_covar"),
+        round(stddev_samp("l_quantity"), 4).as("qty_stddev"),
+        round(var_samp("l_discount"), 6).as("disc_var"))
+      .orderBy("l_returnflag")
+
   /** Date-function suite: order seasonality by year × quarter with
     * shipping latency. The orders⋈lineitem join is big⋈big on the
     * natural key — a shuffle (sort-merge/shuffled-hash) join by design,
