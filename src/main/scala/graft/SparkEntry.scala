@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{ConvertQueries, Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -76,6 +76,7 @@ object SparkEntry {
     "q58_dedup_keepers" -> ((s, d) => Dedup.keepers(s, d)),
     "q59_dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "q60_stats_suite" -> Relational.statsSuite _,
+    "q61_convert_roundtrip" -> ConvertQueries.roundtrip _,
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -692,6 +693,23 @@ object SparkEntry {
         |GROUP BY cluster_rep
         |HAVING count(*) >= 2
         |ORDER BY cluster_rep""".stripMargin),
+    // q61: literal expected relation — the oracle for the converter path is
+    // the reference's OWN semantics (Go strconv grammar, sample-based
+    // inference), which no other engine's CSV reader reproduces. See
+    // graft.ops.ConvertQueries for the fixture-to-row derivation.
+    "q61_convert_roundtrip" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(1.5 AS DOUBLE), CAST(10 AS BIGINT), 'plain', CAST(NULL AS BIGINT), 'true', CAST(12345 AS DOUBLE), '0.5'),
+        | (2, 3.0, 20, 'has, comma', NULL, 'false', CAST('9223372036854775808' AS DOUBLE), NULL),
+        | (3, 1000.5, 30, 'say "hi"', NULL, 'true', -7.0, '0.75'),
+        | (4, -225.0, 40, 'line1' || chr(10) || 'line2', NULL, 'false', 0.125, 'x1'),
+        | (5, 0.5, 50, 'trailing space', NULL, 'true', 2.0, '1.0'),
+        | (7, 10.0, 60, 'plain6', NULL, 'false', 3.0, '2'),
+        | (8, 11.0, 70, 'after sample', NULL, 'true', 4.0, '3'),
+        | (9, 12.0, NULL, 'not an int', NULL, 'false', 5.0, '4'),
+        | (10, 13.0, 90, 'final', NULL, 'true', 6.0, '5')
+        |) AS t(id, price_usd, qty_bought, note, empty_col, flagged, big_num, ratio)
+        |ORDER BY id""".stripMargin,
     "q60_stats_suite" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,

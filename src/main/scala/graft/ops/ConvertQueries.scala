@@ -1,0 +1,66 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.{Converter, Inference}
+
+/** The converter path (reference O1-O18 surface) exposed as a driver-oracle
+  * query: convert a committed quirks fixture CSV end-to-end through the
+  * real inference + cast pipeline and return the typed rows.
+  *
+  * The fixture (src/main/resources/graft/quirks_fixture.csv) packs the
+  * reference's inference edge cases into 10 data rows + 1 ragged row
+  * (reference semantics: converter/converter.go:185-239 inference,
+  * :241-279 inferType, :380-412 casts):
+  *
+  *  - BOM + '.'/' ' headers        -> normalized names (id, price_usd, ...)
+  *  - hex float 0x1.8p1, 1_000.5,
+  *    -2.25e2, .5                  -> Go float grammar, column DOUBLE
+  *  - 9223372036854775808          -> int64 overflow => classified float
+  *  - qty "oops" BEYOND the sample -> Q1 sample-blind: stays INT64, cell
+  *                                    parses to null in the cast pass
+  *  - empty_col all empty          -> Q2: inference never downgrades, the
+  *                                    optimistic INT64 survives (all null)
+  *  - true/false column            -> §8 correction: BOOL is unreachable
+  *                                    (widen(INT64, BOOL) = STRING)
+  *  - whitespace-only cell in
+  *    sample                       -> trims to "" => column STRING; the
+  *                                    cast pass nulls it (GoTrim + empty)
+  *  - quoted comma / doubled quote
+  *    / embedded newline           -> Go encoding/csv parsing semantics
+  *  - ragged row (3 of 8 fields)   -> dropped whole (§8: FieldsPerRecord)
+  *
+  * The oracle is the literal expected relation (VALUES), NOT DuckDB's own
+  * CSV reader — no other engine reproduces Go's strconv grammar (hex
+  * floats, underscores, overflow-to-error), which is exactly why this
+  * path needs the hard driver-side check.
+  */
+object ConvertQueries {
+
+  /** sampleRows for the fixture: the inference window covers records 1-6
+    * (ids 1-5 + the ragged row), so ids 7-10 exercise sample-blind cells. */
+  val FixtureSampleRows = 6
+
+  /** The committed fixture, materialized from the classpath to a stable
+    * temp file once per JVM (Hadoop-path APIs and spark.read.csv need a
+    * filesystem path, not a classpath resource). */
+  lazy val fixturePath: String = {
+    val in = getClass.getResourceAsStream("/graft/quirks_fixture.csv")
+    require(in != null, "missing resource graft/quirks_fixture.csv")
+    val tmp: Path = Files.createTempFile("graft-quirks-", ".csv")
+    try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  }
+
+  /** q61: the full infer -> scan -> cast conversion plan over the fixture,
+    * ordered by the key column. `dir` is unused — the input is the
+    * committed fixture, not a testdata table. */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Inference.detectFile(spark, fixturePath, ',', FixtureSampleRows)
+    Converter.conversionPlan(spark, fixturePath, schema, ',', multiLine = true)
+      .orderBy("id")
+  }
+}
