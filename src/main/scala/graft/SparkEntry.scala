@@ -74,6 +74,7 @@ object SparkEntry {
     "q56_order_items_list" -> Relational.orderItemsList _,
     "q57_metrics_unpivot" -> Relational.metricsUnpivot _,
     "q58_dedup_keepers" -> ((s, d) => Dedup.keepers(s, d)),
+    "q62_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
     "q59_dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "q60_stats_suite" -> Relational.statsSuite _,
     "q61_convert_roundtrip" -> ConvertQueries.roundtrip _,
@@ -109,6 +110,100 @@ object SparkEntry {
       |u AS (SELECT vec_id,
       |        [x / sqrt(list_sum([y * y for y in v])) for x in v] AS u
       |      FROM e)""".stripMargin
+
+  /** Index-order cosine between two unit-vector columns (DuckDB). */
+  private def cosSql(a: String, b: String): String =
+    s"list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)])"
+
+  /** Multi-table sign-LSH chain with multi-probe (mirrors
+    * Similarity.lshTopK): `nTables` tables, table t keyed by sign bits of
+    * dims [t*bits+1, t*bits+bits]; each query probes its own bucket per
+    * table plus every flip-one-bit bucket; candidates dedup before exact
+    * scoring. Emits `prefix`scored/`prefix`ranked on top of
+    * [[UnitVecCte]]. */
+  private def lshCtes(bits: Int, nTables: Int, nQueries: Int, prefix: String = ""): String = {
+    val signs = (1 to bits * nTables)
+      .map(i => s"(CASE WHEN u[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    s""", sg AS (SELECT vec_id, u, $signs AS sig FROM u),
+       |tb AS (
+       |  SELECT vec_id, tbl, substring(sig, tbl * $bits + 1, $bits) AS bucket
+       |  FROM sg, (SELECT unnest(range($nTables)) AS tbl)),
+       |qb AS (
+       |  SELECT vec_id AS q_id, tbl, substring(sig, tbl * $bits + 1, $bits) AS bucket
+       |  FROM sg, (SELECT unnest(range($nTables)) AS tbl)
+       |  WHERE vec_id < $nQueries),
+       |probe AS (
+       |  SELECT q_id, tbl,
+       |    CASE WHEN f = 0 THEN bucket
+       |         ELSE substring(bucket, 1, f - 1)
+       |           || (CASE WHEN substring(bucket, f, 1) = '1' THEN '0' ELSE '1' END)
+       |           || substring(bucket, f + 1) END AS bucket
+       |  FROM qb, (SELECT unnest(range(0, ${bits + 1})) AS f)),
+       |lcand AS (
+       |  SELECT DISTINCT q_id, t.vec_id AS neighbor_id
+       |  FROM probe p JOIN tb t USING (tbl, bucket)
+       |  WHERE t.vec_id <> p.q_id),
+       |${prefix}scored AS (
+       |  SELECT c.q_id, c.neighbor_id, ${cosSql("q.u", "n.u")} AS cos
+       |  FROM lcand c
+       |  JOIN u q ON q.vec_id = c.q_id
+       |  JOIN u n ON n.vec_id = c.neighbor_id),
+       |${prefix}ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM ${prefix}scored)""".stripMargin
+  }
+
+  /** IVF chain (mirrors Similarity.ivfCentroids/ivfTopK): seed centroids
+    * = first 16 vectors, one deterministic Lloyd round with means summed
+    * as 1e6-scaled LONGS (integer addition is associative, so the mean is
+    * bit-identical across engines and partitionings), nearest-centroid
+    * assignment, nProbe=2 probes, exact cosine within probed lists.
+    * Emits `prefix`scored/`prefix`ranked. */
+  private def ivfCtes(nQueries: Int, prefix: String = ""): String =
+    s""", cents0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < 16),
+       |a0 AS (
+       |  SELECT u.vec_id, u.u, cent_id, ${cosSql("u.u", "cu")} AS cdot
+       |  FROM u CROSS JOIN cents0),
+       |assigned0 AS (
+       |  SELECT vec_id, u, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
+       |    FROM a0)
+       |  WHERE crn = 1),
+       |mm AS (
+       |  SELECT cent_id, idx,
+       |    sum(CAST(round(u[idx] * 1000000) AS BIGINT)) / (count(*) * 1000000.0) AS mval
+       |  FROM assigned0, (SELECT unnest(range(1, 65)) AS idx)
+       |  GROUP BY cent_id, idx),
+       |cvv AS (SELECT cent_id, list(mval ORDER BY idx) AS v FROM mm GROUP BY cent_id),
+       |cents AS (SELECT cent_id,
+       |    [x / sqrt(list_sum([y * y for y in v])) for x in v] AS cu FROM cvv),
+       |adist AS (
+       |  SELECT u.vec_id, u.u, cent_id, ${cosSql("u.u", "cu")} AS cdot
+       |  FROM u CROSS JOIN cents),
+       |assigned AS (
+       |  SELECT vec_id, u, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
+       |    FROM adist)
+       |  WHERE crn = 1),
+       |probes AS (
+       |  SELECT vec_id AS q_id, u AS qu, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
+       |    FROM adist WHERE vec_id < $nQueries)
+       |  WHERE crn <= 2),
+       |${prefix}scored AS (
+       |  SELECT q_id, a.vec_id AS neighbor_id, ${cosSql("qu", "a.u")} AS cos
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.q_id),
+       |${prefix}ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM ${prefix}scored)""".stripMargin
 
   private def simhashVotes(src: String): String =
     (1 to 32).map(i =>
@@ -496,57 +591,41 @@ object SparkEntry {
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin),
-    "q38_ann_lsh" -> (UnitVecCte + """
-        |, b AS (
-        |  SELECT vec_id, u,
-        |    """.stripMargin +
-      (1 to 8).map(i => s"(CASE WHEN u[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ") +
-      """ AS bucket
-        |  FROM u),
-        |scored AS (
-        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-        |    list_sum([q.u[i] * e.u[i] for i in range(1, len(q.u) + 1)]) AS cos
-        |  FROM b q JOIN b e USING (bucket)
-        |  WHERE q.vec_id < 200 AND e.vec_id <> q.vec_id),
-        |ranked AS (
-        |  SELECT q_id, neighbor_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM scored)
+    "q38_ann_lsh" -> (UnitVecCte + lshCtes(bits = 8, nTables = 8, nQueries = 200) + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
-    "q39_ann_ivf" -> (UnitVecCte + """
-        |, cents AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < 16),
-        |adist AS (
-        |  SELECT u.vec_id, u.u, cent_id,
-        |    list_sum([u.u[i] * cu[i] for i in range(1, len(u.u) + 1)]) AS cdot
-        |  FROM u CROSS JOIN cents),
-        |assigned AS (
-        |  SELECT vec_id, u, cent_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
-        |    FROM adist)
-        |  WHERE crn = 1),
-        |probes AS (
-        |  SELECT vec_id AS q_id, u AS qu, cent_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
-        |    FROM adist WHERE vec_id < 100)
-        |  WHERE crn <= 2),
-        |scored AS (
-        |  SELECT q_id, a.vec_id AS neighbor_id,
-        |    list_sum([qu[i] * a.u[i] for i in range(1, len(qu) + 1)]) AS cos
-        |  FROM probes p JOIN assigned a USING (cent_id)
-        |  WHERE a.vec_id <> p.q_id),
-        |ranked AS (
-        |  SELECT q_id, neighbor_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM scored)
+    "q39_ann_ivf" -> (UnitVecCte + ivfCtes(nQueries = 100) + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
+    "q62_ann_recall" -> (UnitVecCte + s"""
+        |, xscored AS (
+        |  SELECT q.vec_id AS q_id, e2.vec_id AS neighbor_id, ${cosSql("q.u", "e2.u")} AS cos
+        |  FROM u q JOIN u e2 ON e2.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 100),
+        |xranked AS (
+        |  SELECT q_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+        |  FROM xscored),
+        |exact AS (SELECT q_id, neighbor_id FROM xranked WHERE rank <= 3)""".stripMargin
+      + lshCtes(bits = 8, nTables = 8, nQueries = 100, prefix = "l")
+      + ivfCtes(nQueries = 100, prefix = "i") + """,
+        |lsh AS (SELECT q_id, neighbor_id FROM lranked WHERE rank <= 3),
+        |ivf AS (SELECT q_id, neighbor_id FROM iranked WHERE rank <= 3)
+        |SELECT method, n_exact, n_hit, round(n_hit * 1.0 / n_exact, 4) AS recall
+        |FROM (
+        |  SELECT 'ivf' AS method, count(*) AS n_exact,
+        |    CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM exact x LEFT JOIN ivf i
+        |    ON x.q_id = i.q_id AND x.neighbor_id = i.neighbor_id
+        |  UNION ALL
+        |  SELECT 'lsh_mp', count(*),
+        |    CAST(sum(CASE WHEN l.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM exact x LEFT JOIN lsh l
+        |    ON x.q_id = l.q_id AND x.neighbor_id = l.neighbor_id)
+        |ORDER BY method""".stripMargin),
     "q40_multimodal_meta" ->
       """WITH m AS (
         |  SELECT doc_id, octet_length(text::BLOB) AS n,

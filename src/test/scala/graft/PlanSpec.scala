@@ -66,6 +66,12 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF corpus assignment is a hash aggregate, never a corpus-wide window sort") {
+    val p = plan(graft.ops.Similarity.ivfAssignments(spark, dir))
+    assert(!p.contains("Window"), s"corpus assignment uses a window sort:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("q44 anti-join plans as a broadcast/hash anti join, not a cartesian") {
     val p = plan(SparkEntry.queries("q44_customers_without_orders")(spark, dir))
     assert(p.contains("LeftAnti"), p.take(1500))
