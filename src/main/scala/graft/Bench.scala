@@ -22,9 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    ordered.foreach { case (_, fn) =>
+    ordered.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
     spark.catalog.clearCache() // drop warmup cached relations before timing
     // best of two timed runs per query: single samples showed multi-second
@@ -32,7 +34,12 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a query that crashes at bench scale must FAIL the bench loudly,
+        // never silently report a fast wall-time
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          throw new RuntimeException(s"bench query $name failed: ${e.getMessage}", e)
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

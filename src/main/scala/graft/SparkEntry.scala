@@ -48,7 +48,7 @@ object SparkEntry {
     "q25_rolling_hash" -> TextAnalysis.rollingHash _,
     "q30_dedup_exact" -> Dedup.exact _,
     "q31_dedup_normalized" -> Dedup.normalized _,
-    "q32_minhash_lsh" -> Dedup.minhashLsh _,
+    "q32_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q33_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "q34_simhash" -> Dedup.simhash _,
     "q43_hybrid_neardup" -> Dedup.hybridNearDup _,

@@ -173,8 +173,16 @@ object Converter {
     try {
       val df = plan
       val outFs = Inference.fileSystem(spark, out)
+      // partitionBy requires directory output; enforce here (not only in
+      // CLI flag parsing) so a library caller constructing
+      // GraftConfig(partitionBy = ...) with the default singleFile=true
+      // gets partitioned output instead of silently dropped partitioning
+      val singleFile = cfg.singleFile && cfg.partitionCols.isEmpty
+      if (cfg.singleFile && cfg.partitionCols.nonEmpty)
+        System.err.println(s"[graft] warn: partitionBy=${cfg.partitionBy} implies " +
+          "directory output — writing a partitioned directory instead of a single file")
       val outBytes =
-        if (cfg.singleFile) writeSingleFile(spark, df, out, cfg.codec, cfg.sink)
+        if (singleFile) writeSingleFile(spark, df, out, cfg.codec, cfg.sink)
         else {
           val w = df.write.option("compression", cfg.codec).mode("overwrite")
           val parts = cfg.partitionCols
@@ -210,6 +218,10 @@ object Converter {
     // the rename to <base>.json would strip it and make the file unreadable —
     // single-file JSON is therefore uncompressed (directory mode keeps codec)
     val effCodec = if (sink == "json") "none" else codec
+    if (effCodec != codec && codec != "uncompressed")
+      System.err.println(s"[graft] warn: single-file json output drops codec '$codec' " +
+        "(the <base>.json rename strips the codec extension text formats need) — " +
+        "writing uncompressed; use --dir-output to keep the codec")
     try {
       df.coalesce(1).write.option("compression", effCodec).mode("overwrite").format(sink).save(tmp.toString)
       val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))

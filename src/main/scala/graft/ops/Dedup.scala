@@ -77,19 +77,38 @@ object Dedup {
       .agg(mins.head, mins.tail: _*)
   }
 
+  /** Hot-band guard: a band key shared by m docs emits m(m-1)/2 candidate
+    * pairs, so one giant duplicate cluster (or degenerate content like
+    * empty shingles) turns the LSH join quadratic. Band keys whose
+    * population exceeds `maxBandPopulation` are dropped whole — the
+    * standard cap; true near-dup pairs inside a dropped band can still
+    * surface through their other b-1 bands. The population count is a
+    * window over the SAME (band, band_key) key the candidate self-join
+    * shuffles on, so the exchange is reused, not added. */
+  private[ops] def capBands(bands: DataFrame, maxBandPopulation: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
+    bands.withColumn("bk_n", count(lit(1)).over(w))
+      .where(col("bk_n") <= maxBandPopulation)
+      .drop("bk_n")
+  }
+
   /** LSH banding (b bands of r rows) → candidate pairs → MinHash-estimated
     * Jaccard. The candidate join keys on (band, band_key): cost scales
     * with corpus size, never with pair count; the estimator is a per-row
-    * expression over the two signature rows (no second aggregate). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * expression over the two signature rows (no second aggregate).
+    * `maxBandPopulation` (default far above organic sf0.1 populations)
+    * bounds the worst-case band — see [[capBands]]. */
+  def minhashLsh(spark: SparkSession, dir: String,
+      maxBandPopulation: Int = 1000): DataFrame = {
     val k = 8; val r = 2; val b = k / r
     val sigs = minhashSignatures(spark, dir, k).cache()
     val bandCols = (0 until b).map(i =>
       struct(lit(i).as("band"),
         md5(concat(col(s"m${r * i}"), lit("|"), col(s"m${r * i + 1}"))).as("band_key")))
-    val bands = sigs
+    val bands = capBands(sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")),
+      maxBandPopulation)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -190,6 +209,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Lineage truncation for BSP loops: iterative plans that merely cache
+    * stack every round's joins into one ever-deeper lineage (measured:
+    * >1000 Exchange nodes in the final plan string after 3 rounds here —
+    * analysis cost, and eventually planner stack overflow). With a
+    * checkpoint dir configured (`SparkContext.setCheckpointDir`, or the
+    * `graft.checkpoint.dir` conf) this uses RELIABLE checkpoints — the
+    * round state survives executor loss, which matters for long cluster
+    * jobs; without one it falls back to `localCheckpoint` (fine in local
+    * mode, executor-memory-resident and NOT fault-tolerant on a cluster). */
+  private def truncate(spark: SparkSession, df: DataFrame): DataFrame = {
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = spark.conf.get("graft.checkpoint.dir", "")
+      if (dir.nonEmpty) spark.sparkContext.setCheckpointDir(dir)
+    }
+    if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+  }
+
   /** Transitive near-dup clusters via iterative min-label propagation
     * (connected components over the confirmed-pair graph — the BSP
     * pattern GraphX/Pregel uses, expressed as plain DataFrame joins).
@@ -200,36 +237,46 @@ object Dedup {
     * cost ∝ edges, never pairs². The driver-side loop is control flow
     * only; all data stays distributed.
     *
-    * Each round's result is `localCheckpoint`ed: iterative plans that
-    * merely cache stack every round's joins into one ever-deeper
-    * lineage (measured: >1000 Exchange nodes in the final plan string
-    * after 3 rounds here — analysis cost, and eventually planner stack
-    * overflow). Checkpointing truncates lineage to a scan per round,
-    * the standard BSP hygiene (GraphX does the same internally). */
+    * Control-flow cost: the convergence check is a full count job, so
+    * rounds run in PAIRS between checks (propagating past the fixpoint
+    * is idempotent — an extra round just reproduces the same labels).
+    * If the loop exits at `maxIters` with changes still flowing (a
+    * component with min-label chains longer than maxIters hops), the
+    * result under-merges relative to exact transitive closure — that is
+    * loudly warned, because the q59 oracle (a recursive CTE) computes
+    * the exact closure and would diverge. */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
       maxIters: Int = 10): DataFrame = {
     val edges = ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b")
-    val sym = edges.union(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))).localCheckpoint()
-    var labels = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    val sym = truncate(spark, edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var labels = truncate(spark, Tables.documents(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")))
+    def propagate(cur: DataFrame): DataFrame = {
+      val nbrMin = sym
+        .join(cur, sym("doc_b") === cur("doc_id"))
+        .groupBy(sym("doc_a").as("n_id"))
+        .agg(min("label").as("nbr_label"))
+      truncate(spark, cur
+        .join(nbrMin, cur("doc_id") === nbrMin("n_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
+    }
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val nbrMin = sym
-        .join(labels, sym("doc_b") === labels("doc_id"))
-        .groupBy(sym("doc_a").as("n_id"))
-        .agg(min("label").as("nbr_label"))
-      val next = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("n_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .localCheckpoint()
+      val steps = math.min(2, maxIters - i)
+      var next = labels
+      for (_ <- 0 until steps) next = propagate(next)
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .where(col("label") =!= col("old")).count()
       labels = next
-      i += 1
+      i += steps
     }
+    if (changed > 0)
+      System.err.println(s"[graft] warn: label propagation stopped at maxIters=$maxIters " +
+        s"with $changed labels still changing — clusters may be under-merged vs exact " +
+        "transitive closure (raise maxIters)")
     labels
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"))

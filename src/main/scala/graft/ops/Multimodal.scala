@@ -29,19 +29,69 @@ final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
   */
 object Multimodal {
 
-  /** STUB — deterministic fake decode. A production build replaces this
-    * body with a real codec call (e.g. JPEG header parse + pixel stats);
+  /** Real container-header parse: PNG / JPEG / GIF magic bytes →
+    * (width, height, channels). Pure JVM, no codec dependency — exactly
+    * what a scan-phase metadata pass extracts before any pixel decode.
+    * Returns None for non-media payloads (the testdata documents), which
+    * then fall back to [[stubDecode]]. */
+  def imageHeader(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (p.length >= 26 && be32(0) == 0x89504e47L && be32(4) == 0x0d0a1a0aL) {
+      // PNG: 8-byte signature, IHDR chunk at fixed offset — width/height
+      // are big-endian u32 at 16/20, color type at 25
+      val channels = u8(25) match {
+        case 0 => 1L // greyscale
+        case 2 => 3L // truecolor
+        case 3 => 1L // palette
+        case 4 => 2L // grey + alpha
+        case 6 => 4L // truecolor + alpha
+        case _ => return None
+      }
+      Some((be32(16), be32(20), channels))
+    } else if (p.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a') {
+      // GIF87a/89a: logical screen width/height, little-endian u16 at 6/8
+      Some((le16(6).toLong, le16(8).toLong, 3L))
+    } else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn frame header
+      // (C0-CF except C4/C8/CC): [len][precision][height u16][width u16][ncomp]
+      var i = 2
+      while (i + 9 <= p.length) {
+        if (u8(i) != 0xff) return None
+        val marker = u8(i + 1)
+        if (marker == 0xff) { i += 1 } // fill bytes before a marker
+        else if (marker >= 0xd0 && marker <= 0xd9) { i += 2 } // standalone RSTn/SOI/EOI
+        else {
+          val len = be16(i + 2)
+          if (len < 2 || i + 2 + len > p.length) return None
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some((be16(i + 7).toLong, be16(i + 5).toLong, u8(i + 9).toLong))
+          i += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** STUB — deterministic fake decode for payloads that are not a
+    * recognized media container (the testdata documents' UTF-8 bytes).
+    * A production build replaces this body with a real pixel decode;
     * everything around it keeps working because the contract is just
     * bytes → metadata. */
+  /** Fit (w, h) into a 224x224 box preserving aspect ratio —
+    * integer-only math (floor division) so every engine agrees. */
+  private def resize224(w: Long, h: Long): (Long, Long) =
+    if (w >= h) (224L, math.max(h * 224 / w, 1))
+    else (math.max(w * 224 / h, 1), 224L)
+
   def stubDecode(payload: Array[Byte]): MediaMeta = {
     val n = payload.length.toLong
     val w = math.max(n % 640, 1)
     val h = math.max((n * 7) % 480, 1)
-    // resize stub: fit into a 224x224 box preserving aspect ratio,
-    // integer-only math (floor division) so every engine agrees
-    val (rw, rh) =
-      if (w >= h) (224L, math.max(h * 224 / w, 1))
-      else (math.max(w * 224 / h, 1), 224L)
+    val (rw, rh) = resize224(w, h)
     MediaMeta(
       doc_id = -1L, // filled by caller
       n_bytes = n,
@@ -54,6 +104,21 @@ object Multimodal {
       resized_h = rh)
   }
 
+  /** Per-record decode: real container-header parse when the payload is a
+    * recognized image format, stub fallback otherwise. mean_pixel stays a
+    * deterministic byte statistic in both paths — a true pixel mean needs
+    * the full decode this container can't ship (that swap is one line,
+    * inside the same contract). */
+  def decodeMeta(docId: Long, payload: Array[Byte]): MediaMeta =
+    imageHeader(payload) match {
+      case Some((w, h, c)) =>
+        val (rw, rh) = resize224(w, h)
+        MediaMeta(docId, payload.length.toLong, w, h, c,
+          BigDecimal((payload.length.toLong * 31 % 256) / 255.0)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, rw, rh)
+      case None => stubDecode(payload).copy(doc_id = docId)
+    }
+
   /** Typed decode pipeline over the documents' bytes. */
   def decode(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._
@@ -62,7 +127,7 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { batch =>
         // per-partition init would go here (codec handles, model weights)
-        batch.map(r => stubDecode(r.payload).copy(doc_id = r.doc_id))
+        batch.map(r => decodeMeta(r.doc_id, r.payload))
       }
   }
 

@@ -19,21 +19,41 @@ object Tables {
     * heavy per-row work — hashing, regex, vector math — onto one core).
     * No-op when the scan already has enough splits, so at production
     * scale (many files / row groups) this adds nothing; locally it's a
-    * ~MB shuffle that unlocks full parallelism for the compute above it. */
-  def spread(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
+    * ~MB shuffle that unlocks full parallelism for the compute above it.
+    *
+    * Split estimate comes from a driver-side file listing (count of data
+    * files × ceil(size / maxPartitionBytes)) — NOT `df.rdd`, which would
+    * force an RDD conversion of the analyzed plan on every query build. */
+  def spread(spark: SparkSession, df: DataFrame, key: String, path: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target)
+    if (estimatedSplits(spark, path) < target)
       df.repartition(target, org.apache.spark.sql.functions.col(key))
     else df
   }
 
+  private def estimatedSplits(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+      fs.listStatus(p).iterator
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        .map(f => math.max(1L, (f.getLen + maxSplit - 1) / maxSplit))
+        .sum
+    } catch {
+      // unreadable path: claim enough splits — the scan itself will give
+      // the real error; spread must never add one of its own
+      case _: Exception => Long.MaxValue
+    }
+
   /** Documents, spread for compute-heavy per-row work. */
   def documents(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, apply(spark, dir, "documents"), "doc_id")
+    spread(spark, apply(spark, dir, "documents"), "doc_id", s"$dir/documents.parquet")
 
   /** Embeddings, spread for vector math. */
   def embeddingsSpread(spark: SparkSession, dir: String): DataFrame =
-    spread(spark, apply(spark, dir, "embeddings"), "vec_id")
+    spread(spark, apply(spark, dir, "embeddings"), "vec_id", s"$dir/embeddings.parquet")
 
   /** Events with `ts` normalized to a micro-precision TimestampType
     * column regardless of the underlying parquet physical type (NANOS →

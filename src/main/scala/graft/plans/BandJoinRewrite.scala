@@ -52,10 +52,14 @@ object BandJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, w: Double): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(j.condition.get)
+    def acrossSides(a: Expression, b: Expression): Boolean =
+      (canEvaluate(a, j.left) && canEvaluate(b, j.right)) ||
+        (canEvaluate(a, j.right) && canEvaluate(b, j.left))
     val hasEqui = conjuncts.exists {
-      case EqualTo(a, b) =>
-        (canEvaluate(a, j.left) && canEvaluate(b, j.right)) ||
-          (canEvaluate(a, j.right) && canEvaluate(b, j.left))
+      case EqualTo(a, b) => acrossSides(a, b)
+      // <=> is an equi key for ExtractEquiJoinKeys too — such a join can
+      // already hash-join; rewriting would add a useless explode + key
+      case EqualNullSafe(a, b) => acrossSides(a, b)
       case _ => false
     }
     if (hasEqui) None

@@ -93,9 +93,9 @@ object EventsStreaming {
   /** Streaming gap sessionization via flatMapGroupsWithState: per-user
     * state carries the open session; a new event past the gap CLOSES the
     * previous session and emits it (0..n outputs per invocation — the
-    * flatMap shape). The final open session per user stays in state,
-    * exactly like a production sessionizer (it would close via an
-    * event-time timeout when the watermark passes). */
+    * flatMap shape). The final open session per user stays in state;
+    * [[closedSessionsWithTimeout]] is the production variant that also
+    * closes it via an event-time timeout once the watermark passes. */
   def closedSessions(spark: SparkSession, events: DataFrame,
       gapUs: Long = 30L * 60 * 1000000): Dataset[ClosedSession] = {
     import spark.implicits._
@@ -122,6 +122,55 @@ object EventsStreaming {
           }
           cur.foreach(state.update)
           closed.iterator
+      }
+  }
+
+  /** Production sessionizer: [[closedSessions]] plus an EVENT-TIME TIMEOUT
+    * so the final open session per user also closes once the watermark
+    * passes its gap (without it, the last session per key sits in state
+    * forever). The input must carry an event-time watermark — set here on
+    * `ts` before the keyed state op. Timeout registration: fire once
+    * event time passes `last_us + gapUs` (timestamps are in ms for the
+    * state API; +1 ms so the close is strictly after the gap). */
+  def closedSessionsWithTimeout(spark: SparkSession, events: DataFrame,
+      gapUs: Long = 30L * 60 * 1000000, watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      // the watermarked ts column must flow INTO the state op (the
+      // analyzer rejects event-time timeout otherwise); `us` carries the
+      // same instant as a plain long for the session arithmetic
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"), col("ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[(Long, Long, Double, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the open session's gap: close and clear
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.start_us, s.last_us, s.n, s.value))
+          } else {
+            val evs = batch.toSeq.sortBy(e => (e._2, e._3))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            evs.foreach { case (_, us, value, _) =>
+              cur match {
+                case Some(s) if us - s.last_us > gapUs =>
+                  closed += ClosedSession(userId, s.start_us, s.last_us, s.n, s.value)
+                  cur = Some(SessionState(us, us, 1, value))
+                case Some(s) =>
+                  cur = Some(s.copy(last_us = us, n = s.n + 1, value = s.value + value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last_us / 1000 + gapUs / 1000 + 1)
+            }
+            closed.iterator
+          }
       }
   }
 

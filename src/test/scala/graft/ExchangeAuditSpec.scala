@@ -23,13 +23,14 @@ class ExchangeAuditSpec extends AnyFunSuite {
     assert(counts.map(_._2).sum > 0, "census counted nothing — counter is broken")
     // exact counts vary with which shared caches (MinHash sigs, shingles,
     // simhash) happen to be materialized when this suite runs — cached
-    // subtrees replace their upstream exchanges. The measured range for
-    // the worst plan (q43: three composed operators, fully uncached) is
-    // 30; single operators sit at 0-4. The ceiling is a runaway tripwire
+    // subtrees replace their upstream exchanges. Worst measured plans:
+    // q43 (three composed dedup operators) ~30 uncached; q62 (exact +
+    // multi-table LSH + IVF recall composite) ~27 warm, more cold.
+    // Single operators sit at 0-7. The ceiling is a runaway tripwire
     // (e.g. a lost broadcast hint turning dim joins into shuffles
     // everywhere), not a precision gate — PlanSpec pins the per-operator
     // shapes that matter.
     for ((name, n) <- counts)
-      assert(n <= 32, s"$name shuffles $n times — check the plan")
+      assert(n <= 48, s"$name shuffles $n times — check the plan")
   }
 }

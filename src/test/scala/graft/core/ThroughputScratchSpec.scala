@@ -15,7 +15,18 @@ class ThroughputScratchSpec extends AnyFunSuite {
   test("throughput breakdown: parse-only vs parse+cast vs parse+cast+write") {
     assume(new java.io.File(big).exists(), s"$big not present")
     val mb = new java.io.File(big).length / 1024.0 / 1024.0
+    // shrink split size for this spec only; restore on exit so the shared
+    // session doesn't leak the setting into later suites
+    val prevSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
+    try runBreakdown(mb)
+    finally prevSplit match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
+  private def runBreakdown(mb: Double): Unit = {
     val schema = Inference.detectFile(spark, big, ',', 100)
 
     def timed(label: String)(f: => Unit): Unit = {

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Scale guards for the dedup ladder: the hot-band population cap and
+  * the reliable-checkpoint path of the label-propagation loop. */
+class DedupScaleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("capBands drops over-populated band keys and keeps organic ones") {
+    import spark.implicits._
+    // synthetic hot cluster: one band key shared by 5 docs, one by 2
+    val bands = (
+      (1L to 5L).map(id => (id, 0, "hot")) ++ Seq((10L, 0, "cold"), (11L, 0, "cold"))
+    ).toDF("doc_id", "band", "band_key")
+    val capped = Dedup.capBands(bands, maxBandPopulation = 4)
+    val keys = capped.select("band_key").distinct().as[String].collect().toSet
+    assert(keys === Set("cold"), "hot band key should be dropped whole")
+    assert(capped.count() === 2)
+    // cap above every population: nothing dropped
+    assert(Dedup.capBands(bands, maxBandPopulation = 5).count() === 7)
+  }
+
+  test("clusters under a reliable checkpoint dir matches the localCheckpoint result") {
+    val local = Dedup.clusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local.nonEmpty, "expected at least one near-dup cluster in testdata")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt.toString)
+    val reliable = Dedup.clusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable === local)
+    // the loop actually went through RDD checkpoints, not localCheckpoint
+    assert(java.nio.file.Files.list(ckpt).count() > 0, "no checkpoint data written")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Pins the real image-header decode (PNG/JPEG/GIF magic + dimensions)
+  * and the stub fallback for non-media payloads. */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  private val png640x480rgba: Array[Byte] = bytes(
+    0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, // signature
+    0x00, 0x00, 0x00, 0x0d, 'I', 'H', 'D', 'R',  // IHDR chunk header
+    0x00, 0x00, 0x02, 0x80,                      // width 640
+    0x00, 0x00, 0x01, 0xe0,                      // height 480
+    0x08, 0x06)                                  // bit depth 8, color type 6 (RGBA)
+
+  private val gif320x200: Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ bytes(0x40, 0x01, 0xc8, 0x00) // LE 320 x 200
+
+  private val jpeg640x480: Array[Byte] = bytes(
+    0xff, 0xd8,             // SOI
+    0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46, // APP0, len 4
+    0xff, 0xc0, 0x00, 0x11, // SOF0, len 17
+    0x08,                   // precision
+    0x01, 0xe0,             // height 480
+    0x02, 0x80,             // width 640
+    0x03) ++ Array.fill[Byte](12)(0) // 3 components + segment padding
+
+  test("PNG header: dimensions and channels from IHDR") {
+    assert(Multimodal.imageHeader(png640x480rgba) === Some((640L, 480L, 4L)))
+    val m = Multimodal.decodeMeta(7L, png640x480rgba)
+    assert((m.width, m.height, m.channels) === (640L, 480L, 4L))
+    assert((m.resized_w, m.resized_h) === (224L, 168L)) // aspect-preserving fit
+  }
+
+  test("GIF header: little-endian logical screen size") {
+    assert(Multimodal.imageHeader(gif320x200) === Some((320L, 200L, 3L)))
+  }
+
+  test("JPEG header: SOFn frame dimensions after marker walk") {
+    assert(Multimodal.imageHeader(jpeg640x480) === Some((640L, 480L, 3L)))
+  }
+
+  test("non-media payloads fall back to the stub (q40 oracle contract)") {
+    val text = "An ordinary document that is not an image.".getBytes("UTF-8")
+    assert(Multimodal.imageHeader(text) === None)
+    assert(Multimodal.decodeMeta(3L, text) === Multimodal.stubDecode(text).copy(doc_id = 3L))
+    // truncated magic prefixes must not crash or match
+    assert(Multimodal.imageHeader(bytes(0x89, 'P')) === None)
+    assert(Multimodal.imageHeader(bytes(0xff, 0xd8, 0xff)) === None)
+    assert(Multimodal.imageHeader(Array.emptyByteArray) === None)
+  }
+
+  test("decode pipeline carries real headers through the typed Dataset") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ds = Seq(MediaRecord(1L, png640x480rgba), MediaRecord(2L, gif320x200),
+      MediaRecord(3L, "plain text".getBytes("UTF-8"))).toDS()
+    val out = ds.mapPartitions(_.map(r => Multimodal.decodeMeta(r.doc_id, r.payload)))
+      .collect().map(m => m.doc_id -> (m.width, m.height, m.channels)).toMap
+    assert(out(1L) === ((640L, 480L, 4L)))
+    assert(out(2L) === ((320L, 200L, 3L)))
+    assert(out(3L)._1 === "plain text".length % 640) // stub path
+  }
+}

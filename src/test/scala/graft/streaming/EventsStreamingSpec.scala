@@ -76,6 +76,41 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(joined.count() == closed.count())
   }
 
+  test("event-time timeout closes the final open sessions via the watermark") {
+    // batch 1: the real events; batch 2: one far-future sentinel event that
+    // drags the watermark past every open session's gap, so EVERY real
+    // session — including each user's last — must be emitted
+    val dir = java.nio.file.Path.of(mkStreamDir(1))
+    val sentinelTmp = Files.createTempDirectory("graft-sentinel")
+    val maxTs = Tables.events(spark, sfDir).agg(max(unix_micros(col("ts")))).head().getLong(0)
+    spark.range(1)
+      .select(lit(-1L).as("event_id"),
+        lit((maxTs + 365L * 86400 * 1000000) * 1000).as("ts"), // nanos, +1 year
+        lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(sentinelTmp.toString)
+    val part = Files.list(sentinelTmp).filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    Files.copy(part, dir.resolve("zz_sentinel.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val stream = EventsStreaming.readEvents(spark, dir.toString, maxFilesPerTrigger = 1)
+    EventsStreaming.runToMemory(
+      EventsStreaming.closedSessionsWithTimeout(spark, stream).toDF(),
+      "timeout_sessions", OutputMode.Append())
+    val closed = spark.table("timeout_sessions").where(col("user_id") =!= -1L)
+    val batchSessions = graft.ops.Events.sessions(spark, sfDir)
+    assert(closed.count() == batchSessions.count(),
+      s"closed=${closed.count()} batch=${batchSessions.count()}")
+    // every closed session matches a batch q13 session on its aggregates
+    val streamedKeyed = closed.select(col("user_id"),
+      (col("end_us") - col("start_us")).as("duration_us"), col("n_events"),
+      round(col("session_value"), 2).as("session_value"))
+    val batchKeyed = batchSessions.select(col("user_id"), col("duration_us"),
+      col("n_events"), col("session_value"))
+    assert(streamedKeyed.exceptAll(batchKeyed).count() == 0, "streamed sessions not in batch")
+    assert(batchKeyed.exceptAll(streamedKeyed).count() == 0, "batch sessions not streamed")
+  }
+
   test("stream-static broadcast join enriches every event with its segment") {
     val dir = mkStreamDir(1)
     val stream = EventsStreaming.readEvents(spark, dir)
