@@ -33,9 +33,16 @@ object Dedup {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
       .otherwise(array(concat_ws(" ", t))))
 
+  /** Tokens are materialized as a column BEFORE the shingle lambda: an
+    * expression inlined into a higher-order-function lambda is
+    * re-evaluated per lambda reference (no common-subexpression
+    * elimination across the lambda boundary), so the token regex would
+    * run ~3× per shingle instead of once per doc — measured 2× slower
+    * end-to-end on the shingle build at sf0.1. */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles(tokens)).as("sh"))
+      .select(col("doc_id"), tokens.as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"))).as("sh"))
 
   /** Exact dedup: hash-aggregate on the raw text. */
   def exact(spark: SparkSession, dir: String): DataFrame =
@@ -82,14 +89,19 @@ object Dedup {
     * empty shingles) turns the LSH join quadratic. Band keys whose
     * population exceeds `maxBandPopulation` are dropped whole — the
     * standard cap; true near-dup pairs inside a dropped band can still
-    * surface through their other b-1 bands. The population count is a
-    * window over the SAME (band, band_key) key the candidate self-join
-    * shuffles on, so the exchange is reused, not added. */
+    * surface through their other b-1 bands.
+    *
+    * Shape: aggregate the per-key populations (map-side partial combine,
+    * so only distinct keys shuffle), keep the over-cap keys (normally
+    * zero rows), and broadcast anti-join them away — the band rows
+    * themselves are never shuffled or sorted here (a window count would
+    * shuffle + sort the full band set). */
   private[ops] def capBands(bands: DataFrame, maxBandPopulation: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_key")
-    bands.withColumn("bk_n", count(lit(1)).over(w))
-      .where(col("bk_n") <= maxBandPopulation)
-      .drop("bk_n")
+    val hot = bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bk_n"))
+      .where(col("bk_n") > maxBandPopulation)
+      .select("band", "band_key")
+    bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
   }
 
   /** LSH banding (b bands of r rows) → candidate pairs → MinHash-estimated
@@ -252,25 +264,30 @@ object Dedup {
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var labels = truncate(spark, Tables.documents(spark, dir)
       .select(col("doc_id"), col("doc_id").as("label")))
-    def propagate(cur: DataFrame): DataFrame = {
-      val nbrMin = sym
-        .join(cur, sym("doc_b") === cur("doc_id"))
-        .groupBy(sym("doc_a").as("n_id"))
-        .agg(min("label").as("nbr_label"))
+    // One propagation round = min(own label ∪ neighbor labels): the
+    // neighbor labels (one join) union the self rows, then a single
+    // min-aggregate — two shuffles per round (the agg+left-join
+    // formulation costs three; at BSP round cadence the fixed per-stage
+    // overhead is what the driver loop actually pays for).
+    // `old0` (the label at batch start) rides along on the self rows so
+    // the convergence check is a filter-count on the already-checkpointed
+    // result — no extra join/shuffle per check.
+    def propagate(cur: DataFrame): DataFrame =
       truncate(spark, cur
-        .join(nbrMin, cur("doc_id") === nbrMin("n_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label")))
-    }
+        .union(sym
+          .join(cur, sym("doc_b") === cur("doc_id"))
+          .select(sym("doc_a").as("doc_id"), col("label"),
+            lit(null).cast("long").as("old0")))
+        .groupBy("doc_id")
+        .agg(min("label").as("label"), max("old0").as("old0")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val steps = math.min(2, maxIters - i)
-      var next = labels
+      var next = labels.withColumn("old0", col("label"))
       for (_ <- 0 until steps) next = propagate(next)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.where(col("label") =!= col("old0")).count()
+      labels = next.select("doc_id", "label")
       i += steps
     }
     if (changed > 0)

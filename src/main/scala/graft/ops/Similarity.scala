@@ -114,8 +114,10 @@ object Similarity {
     * `avg` varies in the last ulp with summation order, which can flip a
     * rounded tie cross-engine). Long overflow headroom: 1e6-scaled unit
     * components sum safely past 1e12 rows per (centroid, dim). */
-  def ivfCentroids(spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame = {
-    val e = unitEmbeddings(spark, dir)
+  def ivfCentroids(spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame =
+    ivfCentroidsOf(unitEmbeddings(spark, dir), nCentroids)
+
+  private def ivfCentroidsOf(e: DataFrame, nCentroids: Int): DataFrame = {
     val seeds = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("u").as("cu"))
     val assigned0 = assignNearest(e, seeds)
@@ -131,8 +133,10 @@ object Similarity {
 
   /** Corpus-side IVF assignment (the inverted file): exposed for plan
     * tests — must contain no Window, only hash aggregates. */
-  def ivfAssignments(spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame =
-    assignNearest(unitEmbeddings(spark, dir), ivfCentroids(spark, dir, nCentroids))
+  def ivfAssignments(spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame = {
+    val e = unitEmbeddings(spark, dir)
+    assignNearest(e, ivfCentroidsOf(e, nCentroids))
+  }
 
   /** IVF-style ANN: assign every vector to its nearest centroid, then
     * answer queries by probing the `nProbe` nearest centroid lists and
@@ -142,8 +146,10 @@ object Similarity {
     * on the BOUNDED query side. */
   def ivfTopK(spark: SparkSession, dir: String, nCentroids: Int = 16,
       nProbe: Int = 2, nQueries: Int = 100, k: Int = 3): DataFrame = {
-    val e = unitEmbeddings(spark, dir)
-    val cents = ivfCentroids(spark, dir, nCentroids)
+    // the unit-vector scan feeds the seed pass, the corpus assignment and
+    // the query side — cache it once (normalization is per-row sqrt work)
+    val e = unitEmbeddings(spark, dir).cache()
+    val cents = ivfCentroidsOf(e, nCentroids)
     val assigned = assignNearest(e, cents)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
