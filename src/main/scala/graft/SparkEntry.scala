@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ConvertQueries, Dedup, Events, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{ConvertQueries, Dedup, Events, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,6 +78,11 @@ object SparkEntry {
     "q59_dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "q60_stats_suite" -> Relational.statsSuite _,
     "q61_convert_roundtrip" -> ConvertQueries.roundtrip _,
+    "q63_repetition" -> TextAnalysis.repetition _,
+    "q64_char_entropy" -> TextAnalysis.charEntropy _,
+    "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
+    "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q67_canonical_keepers" -> Dedup.canonical _,
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -789,6 +794,78 @@ object SparkEntry {
         | (10, 13.0, 90, 'final', NULL, 'true', 6.0, '5')
         |) AS t(id, price_usd, qty_bought, note, empty_col, flagged, big_num, ratio)
         |ORDER BY id""".stripMargin,
+    "q63_repetition" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |       FROM tok WHERE len(t) >= 2),
+        |c AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  round(1.0 - count(*) * 1.0 / sum(n), 4) AS dup_ratio,
+        |  round(max(n) * 1.0 / sum(n), 4) AS top_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q64: the p·ln p fold runs in sorted-char order on BOTH engines
+    // (sequential list_reduce / aggregate-HOF) — an unordered double SUM
+    // would vary in the last ulp with partitioning
+    "q64_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest([c for c in regexp_split_to_array(text, '') if c <> '']) AS ch
+        |  FROM documents),
+        |cc AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY doc_id, ch),
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |        list(cnt ORDER BY ch) AS dist
+        |      FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_chars,
+        |  round(-list_reduce(
+        |      list_prepend(CAST(0.0 AS DOUBLE),
+        |        [(x * 1.0 / n_chars) * ln(x * 1.0 / n_chars) for x in dist]),
+        |      (acc, v) -> acc + v) / ln(2), 4) AS entropy_bits
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q65_tfidf_top" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY term),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 6) AS tfidf
+        |  FROM tf JOIN df USING (term)),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, term, round(tfidf, 4) AS tfidf, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+    "q66_stratified_sample" ->
+      """WITH s AS (SELECT lang,
+        |    (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END) AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS frac
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "q67_canonical_keepers" -> (ShinglesCte + s""",
+        |votes AS (
+        |  SELECT doc_id,
+        |    ${simhashVotes("sh")}
+        |  FROM sh GROUP BY doc_id),
+        |fp AS (SELECT doc_id, $simhashBits AS simhash FROM votes),
+        |qual AS (
+        |  SELECT doc_id,
+        |    round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |        + 0.4 * least(len(regexp_extract_all(text, '\\b(the|a|of|to|and|is|in)\\b')) * 10.0 /
+        |            greatest(len(regexp_extract_all(text, '\\S+')), 1), 1.0)
+        |        + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 /
+        |            greatest(length(text), 1)), 4) AS q
+        |  FROM documents),
+        |r AS (SELECT fp.simhash, fp.doc_id, qual.q,
+        |        row_number() OVER (PARTITION BY fp.simhash ORDER BY qual.q DESC, fp.doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY fp.simhash) AS n
+        |      FROM fp JOIN qual ON qual.doc_id = fp.doc_id)
+        |SELECT simhash, doc_id AS keep_id, q AS quality, CAST(n AS BIGINT) AS n_dups
+        |FROM r WHERE rn = 1 AND n >= 2
+        |ORDER BY keep_id""".stripMargin),
     "q60_stats_suite" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,

@@ -301,6 +301,37 @@ object Dedup {
       .orderBy("cluster_rep")
   }
 
+  /** Canonical selection: within each group of SIMHASH-identical docs
+    * (near-identical content), keep the highest-quality member (quality
+    * per TextAnalysis.qualityFilter's score, doc_id as the deterministic
+    * tiebreak). One join + one `max_by` hash aggregate on the simhash
+    * key; emits only groups that actually had duplicates. The "which
+    * copy survives" policy step that follows grouping in a real dedup
+    * pipeline — keyed on the similarity fingerprint rather than the
+    * exact-normalization fingerprint because near-dup corpora rarely
+    * contain byte-identical pairs (this one has none). */
+  def canonical(spark: SparkSession, dir: String): DataFrame = {
+    val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
+    val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+      greatest(length(col("text")), lit(1))
+    val quality = round(
+      lit(0.4) * least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0)) +
+      lit(0.4) * least(stop * lit(10.0) / greatest(nTok, lit(1)), lit(1.0)) +
+      lit(0.2) * (lit(1.0) - punct), 4)
+    val qdf = Tables.documents(spark, dir)
+      .select(col("doc_id"), quality.as("q"))
+    simhash(spark, dir)
+      .join(qdf, Seq("doc_id"))
+      .groupBy("simhash")
+      .agg(max_by(struct(col("doc_id"), col("q")), struct(col("q"), -col("doc_id"))).as("best"),
+        count(lit(1)).as("n_dups"))
+      .where(col("n_dups") >= 2)
+      .select(col("simhash"), col("best.doc_id").as("keep_id"),
+        col("best.q").as("quality"), col("n_dups"))
+      .orderBy("keep_id")
+  }
+
   /** SimHash near-dup pairs: 4 bands of 8 bits for candidates (a pair
     * with hamming <= 4 over 32 bits must agree on at least one band by
     * pigeonhole... hamming <= 3 strictly; <= 4 with high probability),

@@ -115,4 +115,72 @@ object TextAnalysis {
       .select(col("doc_id"), rh.as("roll_hash"))
       .orderBy("doc_id")
   }
+
+  /** Repetition signals (the Gopher/C4 duplicate-n-gram filters): per doc,
+    * the fraction of word-bigram occurrences that are repeats and the
+    * share of the single most frequent bigram. Two hash aggregates over
+    * exploded bigrams; every ratio derives from exact integer counts, so
+    * the doubles are bit-identical cross-engine. Docs with fewer than two
+    * tokens produce no bigrams and drop out (same on both engines). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), count(lit(1)).as("n_distinct"), max("n").as("max_rep"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 4).as("dup_ratio"),
+        round(col("max_rep") / col("n_bigrams"), 4).as("top_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-level Shannon entropy (bits/char) — the gibberish /
+    * low-diversity detector. Determinism: per-(doc, char) counts are
+    * exact integers; the p·ln p terms are folded in SORTED char order via
+    * the sequential `aggregate` HOF (an unordered SUM over doubles varies
+    * in the last ulp with partitioning), then one division by ln 2. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = filter(split(col("text"), ""), c => length(c) === 1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(chars).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_chars"),
+        array_sort(collect_list(struct(col("ch"), col("cnt")))).as("dist"))
+      .select(col("doc_id"), col("n_chars"),
+        round(-aggregate(col("dist"), lit(0.0),
+          (acc, s) => acc + (s.getField("cnt") / col("n_chars")) *
+            log(s.getField("cnt") / col("n_chars"))) / log(lit(2.0)), 4).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top terms per document: tf and df are hash aggregates over
+    * the exploded token stream, the corpus size joins in as a broadcast
+    * scalar, and the per-doc top-3 ranking windows over each doc's own
+    * vocabulary (bounded rows per partition). idf = ln(N/df) rounded
+    * before ranking so ties break identically cross-engine. */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = words.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
 }
