@@ -78,6 +78,7 @@ object SparkEntry {
     "q59_dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "q60_stats_suite" -> Relational.statsSuite _,
     "q61_convert_roundtrip" -> ConvertQueries.roundtrip _,
+    "q68_convert_json_roundtrip" -> ConvertQueries.jsonRoundtrip _,
     "q63_repetition" -> TextAnalysis.repetition _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
@@ -793,6 +794,17 @@ object SparkEntry {
         | (9, 12.0, NULL, 'not an int', NULL, 'false', 5.0, '4'),
         | (10, 13.0, 90, 'final', NULL, 'true', 6.0, '5')
         |) AS t(id, price_usd, qty_bought, note, empty_col, flagged, big_num, ratio)
+        |ORDER BY id""".stripMargin,
+    // q68: literal expected relation (see q61) — JSON-lines source through
+    // primitivesAsString + nested-to-JSON-text + the reference lattice
+    "q68_convert_json_roundtrip" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1.5 AS DOUBLE), 'true', CAST(1 AS BIGINT), '{"k":"1"}', 'plain', '["a","b"]'),
+        | (0.5, 'false', 2, '{"k":"2"}', 'hex amt', '["c"]'),
+        | (CAST(NULL AS DOUBLE), 'true', 3, NULL, NULL, '[]'),
+        | (NULL, NULL, 4, NULL, NULL, NULL),
+        | (2.0, 'false', 5, '{"k":"3"}', 'end', '["d","e"]')
+        |) AS t(amt, flag, id, meta, note, tags)
         |ORDER BY id""".stripMargin,
     "q63_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

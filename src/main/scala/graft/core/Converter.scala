@@ -142,23 +142,29 @@ object Converter {
     * only reads `sampleRows` rows driver-side. */
   def convertJsonFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult =
     finishConversion(spark, input, cfg) {
-      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-      val raw0 = spark.read.option("primitivesAsString", "true").json(input)
-      val flattened = raw0.select(raw0.schema.fields.map { f =>
-        val c = col(s"`${f.name}`")
-        f.dataType match {
-          case _: StructType | _: ArrayType | _: MapType => to_json(c).as(f.name)
-          case _ => c.cast("string").as(f.name)
-        }
-      }.toSeq: _*)
-      val headers = Normalize.headers(flattened.columns.toSeq)
-      val renamed = flattened.toDF(headers: _*)
-      val sampled = renamed.take(cfg.sampleRows).iterator.map { row =>
-        headers.indices.map(i => if (row.isNullAt(i)) "" else row.getString(i)).toArray
-      }
-      val schema = Inference.detect(headers, sampled, cfg.sampleRows)
-      renamed.select(schema.headers.zip(schema.types).map { case (h, t) => castColumn(h, t) }: _*)
+      jsonConversionPlan(spark, input, cfg.sampleRows)
     }
+
+  /** Declarative JSON-lines conversion plan (shared by [[convertJsonFile]]
+    * and the q68 driver-oracle query). */
+  def jsonConversionPlan(spark: SparkSession, input: String, sampleRows: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val raw0 = spark.read.option("primitivesAsString", "true").json(input)
+    val flattened = raw0.select(raw0.schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => to_json(c).as(f.name)
+        case _ => c.cast("string").as(f.name)
+      }
+    }.toSeq: _*)
+    val headers = Normalize.headers(flattened.columns.toSeq)
+    val renamed = flattened.toDF(headers: _*)
+    val sampled = renamed.take(sampleRows).iterator.map { row =>
+      headers.indices.map(i => if (row.isNullAt(i)) "" else row.getString(i)).toArray
+    }
+    val schema = Inference.detect(headers, sampled, sampleRows)
+    renamed.select(schema.headers.zip(schema.types).map { case (h, t) => castColumn(h, t) }: _*)
+  }
 
   /** Shared finish: run the plan, write (single-file or directory),
     * verify, clean partial output on failure, delete source only after a

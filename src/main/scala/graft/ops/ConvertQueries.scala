@@ -43,17 +43,20 @@ object ConvertQueries {
     * (ids 1-5 + the ragged row), so ids 7-10 exercise sample-blind cells. */
   val FixtureSampleRows = 6
 
-  /** The committed fixture, materialized from the classpath to a stable
-    * temp file once per JVM (Hadoop-path APIs and spark.read.csv need a
+  /** A committed fixture, materialized from the classpath to a stable
+    * temp file once per JVM (Hadoop-path APIs and spark.read need a
     * filesystem path, not a classpath resource). */
-  lazy val fixturePath: String = {
-    val in = getClass.getResourceAsStream("/graft/quirks_fixture.csv")
-    require(in != null, "missing resource graft/quirks_fixture.csv")
-    val tmp: Path = Files.createTempFile("graft-quirks-", ".csv")
+  private def materialize(resource: String, suffix: String): String = {
+    val in = getClass.getResourceAsStream(resource)
+    require(in != null, s"missing resource $resource")
+    val tmp: Path = Files.createTempFile("graft-quirks-", suffix)
     try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING) finally in.close()
     tmp.toFile.deleteOnExit()
     tmp.toString
   }
+
+  lazy val fixturePath: String = materialize("/graft/quirks_fixture.csv", ".csv")
+  lazy val jsonFixturePath: String = materialize("/graft/quirks_fixture.jsonl", ".jsonl")
 
   /** q61: the full infer -> scan -> cast conversion plan over the fixture,
     * ordered by the key column. `dir` is unused — the input is the
@@ -63,4 +66,16 @@ object ConvertQueries {
     Converter.conversionPlan(spark, fixturePath, schema, ',', multiLine = true)
       .orderBy("id")
   }
+
+  /** q68: the JSON-lines source extension end-to-end — every scalar reads
+    * as its string rendering (`primitivesAsString`), nested values
+    * collapse to their JSON text, then the SAME lattice + GoCast pipeline
+    * as CSV. The fixture pins: JSON bools -> string column (bool is
+    * unreachable in the lattice), a Go hex float inside a JSON string,
+    * empty/whitespace strings -> null, a row with missing fields -> all
+    * nulls, arrays/objects -> their JSON text. Literal-relation oracle,
+    * as for q61. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    Converter.jsonConversionPlan(spark, jsonFixturePath, sampleRows = 100)
+      .orderBy("id")
 }
