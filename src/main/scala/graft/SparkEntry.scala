@@ -80,6 +80,9 @@ object SparkEntry {
     "q61_convert_roundtrip" -> ConvertQueries.roundtrip _,
     "q68_convert_json_roundtrip" -> ConvertQueries.jsonRoundtrip _,
     "q63_repetition" -> TextAnalysis.repetition _,
+    "q69_decontaminate" -> TextAnalysis.decontaminate _,
+    "q70_pii_redact" -> TextAnalysis.piiScan _,
+    "q71_audio_meta" -> Multimodal.audioMeta _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -806,6 +809,50 @@ object SparkEntry {
         | (2.0, 'false', 5, '{"k":"3"}', 'end', '["d","e"]')
         |) AS t(amt, flag, id, meta, note, tags)
         |ORDER BY id""".stripMargin,
+    // q69: n-gram decontamination — eval set = doc_id % 97 == 0; a train
+    // doc is contaminated iff it shares a distinct word 5-gram with any
+    // eval doc. Counts are over distinct (gram) / (eval doc) matches.
+    "q69_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+        |                for i in range(1, len(t) - 3)]) AS gram
+        |      FROM tok WHERE len(t) >= 5),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
+        |       count(DISTINCT ev.eval_id) AS n_eval_hits
+        |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q70: literal expected relation (the fixture pins the regex
+    // semantics; Spark-side redaction is plain regexp_replace chains)
+    "q70_pii_redact" ->
+      """SELECT * FROM (VALUES
+        | (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'Contact <EMAIL> for details'),
+        | (2, 0, 0, 2, 0, 'Call <PHONE> or <PHONE> today'),
+        | (3, 0, 1, 0, 1, 'SSN <SSN> leaked from <IP>'),
+        | (4, 2, 0, 0, 0, '<EMAIL> and <EMAIL> wrote'),
+        | (5, 0, 0, 0, 0, 'no pii here just words'),
+        | (6, 0, 0, 0, 2, 'server <IP> pinged <IP>'),
+        | (7, 1, 1, 1, 1, 'mixed: <EMAIL>, <SSN>, <PHONE>, <IP>'),
+        | (8, 0, 0, 0, 0, '')
+        |) AS t(id, n_emails, n_ssns, n_phones, n_ips, redacted)
+        |ORDER BY id""".stripMargin,
+    // q71: the oracle recomputes the deterministic synthesis parameters
+    // (rate/channels by doc_id, data truncated to a 4-byte multiple with
+    // a 4-byte floor) — the engine side must PARSE them back out of real
+    // RIFF/WAVE bytes to agree.
+    "q71_audio_meta" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |    1 + (doc_id % 2) AS channels,
+        |    greatest(octet_length(text::BLOB) // 4 * 4, 4) AS data_len
+        |  FROM documents)
+        |SELECT doc_id, sample_rate, channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  data_len // (channels * 2) AS n_samples,
+        |  (data_len // (channels * 2)) * 1000 // sample_rate AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q63_repetition" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
         |bg AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg

@@ -46,7 +46,7 @@ object ConvertQueries {
   /** A committed fixture, materialized from the classpath to a stable
     * temp file once per JVM (Hadoop-path APIs and spark.read need a
     * filesystem path, not a classpath resource). */
-  private def materialize(resource: String, suffix: String): String = {
+  private[graft] def materialize(resource: String, suffix: String): String = {
     val in = getClass.getResourceAsStream(resource)
     require(in != null, s"missing resource $resource")
     val tmp: Path = Files.createTempFile("graft-quirks-", suffix)

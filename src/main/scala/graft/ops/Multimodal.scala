@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * codec libraries). */
 final case class MediaRecord(doc_id: Long, payload: Array[Byte])
 
+/** Audio decoder output: the scan-phase metadata an audio pipeline
+  * extracts before resampling/feature extraction. */
+final case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+    bits_per_sample: Long, n_samples: Long, duration_ms: Long)
+
 /** Decoder output: per-asset metadata a multimodal training pipeline
   * extracts before batching. */
 final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
@@ -118,6 +123,82 @@ object Multimodal {
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, rw, rh)
       case None => stubDecode(payload).copy(doc_id = docId)
     }
+
+  /** Minimal RIFF/WAVE PCM writer: canonical 44-byte header + data.
+    * Used by tests and by [[audioMeta]]'s payload synthesis (the
+    * container ships no audio columns, so valid WAV bytes are built from
+    * the document bytes — the PARSER below is the real operator). */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      data: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val blockAlign = channels * bitsPerSample / 8
+    out.put("RIFF".getBytes("US-ASCII")); out.putInt(36 + data.length)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")); out.putInt(16)
+    out.putShort(1) // PCM
+    out.putShort(channels.toShort); out.putInt(sampleRate)
+    out.putInt(sampleRate * blockAlign); out.putShort(blockAlign.toShort)
+    out.putShort(bitsPerSample.toShort)
+    out.put("data".getBytes("US-ASCII")); out.putInt(data.length); out.put(data)
+    out.array()
+  }
+
+  /** Real RIFF/WAVE header parse: validates the RIFF/WAVE magic then
+    * walks the chunk list to `fmt ` and `data` (chunks are word-aligned,
+    * and `fmt ` need not immediately precede `data` — LIST/INFO chunks
+    * are skipped like any other). Returns (sampleRate, channels,
+    * bitsPerSample, nSamples); None for non-WAV payloads. */
+  def audioHeader(p: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int, s: String): Boolean =
+      (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var rate = -1L; var ch = -1L; var bits = -1L; var dataLen = -1L
+    while (i + 8 <= p.length && (rate < 0 || dataLen < 0)) {
+      val sz = le32(i + 4)
+      if (tag(i, "fmt ") && i + 24 <= p.length) {
+        ch = le16(i + 10).toLong; rate = le32(i + 12); bits = le16(i + 22).toLong
+      } else if (tag(i, "data")) dataLen = math.min(sz, (p.length - i - 8).toLong)
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+    }
+    if (rate > 0 && ch > 0 && bits > 0 && dataLen >= 0)
+      Some((rate, ch, bits, dataLen / (ch * bits / 8)))
+    else None
+  }
+
+  /** q71: audio-column plumbing end-to-end. Each document's bytes become
+    * a valid PCM WAV payload (rate/channels varied deterministically by
+    * doc_id, data = text bytes truncated to a 4-byte multiple so every
+    * channel config divides evenly, zero-padded to at least 4), and the
+    * REAL chunk-walking parser above extracts the metadata back. The
+    * synthesis stands in for the missing media column; the parse is the
+    * operator. Same mapPartitions shape as [[decode]] — a real codec
+    * initializes once per partition. */
+  def audioMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        batch.map { r =>
+          val rate = 8000 + (r.doc_id % 3).toInt * 4000
+          val ch = 1 + (r.doc_id % 2).toInt
+          val dataLen = math.max(r.payload.length / 4 * 4, 4)
+          val data = java.util.Arrays.copyOf(r.payload, dataLen)
+          val wav = wavBytes(rate, ch, 16, data)
+          val (pRate, pCh, pBits, pSamples) = audioHeader(wav)
+            .getOrElse(throw new IllegalStateException(s"unparseable WAV for doc ${r.doc_id}"))
+          AudioMeta(r.doc_id, pRate, pCh, pBits, pSamples, pSamples * 1000L / pRate)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
 
   /** Typed decode pipeline over the documents' bytes. */
   def decode(spark: SparkSession, dir: String): Dataset[MediaMeta] = {

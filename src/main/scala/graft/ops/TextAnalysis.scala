@@ -183,4 +183,72 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), round(col("tfidf"), 4).as("tfidf"), col("rank"))
       .orderBy("doc_id", "rank")
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 5-gram with a held-out eval set (here: `doc_id % 97 == 0` stands in
+    * for the benchmark corpus). The standard pre-training contamination
+    * check (GPT-3 / PaLM style n-gram overlap).
+    *
+    * Scale shape: eval benchmarks are tiny relative to a 100 TB corpus,
+    * so the distinct eval 5-grams are BROADCAST and the scan over
+    * training grams never shuffles the corpus — the only shuffle is the
+    * per-doc aggregate of matched grams (∝ contaminated grams, not corpus
+    * size). Per-doc grams are `array_distinct`-ed before the explode so a
+    * doc repeating one contaminated phrase doesn't amplify join output.
+    * Docs under 5 tokens yield no grams on either engine. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val grams5 = array_distinct(
+      transform(sequence(lit(1), size(col("toks")) - 4),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+          element_at(col("toks"), i + 4))))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(grams5).as("gram"))
+    val eval_ = grams.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val train = grams.where(col("doc_id") % 97 =!= 0)
+    train.join(broadcast(eval_), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared"),
+        countDistinct("eval_id").as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
+  // PII patterns — each class is disjoint from the others by construction
+  // (SSN 3-2-4 vs phone 3-3-4 digit groups; IPv4 needs four dotted runs),
+  // so redaction order cannot change counts.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the pre-training compliance pass: per-class match
+    * counts on the raw text plus the redacted text with each match
+    * replaced by its class tag. Pure `regexp_count`-shaped projections
+    * (codegen'd, no UDF), one narrow scan at corpus scale. */
+  def piiRedact(df: DataFrame, id: String = "id", text: String = "text"): DataFrame = {
+    def n(re: String): Column = size(regexp_extract_all(col(text), lit(re), lit(0))).cast("long")
+    df.select(col(id),
+      n(EmailRe).as("n_emails"), n(SsnRe).as("n_ssns"),
+      n(PhoneRe).as("n_phones"), n(IpRe).as("n_ips"),
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(col(text),
+        EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+        .as("redacted"))
+      .orderBy(id)
+  }
+
+  /** q70 driver query: [[piiRedact]] over the committed PII fixture (the
+    * testdata documents are synthetic word-soup with no PII, so the
+    * fixture pins real pattern semantics; the operator itself is
+    * table-generic). Literal-relation oracle, as for q61/q68. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val path = ConvertQueries.materialize("/graft/pii_fixture.jsonl", ".jsonl")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    piiRedact(spark.read.schema(schema).json(path))
+  }
 }

@@ -72,6 +72,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("q69 decontamination broadcasts the eval grams; corpus side never shuffles for the join") {
+    val p = plan(SparkEntry.queries("q69_decontaminate")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q44 anti-join plans as a broadcast/hash anti join, not a cartesian") {
     val p = plan(SparkEntry.queries("q44_customers_without_orders")(spark, dir))
     assert(p.contains("LeftAnti"), p.take(1500))

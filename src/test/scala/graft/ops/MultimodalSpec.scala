@@ -44,6 +44,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageHeader(jpeg640x480) === Some((640L, 480L, 3L)))
   }
 
+  test("WAV writer -> parser roundtrip across rates/channels") {
+    for ((rate, ch) <- Seq((8000, 1), (16000, 2), (44100, 2), (12000, 1))) {
+      val data = Array.tabulate[Byte](4096)(i => (i % 251).toByte)
+      val wav = Multimodal.wavBytes(rate, ch, 16, data)
+      assert(Multimodal.audioHeader(wav) ===
+        Some((rate.toLong, ch.toLong, 16L, (4096 / (ch * 2)).toLong)),
+        s"rate=$rate ch=$ch")
+    }
+  }
+
+  test("WAV chunk walk skips LIST chunks between fmt and data") {
+    val data = Array.fill[Byte](400)(1)
+    val plain = Multimodal.wavBytes(16000, 1, 16, data)
+    // splice a 10-byte LIST chunk (odd size -> exercises word alignment)
+    // between fmt (ends at offset 36) and data
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](9, 0, 0, 0) ++ Array.fill[Byte](9 + 1)(0x20)
+    val spliced = plain.take(36) ++ list ++ plain.drop(36)
+    // RIFF size field is now stale, but the parser walks chunks, not the
+    // outer size
+    assert(Multimodal.audioHeader(spliced) === Some((16000L, 1L, 16L, 200L)))
+  }
+
+  test("WAV parser clamps a data size field larger than the payload") {
+    val wav = Multimodal.wavBytes(8000, 1, 16, Array.fill[Byte](100)(0))
+    val truncated = wav.take(wav.length - 20) // 80 data bytes remain
+    assert(Multimodal.audioHeader(truncated) === Some((8000L, 1L, 16L, 40L)))
+  }
+
+  test("non-WAV payloads are rejected") {
+    assert(Multimodal.audioHeader("not audio at all, just a plain string payload".getBytes) === None)
+    assert(Multimodal.audioHeader(png640x480rgba) === None)
+    assert(Multimodal.audioHeader(Array.emptyByteArray) === None)
+  }
+
   test("non-media payloads fall back to the stub (q40 oracle contract)") {
     val text = "An ordinary document that is not an image.".getBytes("UTF-8")
     assert(Multimodal.imageHeader(text) === None)
