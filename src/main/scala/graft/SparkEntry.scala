@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ConvertQueries, Dedup, Events, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.ops.{ConvertQueries, Curation, Dedup, Events, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -83,6 +83,7 @@ object SparkEntry {
     "q69_decontaminate" -> TextAnalysis.decontaminate _,
     "q70_pii_redact" -> TextAnalysis.piiScan _,
     "q71_audio_meta" -> Multimodal.audioMeta _,
+    "q72_curation_pipeline" -> Curation.curate _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -823,6 +824,37 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q72: the composed pipeline — quality gate (q23's score) ->
+    // keep-min normalized dedup (q31's fingerprint) -> decontamination
+    // (q69's verdict over the full corpus) -> per-(lang, source) corpus
+    // accounting
+    "q72_curation_pipeline" ->
+      """WITH q AS (
+        |  SELECT * FROM documents
+        |  WHERE round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |      + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|of|to|and|is|in)\b')) * 10.0 /
+        |          greatest(len(regexp_extract_all(text, '\S+')), 1), 1.0)
+        |      + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |          greatest(length(text), 1)), 4) >= 0.5),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM q
+        |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))),
+        |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+        |                for i in range(1, len(t) - 3)]) AS gram
+        |      FROM tok WHERE len(t) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) tr
+        |  JOIN (SELECT gram FROM g WHERE doc_id % 97 = 0) ev USING (gram)),
+        |clean AS (
+        |  SELECT q.* FROM q JOIN keep USING (doc_id)
+        |  WHERE q.doc_id % 97 <> 0 AND q.doc_id NOT IN (SELECT doc_id FROM contaminated))
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+        |  min(doc_id) AS first_id
+        |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q70: literal expected relation (the fixture pins the regex
     // semantics; Spark-side redaction is plain regexp_replace chains)
     "q70_pii_redact" ->

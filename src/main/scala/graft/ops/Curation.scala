@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-curation pipeline a pre-training data run
+  * executes as one job: quality gate → normalized dedup → benchmark
+  * decontamination → per-(lang, source) corpus accounting. Each stage is
+  * an operator that also ships standalone (q23 / q31 / q69); this
+  * composite proves they fuse into a single declarative plan — Catalyst
+  * sees the whole lineage, so scans merge, filters stay pushed, and no
+  * stage materializes an intermediate corpus.
+  *
+  * Scale shape: two corpus shuffles total (the fingerprint group-by and
+  * the final aggregate) plus the decontamination join, whose eval side
+  * is broadcast. The keeper and contaminated id-sets are joined
+  * semi/anti on `doc_id` — never collected to the driver.
+  */
+object Curation {
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // 1. quality gate (same score as q23)
+    val quality = docs.where(TextAnalysis.qualityScore >= 0.5)
+    // 2. normalized dedup: keep the min doc_id per canonical fingerprint
+    //    (computed WITHIN the quality-filtered corpus: a high-quality doc
+    //    must not be dropped in favor of a filtered-out duplicate)
+    val keepIds = quality
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = quality.join(keepIds, Seq("doc_id"), "left_semi")
+    // 3. decontamination: the eval docs themselves never train, and any
+    //    train doc sharing a 5-gram with them (q69's verdict, computed
+    //    over the FULL corpus — contamination doesn't care about quality)
+    //    is dropped
+    val contaminated = TextAnalysis.decontaminate(spark, dir).select("doc_id")
+    val clean = deduped
+      .where(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // 4. what's left: the training corpus, accounted per (lang, source)
+    clean.groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.nTokens(col("text"))).cast("long").as("ws_tokens"),
+        min("doc_id").as("first_id"))
+      .orderBy("lang", "source")
+  }
+}

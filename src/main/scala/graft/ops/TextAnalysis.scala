@@ -21,7 +21,7 @@ object TextAnalysis {
 
   // counts cast to long: DuckDB surfaces lengths as BIGINT and the
   // driver compares schemas
-  private def nTokens(c: Column): Column =
+  private[ops] def nTokens(c: Column): Column =
     size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
 
   /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
@@ -78,16 +78,21 @@ object TextAnalysis {
   /** Heuristic quality score in [0,1]: length saturation + stopword
     * density + non-alnum penalty; the standard pre-training quality
     * filter shape. Returns docs above threshold. */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** The quality score as a reusable column over a `documents`-shaped
+    * relation (needs `text` and `n_chars`) — shared by q23 and the q72
+    * curation pipeline. */
+  private[ops] def qualityScore: Column = {
     val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
     val lenScore = least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0))
     val stopScore = least(stop * lit(10.0) / greatest(nTokens(col("text")), lit(1)), lit(1.0))
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
       greatest(length(col("text")), lit(1))
-    docs
-      .withColumn("quality", round(lit(0.4) * lenScore + lit(0.4) * stopScore +
-        lit(0.2) * (lit(1.0) - punct), 4))
+    round(lit(0.4) * lenScore + lit(0.4) * stopScore + lit(0.2) * (lit(1.0) - punct), 4)
+  }
+
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("quality", qualityScore)
       .where(col("quality") >= 0.5)
       .select("doc_id", "quality")
       .orderBy("doc_id")
