@@ -193,10 +193,11 @@ object Dedup {
     // into ints and bit-twiddle" formulation (measured: conv()'s string
     // number parsing costs more than it saves — 3.5s vs 2.3s at sf0.1)
     val votes = (1 to 32).map { i =>
-      sum(when(substring(md5(col("sh")), i, 1) >= "8", 1).otherwise(-1)).as(s"v$i")
+      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"v$i")
     }
     val fp = concat((1 to 32).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*)
     docShingles(spark, dir)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
