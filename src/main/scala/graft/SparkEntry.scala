@@ -84,6 +84,7 @@ object SparkEntry {
     "q70_pii_redact" -> TextAnalysis.piiScan _,
     "q71_audio_meta" -> Multimodal.audioMeta _,
     "q72_curation_pipeline" -> Curation.curate _,
+    "q73_funnel" -> Events.funnel _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -824,6 +825,25 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q73: each stage is the earliest qualifying event within 24h of the
+    // previous stage; the oracle chains them through join-aggregate CTEs
+    // (engine side: chained conditional window minima, one shuffle)
+    "q73_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN us END) AS t1 FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'view' AND us > t1 AND us <= t1 + 86400000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t2 AND us <= t2 + 86400000000 GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(us) AS t4 FROM e JOIN s3 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t3 AND us <= t3 + 86400000000 GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  count(t1) AS n_signup, count(t2) AS n_view,
+        |  count(t3) AS n_click, count(t4) AS n_purchase,
+        |  CAST(coalesce(sum(t4 - t1), 0) AS BIGINT) AS sum_convert_us
+        |FROM s1
+        |LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |LEFT JOIN s4 USING (user_id)""".stripMargin,
     // q72: the composed pipeline — quality gate (q23's score) ->
     // keep-min normalized dedup (q31's fingerprint) -> decontamination
     // (q69's verdict over the full corpus) -> per-(lang, source) corpus

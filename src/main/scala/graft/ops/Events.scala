@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,5 +139,34 @@ object Events {
       .where(col("event_type") === "purchase")
       .select("event_id", "user_id", "prior_signup")
       .orderBy("event_id")
+  }
+
+  /** q73: ordered conversion funnel signup → view → click → purchase,
+    * each stage within 24 h of the one before. Stage times chain as four
+    * partition-wide conditional minima over the SAME user partitioning —
+    * Catalyst plans ONE shuffle and stacks the Window operators on it
+    * (each `t{i}` is a per-partition constant, so the next stage's
+    * condition reads it per row). Null chaining matches SQL three-valued
+    * logic: a missing stage nulls every later stage. The final global
+    * roll-up is a single-row aggregate (counts per stage + exact µs
+    * conversion-time sum). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val day = 86400000000L // 24 h in µs
+    def stage(tPrev: String, typ: String): Column =
+      min(when(col("event_type") === typ &&
+        col("us") > col(tPrev) && col("us") <= col(tPrev) + day, col("us"))).over(w)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("t2", stage("t1", "view"))
+      .withColumn("t3", stage("t2", "click"))
+      .withColumn("t4", stage("t3", "purchase"))
+      .select("user_id", "t1", "t2", "t3", "t4").distinct()
+      .agg(
+        count(lit(1)).as("n_users"),
+        count("t1").as("n_signup"), count("t2").as("n_view"),
+        count("t3").as("n_click"), count("t4").as("n_purchase"),
+        coalesce(sum(col("t4") - col("t1")), lit(0L)).cast("long").as("sum_convert_us"))
   }
 }
