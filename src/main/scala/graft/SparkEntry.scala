@@ -85,6 +85,7 @@ object SparkEntry {
     "q71_audio_meta" -> Multimodal.audioMeta _,
     "q72_curation_pipeline" -> Curation.curate _,
     "q73_funnel" -> Events.funnel _,
+    "q74_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -825,6 +826,14 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q74: deterministic top-20 corpus bigrams (tie-break on the bigram
+    // string fixes the k-set)
+    "q74_top_ngrams" ->
+      """WITH tok AS (SELECT regexp_extract_all(text, '\S+') AS t FROM documents),
+        |bg AS (SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        |       FROM tok WHERE len(t) >= 2)
+        |SELECT bg, count(*) AS n FROM bg
+        |GROUP BY bg ORDER BY n DESC, bg LIMIT 20""".stripMargin,
     // q73: each stage is the earliest qualifying event within 24h of the
     // previous stage; the oracle chains them through join-aggregate CTEs
     // (engine side: chained conditional window minima, one shuffle)

@@ -222,6 +222,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide top-k bigrams — vocabulary/phrase statistics over the
+    * whole corpus. The groupBy on the exploded bigram stream IS the
+    * workload: map-side partial aggregation collapses each partition's
+    * counts before the shuffle (distinct bigrams move, not occurrences),
+    * and the top-k plans as TakeOrderedAndProject — per-partition heaps
+    * merged on the driver, k rows, never a global sort. Tie-break on the
+    * bigram string makes the k-set deterministic cross-engine. */
+  def topNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+    Tables.documents(spark, dir)
+      .select(regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .where(size(col("toks")) >= 2)
+      .select(explode(bigrams).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(k)
+  }
+
   // PII patterns — each class is disjoint from the others by construction
   // (SSN 3-2-4 vs phone 3-3-4 digit groups; IPv4 needs four dotted runs),
   // so redaction order cannot change counts.

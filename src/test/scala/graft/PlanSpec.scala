@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q74 top-k plans as TakeOrderedAndProject (per-partition heaps), never a global sort") {
+    val df = SparkEntry.queries("q74_top_ngrams")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(p.contains("partial_count"), "bigram counts must partial-aggregate map-side")
+  }
+
   test("q44 anti-join plans as a broadcast/hash anti join, not a cartesian") {
     val p = plan(SparkEntry.queries("q44_customers_without_orders")(spark, dir))
     assert(p.contains("LeftAnti"), p.take(1500))
