@@ -86,6 +86,7 @@ object SparkEntry {
     "q72_curation_pipeline" -> Curation.curate _,
     "q73_funnel" -> Events.funnel _,
     "q74_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
+    "q75_video_meta" -> Multimodal.videoMeta _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -826,6 +827,16 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q75: the oracle recomputes the synthesis parameters (timescale by
+    // doc_id, duration = 10 x payload bytes); the engine must parse them
+    // back out of real ISO-BMFF boxes to agree
+    "q75_video_meta" ->
+      """SELECT doc_id,
+        |  600 + (doc_id % 4) * 300 AS timescale,
+        |  octet_length(text::BLOB) * 10 AS duration,
+        |  octet_length(text::BLOB) AS mdat_bytes,
+        |  (octet_length(text::BLOB) * 10 * 1000) // (600 + (doc_id % 4) * 300) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q74: deterministic top-20 corpus bigrams (tie-break on the bigram
     // string fixes the k-set)
     "q74_top_ngrams" ->

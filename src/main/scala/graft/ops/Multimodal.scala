@@ -200,6 +200,90 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Minimal ISO-BMFF (MP4) writer: `ftyp` + `moov`/`mvhd` (version 0)
+    * + `mdat`. Big-endian box sizes, canonical 108-byte mvhd. Synthesis
+    * counterpart of [[videoHeader]], as [[wavBytes]] is for
+    * [[audioHeader]]. */
+  def mp4Bytes(timescale: Int, duration: Long, data: Array[Byte]): Array[Byte] = {
+    val mvhdPayload = 100 // v0: fixed fields through next_track_id
+    val out = java.nio.ByteBuffer.allocate(16 + 8 + 8 + mvhdPayload + 8 + data.length)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    out.putInt(16); out.put("ftyp".getBytes("US-ASCII"))
+    out.put("isom".getBytes("US-ASCII")); out.putInt(0) // brand + minor version
+    out.putInt(8 + 8 + mvhdPayload); out.put("moov".getBytes("US-ASCII"))
+    out.putInt(8 + mvhdPayload); out.put("mvhd".getBytes("US-ASCII"))
+    out.putInt(0) // version 0 + flags
+    out.putInt(0); out.putInt(0) // creation, modification
+    out.putInt(timescale); out.putInt(duration.toInt)
+    out.putInt(0x00010000); out.putShort(0x0100.toShort); out.putShort(0) // rate, volume, reserved
+    out.putLong(0) // reserved
+    // unity matrix
+    out.putInt(0x00010000); out.putInt(0); out.putInt(0)
+    out.putInt(0); out.putInt(0x00010000); out.putInt(0)
+    out.putInt(0); out.putInt(0); out.putInt(0x40000000)
+    (0 until 6).foreach(_ => out.putInt(0)) // pre_defined
+    out.putInt(2) // next_track_id
+    out.putInt(8 + data.length); out.put("mdat".getBytes("US-ASCII")); out.put(data)
+    out.array()
+  }
+
+  /** Real ISO-BMFF box walk: top-level boxes to `moov`, `moov` children
+    * to `mvhd` (version 0 or 1), plus the total `mdat` payload size.
+    * Returns (timescale, duration, mdatBytes); None for non-MP4
+    * payloads (no leading `ftyp`). */
+  def videoHeader(p: Array[Byte]): Option[(Long, Long, Long)] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def tag(i: Int, s: String): Boolean = (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 16 || !tag(4, "ftyp")) return None
+    var timescale = -1L; var duration = -1L; var mdat = 0L
+    var i = 0
+    while (i + 8 <= p.length) {
+      val sz = be32(i)
+      if (sz < 8 || i + sz > p.length) return None // malformed box
+      if (tag(i + 4, "moov")) {
+        var j = i + 8
+        while (j + 8 <= i + sz) {
+          val csz = be32(j)
+          if (csz < 8 || j + csz > i + sz) return None
+          if (tag(j + 4, "mvhd") && csz >= 32) {
+            val v = u8(j + 8)
+            if (v == 0) { timescale = be32(j + 20); duration = be32(j + 24) }
+            else { timescale = be32(j + 28); duration = be64(j + 32) }
+          }
+          j += csz.toInt
+        }
+      } else if (tag(i + 4, "mdat")) mdat += sz - 8
+      i += sz.toInt
+    }
+    if (timescale > 0 && duration >= 0) Some((timescale, duration, mdat)) else None
+  }
+
+  /** q75: video-column plumbing end-to-end — synthesized MP4 containers
+    * (timescale varied by doc_id, duration tied to payload size, mdat =
+    * the doc bytes) parsed back by the REAL box walker. Completes the
+    * image (q40) / audio (q71) / video (q75) header-parse trio. */
+  def videoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { batch =>
+        batch.map { r =>
+          val timescale = 600 + (r.doc_id % 4).toInt * 300
+          val duration = r.payload.length.toLong * 10
+          val mp4 = mp4Bytes(timescale, duration, r.payload)
+          val (ts, dur, mdat) = videoHeader(mp4)
+            .getOrElse(throw new IllegalStateException(s"unparseable MP4 for doc ${r.doc_id}"))
+          (r.doc_id, ts, dur, mdat, dur * 1000L / ts)
+        }
+      }
+      .toDF("doc_id", "timescale", "duration", "mdat_bytes", "duration_ms")
+      .orderBy("doc_id")
+  }
+
   /** Typed decode pipeline over the documents' bytes. */
   def decode(spark: SparkSession, dir: String): Dataset[MediaMeta] = {
     import spark.implicits._

@@ -79,6 +79,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioHeader(Array.emptyByteArray) === None)
   }
 
+  test("MP4 writer -> box-walk parser roundtrip") {
+    val data = Array.fill[Byte](1000)(3)
+    val mp4 = Multimodal.mp4Bytes(timescale = 900, duration = 12345L, data)
+    assert(Multimodal.videoHeader(mp4) === Some((900L, 12345L, 1000L)))
+  }
+
+  test("MP4 parser reads a version-1 mvhd (64-bit duration) and sums multiple mdat boxes") {
+    // hand-build: ftyp + moov(mvhd v1) + two mdat boxes
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 8 + 112 + (8 + 5) + (8 + 7))
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16); bb.put("ftypisom".getBytes("US-ASCII")); bb.putInt(0)
+    bb.putInt(8 + 8 + 112); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(8 + 112); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0x01000000) // version 1
+    bb.putLong(0); bb.putLong(0) // creation, modification (u64 in v1)
+    bb.putInt(48000) // timescale
+    bb.putLong(5000000000L) // duration > u32
+    bb.put(Array.fill[Byte](112 - 4 - 8 - 8 - 4 - 8)(0)) // rest of mvhd
+    bb.putInt(8 + 5); bb.put("mdat".getBytes("US-ASCII")); bb.put(Array.fill[Byte](5)(1))
+    bb.putInt(8 + 7); bb.put("mdat".getBytes("US-ASCII")); bb.put(Array.fill[Byte](7)(2))
+    assert(Multimodal.videoHeader(bb.array()) === Some((48000L, 5000000000L, 12L)))
+  }
+
+  test("non-MP4 and malformed boxes are rejected") {
+    assert(Multimodal.videoHeader("plain text payload, definitely not a container".getBytes) === None)
+    val good = Multimodal.mp4Bytes(600, 100L, Array.fill[Byte](10)(0))
+    assert(Multimodal.videoHeader(good.take(20)) === None) // truncated mid-box
+  }
+
   test("non-media payloads fall back to the stub (q40 oracle contract)") {
     val text = "An ordinary document that is not an image.".getBytes("UTF-8")
     assert(Multimodal.imageHeader(text) === None)
