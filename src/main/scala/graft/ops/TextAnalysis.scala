@@ -79,9 +79,9 @@ object TextAnalysis {
     * density + non-alnum penalty; the standard pre-training quality
     * filter shape. Returns docs above threshold. */
   /** The quality score as a reusable column over a `documents`-shaped
-    * relation (needs `text` and `n_chars`) — shared by q23 and the q72
-    * curation pipeline. */
-  private[ops] def qualityScore: Column = {
+    * relation (needs `text` and `n_chars`) — shared by q23, the q72
+    * curation pipeline, and the streaming curation front-end. */
+  private[graft] def qualityScore: Column = {
     val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
     val lenScore = least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0))
     val stopScore = least(stop * lit(10.0) / greatest(nTokens(col("text")), lit(1)), lit(1.0))
@@ -250,18 +250,27 @@ object TextAnalysis {
   private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
+  /** The redacted text as a reusable column — shared by q70 and the
+    * streaming curation front-end. */
+  private[graft] def redacted(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+
+  /** Per-class PII match count. */
+  private[graft] def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+
+  private[graft] val PiiClasses: Seq[(String, String)] = Seq(
+    "n_emails" -> EmailRe, "n_ssns" -> SsnRe, "n_phones" -> PhoneRe, "n_ips" -> IpRe)
+
   /** PII scrubbing — the pre-training compliance pass: per-class match
     * counts on the raw text plus the redacted text with each match
     * replaced by its class tag. Pure `regexp_count`-shaped projections
     * (codegen'd, no UDF), one narrow scan at corpus scale. */
   def piiRedact(df: DataFrame, id: String = "id", text: String = "text"): DataFrame = {
-    def n(re: String): Column = size(regexp_extract_all(col(text), lit(re), lit(0))).cast("long")
-    df.select(col(id),
-      n(EmailRe).as("n_emails"), n(SsnRe).as("n_ssns"),
-      n(PhoneRe).as("n_phones"), n(IpRe).as("n_ips"),
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(col(text),
-        EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
-        .as("redacted"))
+    df.select(col(id) +:
+      PiiClasses.map { case (name, re) => piiCount(col(text), re).as(name) } :+
+      redacted(col(text)).as("redacted"): _*)
       .orderBy(id)
   }
 

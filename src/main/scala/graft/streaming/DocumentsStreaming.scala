@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.TextAnalysis
+
+/** Streaming front-end of the corpus-curation pipeline: the same
+  * quality / PII / fingerprint operators that run batch-side (q23, q70,
+  * q31) applied to a document STREAM — the shape an ingest pipeline has
+  * while crawl shards arrive, before the batch dedup/decontamination
+  * passes run over the accumulated corpus.
+  *
+  * Every stateless stage is the identical Column expression the batch
+  * operator uses (shared builders in [[graft.ops.TextAnalysis]]), so
+  * stream and batch answers agree by construction; the only stateful
+  * stage (fingerprint dedup) bounds its state with a watermark.
+  */
+object DocumentsStreaming {
+
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream of documents parquet. Documents carry no event
+    * time, so ingest time is synthesized deterministically from doc_id
+    * (1 s apart) — a real crawl feed has true arrival timestamps here. */
+  def readDocuments(spark: SparkSession, srcDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+
+  /** Stateless curation projection: quality gate + PII redaction in one
+    * pass. No state, no shuffle — at scale this runs at source
+    * parallelism, the ideal pre-filter before anything stateful. */
+  def curated(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("quality", TextAnalysis.qualityScore)
+      .where(col("quality") >= 0.5)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        TextAnalysis.redacted(col("text")).as("clean_text"))
+
+  /** Watermark-bounded streaming dedup on the normalization fingerprint:
+    * a duplicate arriving within the watermark window of its original is
+    * dropped; state for expired fingerprints is evicted. Unbounded
+    * `dropDuplicates("fp")` would grow state forever on an unbounded
+    * crawl — the watermark is what makes this deployable. */
+  def dedupedByFingerprint(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.{Tables, TextAnalysis}
+
+/** The streaming curation front-end must converge to the batch
+  * operators it mirrors (shared Column builders make this true by
+  * construction — these specs pin that it STAYS true). */
+class DocumentsStreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def mkStreamDir(copies: Int): String = {
+    val dir = Files.createTempDirectory("graft-docstream")
+    val src = java.nio.file.Path.of(s"$sfDir/documents.parquet")
+    (1 to copies).foreach { i =>
+      Files.copy(src, dir.resolve(s"documents_$i.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+    dir.toString
+  }
+
+  test("stateless curation stream matches the batch quality gate row-for-row") {
+    val dir = mkStreamDir(1)
+    val stream = DocumentsStreaming.readDocuments(spark, dir)
+    EventsStreaming.runToMemory(
+      DocumentsStreaming.curated(stream), "curated_stream", OutputMode.Append())
+    val streamed = spark.table("curated_stream").orderBy("doc_id").collect()
+    val batch = Tables.documents(spark, sfDir)
+      .withColumn("quality", TextAnalysis.qualityScore)
+      .where(col("quality") >= 0.5)
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        TextAnalysis.redacted(col("text")).as("clean_text"))
+      .orderBy("doc_id").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("watermarked fingerprint dedup drops cross-batch duplicates with bounded state") {
+    val dir = mkStreamDir(2) // same corpus twice, two micro-batches
+    val stream = DocumentsStreaming.readDocuments(spark, dir, maxFilesPerTrigger = 1)
+    EventsStreaming.runToMemory(
+      DocumentsStreaming.dedupedByFingerprint(stream).select("doc_id", "fp"),
+      "fp_dedup_stream", OutputMode.Append())
+    val n = spark.table("fp_dedup_stream").count()
+    val batchDistinct = Tables.documents(spark, sfDir)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct().count()
+    assert(n == batchDistinct, s"streamed $n vs batch-distinct $batchDistinct")
+  }
+}
