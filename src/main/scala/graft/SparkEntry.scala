@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{ConvertQueries, Curation, Dedup, Events, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -87,6 +87,7 @@ object SparkEntry {
     "q73_funnel" -> Events.funnel _,
     "q74_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "q75_video_meta" -> Multimodal.videoMeta _,
+    "q76_integrity_audit" -> Audit.integrity _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -827,6 +828,20 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q76: one named counter per invariant; non-zero = alert (the
+    // doc↔embedding coverage counters are corpus facts, not failures)
+    "q76_integrity_audit" ->
+      """SELECT 'null_or_empty_text' AS check_name,
+        |  CAST(count(*) FILTER (WHERE text IS NULL OR length(text) = 0) AS BIGINT) AS n_bad FROM documents
+        |UNION ALL SELECT 'dup_doc_id', CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'n_chars_mismatch', CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'null_embedding', CAST(count(*) FILTER (WHERE embedding IS NULL) AS BIGINT) FROM embeddings
+        |UNION ALL SELECT 'bad_embedding_dim', CAST(count(*) FILTER (WHERE embedding IS NOT NULL AND len(embedding) <> 64) AS BIGINT) FROM embeddings
+        |UNION ALL SELECT 'doc_missing_embedding', CAST(count(*) AS BIGINT)
+        |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id WHERE e.vec_id IS NULL
+        |UNION ALL SELECT 'orphan_embedding', CAST(count(*) AS BIGINT)
+        |  FROM embeddings e LEFT JOIN documents d ON d.doc_id = e.vec_id WHERE d.doc_id IS NULL
+        |ORDER BY check_name""".stripMargin,
     // q75: the oracle recomputes the synthesis parameters (timescale by
     // doc_id, duration = 10 x payload bytes); the engine must parse them
     // back out of real ISO-BMFF boxes to agree
