@@ -88,6 +88,7 @@ object SparkEntry {
     "q74_top_ngrams" -> ((s, d) => TextAnalysis.topNgrams(s, d)),
     "q75_video_meta" -> Multimodal.videoMeta _,
     "q76_integrity_audit" -> Audit.integrity _,
+    "q77_dupgraph_degrees" -> ((s, d) => Dedup.dupGraphDegrees(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -828,6 +829,25 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q77: degree histogram of the confirmed near-dup graph (q33's
+    // verified pairs), the pre-clustering shape diagnostic
+    "q77_dupgraph_degrees" -> (MinhashCte + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |conf AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b
+        |  WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5),
+        |sym AS (SELECT doc_a AS d FROM conf UNION ALL SELECT doc_b FROM conf),
+        |deg AS (SELECT d, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY d)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin),
     // q76: one named counter per invariant; non-zero = alert (the
     // doc↔embedding coverage counters are corpus facts, not failures)
     "q76_integrity_audit" ->

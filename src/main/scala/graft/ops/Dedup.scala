@@ -204,6 +204,21 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Degree distribution of the confirmed near-dup graph — the shape
+    * diagnostic run before transitive clustering: a heavy tail here
+    * (one doc near-dup to thousands) is the signal to raise LSH band
+    * caps or pre-split boilerplate before q59's propagation pays for it.
+    * Two hash aggregates over the edge list — cost ∝ confirmed pairs,
+    * which the LSH ladder already bounds. */
+  def dupGraphDegrees(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d")))
+      .groupBy("d").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+
   /** Materialized dedup: the surviving corpus after near-dup removal —
     * what a training-data pipeline actually feeds downstream. Greedy
     * min-id policy: a doc is dropped iff it has a confirmed near-dup
