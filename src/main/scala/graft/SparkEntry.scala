@@ -89,6 +89,7 @@ object SparkEntry {
     "q75_video_meta" -> Multimodal.videoMeta _,
     "q76_integrity_audit" -> Audit.integrity _,
     "q77_dupgraph_degrees" -> ((s, d) => Dedup.dupGraphDegrees(s, d)),
+    "q78_label_centroids" -> Similarity.labelCentroids _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -829,6 +830,21 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q78: exact integer-scaled sums cross the unordered aggregates; the
+    // only double fold (centroid norm) runs in sorted component order
+    "q78_label_centroids" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT label, count(*) AS n_vecs,
+        |        sum(CAST(round(sqrt(list_sum([x * x for x in v])) * 1e6) AS BIGINT)) AS snsum
+        |      FROM e GROUP BY 1),
+        |px AS (SELECT label, u.pos AS pos, u.x AS x FROM e,
+        |       unnest([{'pos': i, 'x': v[i]} for i in range(1, len(v) + 1)]) AS t(u)),
+        |sv AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS sv FROM px GROUP BY 1, 2),
+        |cent AS (SELECT label, list(sv ORDER BY pos) AS svs FROM sv GROUP BY 1)
+        |SELECT n.label, n.n_vecs,
+        |  round(snsum / n_vecs / 1e6, 4) AS avg_norm,
+        |  round(sqrt(list_sum([(s / n_vecs / 1e6) ** 2 for s in svs])), 4) AS centroid_norm
+        |FROM n JOIN cent USING (label) ORDER BY label""".stripMargin,
     // q77: degree histogram of the confirmed near-dup graph (q33's
     // verified pairs), the pre-clustering shape diagnostic
     "q77_dupgraph_degrees" -> (MinhashCte + """,

@@ -236,4 +236,38 @@ object Similarity {
       .unionAll(recallOf("lsh_mp", lshTopK(spark, dir, nQueries = nQueries, k = k)))
       .orderBy("method")
   }
+
+  /** q78: per-label embedding statistics — count, mean vector norm, and
+    * centroid norm (a low centroid norm = the label's vectors point in
+    * scattered directions; near 1 = a tight semantic cluster). The
+    * cluster-quality read a labeled-embedding pipeline runs after
+    * annotation or clustering.
+    *
+    * Determinism recipe (as q39's k-means): everything that crosses an
+    * unordered SUM is scaled to 1e6 and summed as LONGS (exact,
+    * associative); the only double fold (centroid norm) runs in sorted
+    * component order via the array-sort + `aggregate` HOF. Per-vector
+    * norms use the codegen'd [[graft.functions.DotProduct]] fused loop. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddingsSpread(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val perLabel = e
+      .select(col("label"), round(sqrt(dot(col("v"), col("v"))) * 1e6).cast("long").as("sn"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("sn").as("snsum"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("sv"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("svs"))
+    perLabel.join(cent, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("snsum") / col("n_vecs") / 1e6, 4).as("avg_norm"),
+        round(sqrt(aggregate(col("svs"), lit(0.0),
+          (acc, s) => acc + pow(s.getField("sv") / col("n_vecs") / 1e6, lit(2.0)))), 4)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
 }
