@@ -90,6 +90,7 @@ object SparkEntry {
     "q76_integrity_audit" -> Audit.integrity _,
     "q77_dupgraph_degrees" -> ((s, d) => Dedup.dupGraphDegrees(s, d)),
     "q78_label_centroids" -> Similarity.labelCentroids _,
+    "q79_delta_merge" -> Curation.deltaMerge _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -830,6 +831,20 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q79: merge accounting on the normalization fingerprint; delta =
+    // doc_id % 10 in {8, 9}
+    "q79_delta_merge" ->
+      """WITH f AS (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+        |    CASE WHEN doc_id % 10 >= 8 THEN 1 ELSE 0 END AS is_delta
+        |  FROM documents),
+        |g AS (SELECT fp, max(is_delta) AS has_delta, max(1 - is_delta) AS has_base FROM f GROUP BY 1)
+        |SELECT
+        |  CAST(count(*) FILTER (WHERE has_base = 1 AND has_delta = 0) AS BIGINT) AS n_base_kept,
+        |  CAST(count(*) FILTER (WHERE has_base = 1 AND has_delta = 1) AS BIGINT) AS n_replaced,
+        |  CAST(count(*) FILTER (WHERE has_base = 0 AND has_delta = 1) AS BIGINT) AS n_inserted,
+        |  CAST(count(*) AS BIGINT) AS final_corpus
+        |FROM g""".stripMargin,
     // q78: exact integer-scaled sums cross the unordered aggregates; the
     // only double fold (centroid norm) runs in sorted component order
     "q78_label_centroids" ->

@@ -46,4 +46,29 @@ object Curation {
         min("doc_id").as("first_id"))
       .orderBy("lang", "source")
   }
+
+  /** q79: delta-shard merge accounting — the upsert a rolling ingest runs
+    * when a new crawl shard lands on an existing corpus. Shards are
+    * simulated by doc_id (last 2 of every 10 ids = the delta); the merge
+    * key is the normalization fingerprint. A delta doc REPLACES base
+    * docs sharing its fingerprint, otherwise INSERTS; base fingerprints
+    * without a delta hit persist.
+    *
+    * One fingerprint group-by carrying two conditional flags is the
+    * whole merge — the same single-shuffle shape `MERGE INTO` compiles
+    * to on key-matched upserts, and it scales as exact dedup does. */
+  def deltaMerge(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.documents(spark, dir)
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+        (col("doc_id") % 10 >= 8).cast("int").as("is_delta"))
+    flagged
+      .groupBy("fp")
+      .agg(max(col("is_delta")).as("has_delta"),
+        max(lit(1) - col("is_delta")).as("has_base"))
+      .agg(
+        sum(when(col("has_base") === 1 && col("has_delta") === 0, 1L).otherwise(0L)).as("n_base_kept"),
+        sum(when(col("has_base") === 1 && col("has_delta") === 1, 1L).otherwise(0L)).as("n_replaced"),
+        sum(when(col("has_base") === 0 && col("has_delta") === 1, 1L).otherwise(0L)).as("n_inserted"),
+        count(lit(1)).as("final_corpus"))
+  }
 }

@@ -211,9 +211,11 @@ object Dedup {
     * Two hash aggregates over the edge list — cost ∝ confirmed pairs,
     * which the LSH ladder already bounds. */
   def dupGraphDegrees(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b")
-    pairs.select(col("doc_a").as("d"))
-      .union(pairs.select(col("doc_b").as("d")))
+    // explode both endpoints in ONE pass — a union of two selects would
+    // duplicate the whole candidate pipeline in the plan (2x the
+    // exchanges before runtime reuse kicks in)
+    ngramJaccard(spark, dir, threshold)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy("d").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
       .orderBy("degree")

@@ -24,13 +24,13 @@ class ExchangeAuditSpec extends AnyFunSuite {
     // exact counts vary with which shared caches (MinHash sigs, shingles,
     // simhash) happen to be materialized when this suite runs — cached
     // subtrees replace their upstream exchanges. Worst measured plans:
-    // q43 (three composed dedup operators) ~30 uncached; q62 (exact +
-    // multi-table LSH + IVF recall composite) ~27 warm, more cold.
-    // Single operators sit at 0-7. The ceiling is a runaway tripwire
-    // (e.g. a lost broadcast hint turning dim joins into shuffles
-    // everywhere), not a precision gate — PlanSpec pins the per-operator
-    // shapes that matter.
+    // q77 (degree histogram over the full verified-pair pipeline) 46
+    // warm, ~55 cold; q62 (exact + multi-table LSH + IVF recall
+    // composite) ~33 warm; q43 ~30 uncached. Single operators sit at
+    // 0-7. The ceiling is a runaway tripwire (e.g. a lost broadcast
+    // hint turning dim joins into shuffles everywhere), not a precision
+    // gate — PlanSpec pins the per-operator shapes that matter.
     for ((name, n) <- counts)
-      assert(n <= 48, s"$name shuffles $n times — check the plan")
+      assert(n <= 64, s"$name shuffles $n times — check the plan")
   }
 }
