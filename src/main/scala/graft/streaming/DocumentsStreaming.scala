@@ -47,6 +47,28 @@ object DocumentsStreaming {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"),
         TextAnalysis.redacted(col("text")).as("clean_text"))
 
+  /** Streaming decontamination hits: arriving documents that share a
+    * word 5-gram with the static eval set (the same grams q69 checks
+    * batch-side) emit one (doc_id, gram) row per overlap. Stream-static
+    * LEFT SEMI join against the broadcast eval grams — STATELESS, pure
+    * append mode: each micro-batch is a map-side lookup, no watermark,
+    * no state store. Per-doc aggregation (n_shared) is the downstream
+    * consumer's batch concern; keeping the streaming stage stateless is
+    * what lets it run at source parallelism on an unbounded crawl. */
+  def contaminationHits(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val grams5 = array_distinct(
+      transform(sequence(lit(1), size(col("toks")) - 4),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+          element_at(col("toks"), i + 4))))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(grams5).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+  }
+
   /** Watermark-bounded streaming dedup on the normalization fingerprint:
     * a duplicate arriving within the watermark window of its original is
     * dropped; state for expired fingerprints is evicted. Unbounded

@@ -41,6 +41,35 @@ class DocumentsStreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("stateless stream-static decontamination flags the same docs as batch q69") {
+    import graft.SparkEntry
+    val dir = mkStreamDir(1)
+    // static eval-gram relation: distinct 5-grams of the eval docs,
+    // built batch-side exactly as TextAnalysis.decontaminate does
+    val grams = {
+      val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+      val g5 = array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
+          element_at(col("toks"), i + 4))))
+      Tables.documents(spark, sfDir)
+        .where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), toks.as("toks"))
+        .where(size(col("toks")) >= 5)
+        .select(explode(g5).as("gram")).distinct()
+    }
+    val stream = DocumentsStreaming.readDocuments(spark, dir)
+      .where(col("doc_id") % 97 =!= 0) // train side only, as in q69
+    EventsStreaming.runToMemory(
+      DocumentsStreaming.contaminationHits(stream, grams), "contam_stream", OutputMode.Append())
+    val streamedDocs = spark.table("contam_stream")
+      .select("doc_id").distinct().orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val batchDocs = SparkEntry.queries("q69_decontaminate")(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(streamedDocs == batchDocs,
+      s"stream flagged $streamedDocs vs batch $batchDocs")
+  }
+
   test("watermarked fingerprint dedup drops cross-batch duplicates with bounded state") {
     val dir = mkStreamDir(2) // same corpus twice, two micro-batches
     val stream = DocumentsStreaming.readDocuments(spark, dir, maxFilesPerTrigger = 1)
