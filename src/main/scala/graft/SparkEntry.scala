@@ -91,6 +91,7 @@ object SparkEntry {
     "q77_dupgraph_degrees" -> ((s, d) => Dedup.dupGraphDegrees(s, d)),
     "q78_label_centroids" -> Similarity.labelCentroids _,
     "q79_delta_merge" -> Curation.deltaMerge _,
+    "q80_max_concurrency" -> Events.maxConcurrency _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -831,6 +832,42 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q80: sweep-line peak concurrency; end+1µs exclusive bounds and
+    // per-(day, µs) delta netting remove every tie-break ambiguity
+    "q80_max_concurrency" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM t),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id, us
+        |  FROM flagged),
+        |iv AS (SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us FROM sess GROUP BY 1, 2),
+        |days AS (
+        |  SELECT s_us, e_us,
+        |    unnest(range(CAST(to_timestamp(s_us / 1000000) AS DATE),
+        |                 CAST(to_timestamp(e_us / 1000000) AS DATE) + INTERVAL 1 DAY,
+        |                 INTERVAL 1 DAY)) AS day_ts
+        |  FROM iv),
+        |clipped AS (
+        |  SELECT strftime(day_ts, '%Y-%m-%d') AS day,
+        |    greatest(s_us, epoch_us(day_ts)) AS cs,
+        |    least(e_us, epoch_us(day_ts + INTERVAL 1 DAY) - 1) AS ce
+        |  FROM days),
+        |deltas AS (
+        |  SELECT day, cs AS us, 1 AS d FROM clipped
+        |  UNION ALL SELECT day, ce + 1, -1 FROM clipped),
+        |net AS (SELECT day, us, sum(d) AS nd FROM deltas GROUP BY 1, 2),
+        |run AS (SELECT day,
+        |    sum(nd) OVER (PARTITION BY day ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |  FROM net)
+        |SELECT day, CAST(max(conc) AS BIGINT) AS max_concurrent
+        |FROM run GROUP BY day ORDER BY day""".stripMargin,
     // q79: merge accounting on the normalization fingerprint; delta =
     // doc_id % 10 in {8, 9}
     "q79_delta_merge" ->

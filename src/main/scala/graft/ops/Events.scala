@@ -141,6 +141,51 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q80: peak concurrent sessions per day — the sweep-line / interval
+    * overlap-counting operator. Sessions (q13's gap rule) explode to the
+    * calendar days they touch, clip to day bounds, then each emits
+    * +1/(end+1µs)−1 deltas; a per-day running sum's max is the peak.
+    * End+1µs makes the boundary exclusive WITHOUT tie-break rules, and
+    * netting deltas per (day, µs) first means the running sum never sees
+    * an ambiguous intra-timestamp order.
+    *
+    * Scale shape: the sweep partitions by DAY (bounded state per
+    * partition, parallel across days) instead of one global ordering —
+    * the day-clip explode is what buys that partitioning; sessions
+    * crossing midnight contribute to both days. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cumulative = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000
+    val sess = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(cumulative))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    val clipped = sess
+      .select(col("s_us"), col("e_us"),
+        explode(sequence(to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))).as("day_d"))
+      .select(
+        date_format(col("day_d"), "yyyy-MM-dd").as("day"),
+        greatest(col("s_us"), unix_micros(col("day_d").cast("timestamp"))).as("cs"),
+        least(col("e_us"), unix_micros(date_add(col("day_d"), 1).cast("timestamp")) - 1).as("ce"))
+    val deltas = clipped
+      .select(col("day"), explode(array(
+        struct(col("cs").as("us"), lit(1L).as("d")),
+        struct((col("ce") + 1).as("us"), lit(-1L).as("d")))).as("x"))
+      .select(col("day"), col("x.us").as("us"), col("x.d").as("d"))
+    val wDay = Window.partitionBy("day").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.groupBy("day", "us").agg(sum("d").as("nd"))
+      .withColumn("conc", sum("nd").over(wDay))
+      .groupBy("day").agg(max("conc").cast("long").as("max_concurrent"))
+      .orderBy("day")
+  }
+
   /** q73: ordered conversion funnel signup → view → click → purchase,
     * each stage within 24 h of the one before. Stage times chain as four
     * partition-wide conditional minima over the SAME user partitioning —
