@@ -92,6 +92,7 @@ object SparkEntry {
     "q78_label_centroids" -> Similarity.labelCentroids _,
     "q79_delta_merge" -> Curation.deltaMerge _,
     "q80_max_concurrency" -> Events.maxConcurrency _,
+    "q81_cohort_retention" -> Events.cohortRetention _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -832,6 +833,16 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q81: both engines truncate weeks to Monday; offsets are exact
+    // integer day arithmetic
+    "q81_cohort_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST((w.wk - c.cohort) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q80: sweep-line peak concurrency; end+1µs exclusive bounds and
     // per-(day, µs) delta netting remove every tie-break ambiguity
     "q80_max_concurrency" ->

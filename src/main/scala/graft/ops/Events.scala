@@ -186,6 +186,25 @@ object Events {
       .orderBy("day")
   }
 
+  /** q81: weekly cohort retention — users bucketed by first-activity
+    * week, activity counted per (cohort, weeks-since) cell: the
+    * retention matrix every growth dashboard renders. Week offsets are
+    * exact integer day arithmetic between Monday-truncated dates (both
+    * engines truncate weeks to Monday), so no float drift. Two hash
+    * aggregates plus one shuffle join on user_id. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohorts = weekly.groupBy("user_id").agg(min("wk").as("cohort"))
+    weekly.join(cohorts, Seq("user_id"))
+      .groupBy(
+        date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** q73: ordered conversion funnel signup → view → click → purchase,
     * each stage within 24 h of the one before. Stage times chain as four
     * partition-wide conditional minima over the SAME user partitioning —
