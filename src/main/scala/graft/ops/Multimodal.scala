@@ -161,10 +161,14 @@ object Multimodal {
     var rate = -1L; var ch = -1L; var bits = -1L; var dataLen = -1L
     while (i + 8 <= p.length && (rate < 0 || dataLen < 0)) {
       val sz = le32(i + 4)
+      // a size field past the payload (or >= 2^31, which would turn the
+      // step negative after toInt) ends the walk — the data chunk is
+      // still usable because its length clamps to the real payload
       if (tag(i, "fmt ") && i + 24 <= p.length) {
         ch = le16(i + 10).toLong; rate = le32(i + 12); bits = le16(i + 22).toLong
       } else if (tag(i, "data")) dataLen = math.min(sz, (p.length - i - 8).toLong)
-      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+      if (sz > p.length) i = p.length // malformed: stop after this chunk
+      else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
     }
     if (rate > 0 && ch > 0 && bits > 0 && dataLen >= 0)
       Some((rate, ch, bits, dataLen / (ch * bits / 8)))

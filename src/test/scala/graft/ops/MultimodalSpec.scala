@@ -73,6 +73,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioHeader(truncated) === Some((8000L, 1L, 16L, 40L)))
   }
 
+  test("WAV parser terminates on a hostile 0xFFFFFFFF chunk size") {
+    val wav = Multimodal.wavBytes(8000, 1, 16, Array.fill[Byte](40)(0))
+    // corrupt the data chunk's size field (offset 40) to u32 max
+    (40 until 44).foreach(i => wav(i) = 0xff.toByte)
+    // data length clamps to the remaining payload; the walk must not hang
+    assert(Multimodal.audioHeader(wav) === Some((8000L, 1L, 16L, 20L)))
+  }
+
   test("non-WAV payloads are rejected") {
     assert(Multimodal.audioHeader("not audio at all, just a plain string payload".getBytes) === None)
     assert(Multimodal.audioHeader(png640x480rgba) === None)
