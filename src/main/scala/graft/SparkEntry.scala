@@ -93,6 +93,7 @@ object SparkEntry {
     "q79_delta_merge" -> Curation.deltaMerge _,
     "q80_max_concurrency" -> Events.maxConcurrency _,
     "q81_cohort_retention" -> Events.cohortRetention _,
+    "q82_chunk_stats" -> ((s, d) => TextAnalysis.chunkStats(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -833,6 +834,17 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q82: 128-token context windows; ceil over integer token counts
+    "q82_chunk_stats" ->
+      """WITH d AS (
+        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |    CAST(ceil(len(regexp_extract_all(text, '\S+')) / 128.0) AS BIGINT) AS n_chunks
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(n_chunks * 128 - n_tok) AS BIGINT) AS pad_tokens,
+        |  round(sum(n_tok) / (sum(n_chunks) * 128.0), 4) AS fill_ratio
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // q81: both engines truncate weeks to Monday; offsets are exact
     // integer day arithmetic
     "q81_cohort_retention" ->

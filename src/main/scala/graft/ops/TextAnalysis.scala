@@ -242,6 +242,24 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Context-window chunk accounting: how many fixed-size training
+    * sequences the corpus yields and how much padding it wastes — the
+    * economics read that sizes a packing strategy before any GPU time is
+    * spent. Per doc: ceil(tokens/chunk) chunks, last chunk padded. One
+    * map-side-combined aggregate; all integer arithmetic. */
+  def chunkStats(spark: SparkSession, dir: String, chunkTokens: Int = 128): DataFrame = {
+    val nTok = nTokens(col("text"))
+    val nChunks = ceil(nTok / lit(chunkTokens.toDouble)).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("source"), nTok.as("n_tok"), nChunks.as("n_chunks"))
+      .groupBy("source")
+      .agg(
+        sum("n_chunks").as("n_chunks"),
+        sum(col("n_chunks") * chunkTokens - col("n_tok")).as("pad_tokens"),
+        round(sum("n_tok") / (sum("n_chunks") * lit(chunkTokens.toDouble)), 4).as("fill_ratio"))
+      .orderBy("source")
+  }
+
   // PII patterns — each class is disjoint from the others by construction
   // (SSN 3-2-4 vs phone 3-3-4 digit groups; IPv4 needs four dotted runs),
   // so redaction order cannot change counts.
