@@ -94,6 +94,7 @@ object SparkEntry {
     "q80_max_concurrency" -> Events.maxConcurrency _,
     "q81_cohort_retention" -> Events.cohortRetention _,
     "q82_chunk_stats" -> ((s, d) => TextAnalysis.chunkStats(s, d)),
+    "q83_cast_null_stats" -> ConvertQueries.castNullStats _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -834,6 +835,21 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q83: literal expected relation — hand-derived from the quirks
+    // fixture semantics (qty row 9 'oops' is the one true coercion;
+    // ratio row 2 is whitespace-empty; empty_col is all-empty)
+    "q83_cast_null_stats" ->
+      """SELECT * FROM (VALUES
+        | ('big_num',   CAST(9 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        | ('empty_col', 9, 9, 9, 0),
+        | ('flagged',   9, 0, 0, 0),
+        | ('id',        9, 0, 0, 0),
+        | ('note',      9, 0, 0, 0),
+        | ('price_usd', 9, 0, 0, 0),
+        | ('qty_bought', 9, 0, 1, 1),
+        | ('ratio',     9, 1, 1, 0)
+        |) AS t(column_name, n_rows, n_empty_in, n_null_out, n_coerced)
+        |ORDER BY column_name""".stripMargin,
     // q82: 128-token context windows; ceil over integer token counts
     "q82_chunk_stats" ->
       """WITH d AS (

@@ -101,7 +101,16 @@ object Converter {
     * tests and the query surface can reuse it without writing. */
   def conversionPlan(spark: SparkSession, input: String, schema: InferredSchema, delimiter: Char,
       multiLine: Boolean = true): DataFrame = {
-    val raw = spark.read
+    val raw = rawStringPlan(spark, input, schema, delimiter, multiLine)
+    raw.select(schema.headers.zip(schema.types).map { case (h, t) => castColumn(h, t) }: _*)
+  }
+
+  /** The raw all-strings scan [[conversionPlan]] casts from — exposed so
+    * telemetry (q83 cast-null stats) can compare pre-cast emptiness with
+    * post-cast nullness under the exact same parse options. */
+  def rawStringPlan(spark: SparkSession, input: String, schema: InferredSchema, delimiter: Char,
+      multiLine: Boolean = true): DataFrame = {
+    spark.read
       .option("header", "true")        // skip the header line; names come from the schema
       .option("enforceSchema", "true")
       .option("delimiter", delimiter.toString)
@@ -118,7 +127,6 @@ object Converter {
       .option("nullValue", "")
       .schema(schema.rawSchema)
       .csv(input)
-    raw.select(schema.headers.zip(schema.types).map { case (h, t) => castColumn(h, t) }: _*)
   }
 
   /** Convert one CSV file. Mirrors convertFile (converter/converter.go:116-183):

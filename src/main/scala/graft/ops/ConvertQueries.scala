@@ -78,4 +78,31 @@ object ConvertQueries {
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     Converter.jsonConversionPlan(spark, jsonFixturePath, sampleRows = 100)
       .orderBy("id")
+
+  /** q83: silent-null cast telemetry — per column, how many values the
+    * reference's parse-to-null semantics coerced away (null out minus
+    * empty/whitespace in). The reference nulls silently
+    * (converter/converter.go:380-412); an engine that REPORTS the
+    * coercion rate turns that data-loss mode into an observable. Two
+    * single-row aggregates (raw emptiness, post-cast nullness) over the
+    * same scan options, stacked to one row per column. */
+  def castNullStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = Inference.detectFile(spark, fixturePath, ',', FixtureSampleRows)
+    val cast = Converter.conversionPlan(spark, fixturePath, schema, ',', multiLine = true)
+    val raw = Converter.rawStringPlan(spark, fixturePath, schema, ',', multiLine = true)
+    val cols = schema.headers
+    val rawAgg = raw.agg(count(lit(1)).as("n_rows"),
+      cols.map(c => sum(when(col(c).isNull || trim(col(c)) === "", 1L).otherwise(0L)).as(s"e_$c")): _*)
+    val castAgg = cast.agg(
+      sum(lit(0L)).as("ignore"),
+      cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c")): _*)
+    rawAgg.crossJoin(castAgg)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n_rows"),
+        col(s"e_$c").as("n_empty_in"), col(s"n_$c").as("n_null_out"),
+        (col(s"n_$c") - col(s"e_$c")).as("n_coerced"))): _*)).as("x"))
+      .select("x.column_name", "x.n_rows", "x.n_empty_in", "x.n_null_out", "x.n_coerced")
+      .orderBy("column_name")
+  }
 }
