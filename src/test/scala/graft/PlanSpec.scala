@@ -86,6 +86,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "bigram counts must partial-aggregate map-side")
   }
 
+  test("q72 curation composite: broadcast decontamination join, no cartesian") {
+    val p = plan(SparkEntry.queries("q72_curation_pipeline")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q80 sweep-line windows partition by day, never a single global ordering") {
+    val df = SparkEntry.queries("q80_max_concurrency")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the concurrency running sum must shuffle on the day key — a global
+    // (unpartitioned) window would funnel the whole corpus through one task
+    assert(p.contains("Exchange hashpartitioning(day"), p.take(2500))
+  }
+
   test("q44 anti-join plans as a broadcast/hash anti join, not a cartesian") {
     val p = plan(SparkEntry.queries("q44_customers_without_orders")(spark, dir))
     assert(p.contains("LeftAnti"), p.take(1500))
