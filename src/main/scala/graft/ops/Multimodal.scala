@@ -255,7 +255,11 @@ object Multimodal {
           if (tag(j + 4, "mvhd") && csz >= 32) {
             val v = u8(j + 8)
             if (v == 0) { timescale = be32(j + 20); duration = be32(j + 24) }
-            else { timescale = be32(j + 28); duration = be64(j + 32) }
+            // v1 widens creation/modification/duration to u64: the
+            // duration read ends at j+40, so a 32..39-byte box is
+            // malformed for v1 (not just for-us-too-short)
+            else if (csz >= 40) { timescale = be32(j + 28); duration = be64(j + 32) }
+            else return None
           }
           j += csz.toInt
         }

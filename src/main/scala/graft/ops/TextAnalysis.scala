@@ -75,12 +75,11 @@ object TextAnalysis {
         sum(size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))).cast("long").as("bpe_tokens"))
       .orderBy("source")
 
-  /** Heuristic quality score in [0,1]: length saturation + stopword
-    * density + non-alnum penalty; the standard pre-training quality
-    * filter shape. Returns docs above threshold. */
-  /** The quality score as a reusable column over a `documents`-shaped
-    * relation (needs `text` and `n_chars`) — shared by q23, the q72
-    * curation pipeline, and the streaming curation front-end. */
+  /** Heuristic quality score in [0,1] as a reusable column over a
+    * `documents`-shaped relation (needs `text` and `n_chars`): length
+    * saturation + stopword density + non-alnum penalty — the standard
+    * pre-training quality-filter shape. Shared by q23, the q72 curation
+    * pipeline, and the streaming curation front-end. */
   private[graft] def qualityScore: Column = {
     val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
     val lenScore = least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0))
@@ -90,6 +89,7 @@ object TextAnalysis {
     round(lit(0.4) * lenScore + lit(0.4) * stopScore + lit(0.2) * (lit(1.0) - punct), 4)
   }
 
+  /** q23: docs scoring at or above the 0.5 quality threshold. */
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
       .withColumn("quality", qualityScore)
@@ -201,17 +201,22 @@ object TextAnalysis {
     * size). Per-doc grams are `array_distinct`-ed before the explode so a
     * doc repeating one contaminated phrase doesn't amplify join output.
     * Docs under 5 tokens yield no grams on either engine. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-    val grams5 = array_distinct(
-      transform(sequence(lit(1), size(col("toks")) - 4),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
-          element_at(col("toks"), i + 4))))
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("toks"))
+  /** Distinct word-5-gram array over a materialized token-array column —
+    * the decontamination unit, shared by batch q69, the q72 composite,
+    * and the streaming stage so they can never drift apart. */
+  private[graft] def grams5(toks: Column): Column = array_distinct(
+    transform(sequence(lit(1), size(toks) - 4),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4))))
+
+  /** Exploded (doc_id, gram) rows for all docs with >= 5 tokens. */
+  private[graft] def docGrams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
       .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(grams5).as("gram"))
+      .select(col("doc_id"), explode(grams5(col("toks"))).as("gram"))
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docGrams(Tables.documents(spark, dir))
     val eval_ = grams.where(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"), col("gram"))
     val train = grams.where(col("doc_id") % 97 =!= 0)
@@ -260,37 +265,49 @@ object TextAnalysis {
       .orderBy("source")
   }
 
-  // PII patterns — each class is disjoint from the others by construction
-  // (SSN 3-2-4 vs phone 3-3-4 digit groups; IPv4 needs four dotted runs),
-  // so redaction order cannot change counts.
+  // PII patterns. The digit classes cannot match each other (SSN 3-2-4
+  // vs phone 3-3-4 groups; IPv4 needs four dotted runs), but an EMAIL
+  // can contain SSN/phone/IP-shaped substrings ("123-45-6789@x.co"), so
+  // counts are taken on the PROGRESSIVELY-REDACTED text, in redaction
+  // order — each count describes exactly what its redaction step
+  // replaced.
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
   private val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** The redacted text as a reusable column — shared by q70 and the
+  private[graft] val PiiClasses: Seq[(String, String, String)] = Seq(
+    ("n_emails", EmailRe, "<EMAIL>"), ("n_ssns", SsnRe, "<SSN>"),
+    ("n_phones", PhoneRe, "<PHONE>"), ("n_ips", IpRe, "<IP>"))
+
+  /** The fully redacted text as a reusable column — shared by q70 and the
     * streaming curation front-end. */
   private[graft] def redacted(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-      EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+    PiiClasses.foldLeft(text) { case (t, (_, re, tag)) => regexp_replace(t, re, tag) }
 
   /** Per-class PII match count. */
   private[graft] def piiCount(text: Column, re: String): Column =
     size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
 
-  private[graft] val PiiClasses: Seq[(String, String)] = Seq(
-    "n_emails" -> EmailRe, "n_ssns" -> SsnRe, "n_phones" -> PhoneRe, "n_ips" -> IpRe)
-
   /** PII scrubbing — the pre-training compliance pass: per-class match
-    * counts on the raw text plus the redacted text with each match
-    * replaced by its class tag. Pure `regexp_count`-shaped projections
-    * (codegen'd, no UDF), one narrow scan at corpus scale. */
+    * counts plus the redacted text with each match replaced by its class
+    * tag. Each class is counted on the text with the PREVIOUS classes
+    * already redacted, so the counts sum to exactly the tags present in
+    * `redacted` even when classes overlap textually (an SSN-shaped email
+    * local part counts once, as the email it is). Pure regexp
+    * projections (codegen'd, no UDF), one narrow scan at corpus scale. */
   def piiRedact(df: DataFrame, id: String = "id", text: String = "text"): DataFrame = {
-    df.select(col(id) +:
-      PiiClasses.map { case (name, re) => piiCount(col(text), re).as(name) } :+
-      redacted(col(text)).as("redacted"): _*)
+    val (counts, _) = PiiClasses.foldLeft((Seq.empty[Column], col(text))) {
+      case ((cs, t), (name, re, tag)) =>
+        (cs :+ piiCount(t, re).as(name), regexp_replace(t, re, tag))
+    }
+    df.select(col(id) +: counts :+ redacted(col(text)).as("redacted"): _*)
       .orderBy(id)
   }
+
+  /** Materialized once per JVM, like ConvertQueries' fixture paths. */
+  private lazy val piiFixturePath: String =
+    ConvertQueries.materialize("/graft/pii_fixture.jsonl", ".jsonl")
 
   /** q70 driver query: [[piiRedact]] over the committed PII fixture (the
     * testdata documents are synthetic word-soup with no PII, so the
@@ -298,9 +315,8 @@ object TextAnalysis {
     * table-generic). Literal-relation oracle, as for q61/q68. */
   def piiScan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val path = ConvertQueries.materialize("/graft/pii_fixture.jsonl", ".jsonl")
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("text", StringType)))
-    piiRedact(spark.read.schema(schema).json(path))
+    piiRedact(spark.read.schema(schema).json(piiFixturePath))
   }
 }

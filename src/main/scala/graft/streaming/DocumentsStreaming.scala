@@ -55,19 +55,9 @@ object DocumentsStreaming {
     * no state store. Per-doc aggregation (n_shared) is the downstream
     * consumer's batch concern; keeping the streaming stage stateless is
     * what lets it run at source parallelism on an unbounded crawl. */
-  def contaminationHits(docs: DataFrame, evalGrams: DataFrame): DataFrame = {
-    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-    val grams5 = array_distinct(
-      transform(sequence(lit(1), size(col("toks")) - 4),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
-          element_at(col("toks"), i + 4))))
-    docs
-      .select(col("doc_id"), toks.as("toks"))
-      .where(size(col("toks")) >= 5)
-      .select(col("doc_id"), explode(grams5).as("gram"))
+  def contaminationHits(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    TextAnalysis.docGrams(docs)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
-  }
 
   /** Watermark-bounded streaming dedup on the normalization fingerprint:
     * a duplicate arriving within the watermark window of its original is

@@ -110,6 +110,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.videoHeader(bb.array()) === Some((48000L, 5000000000L, 12L)))
   }
 
+  test("MP4 parser rejects a version-1 mvhd too short for its u64 duration") {
+    // ftyp + moov whose mvhd claims v1 but is only 32 bytes (the v0
+    // minimum): the u64 duration read would run past the buffer
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 32)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(16); bb.put("ftypisom".getBytes("US-ASCII")); bb.putInt(0)
+    bb.putInt(8 + 32); bb.put("moov".getBytes("US-ASCII"))
+    bb.putInt(32); bb.put("mvhd".getBytes("US-ASCII"))
+    bb.putInt(0x01000000) // version 1
+    bb.put(Array.fill[Byte](32 - 8 - 4)(0))
+    assert(Multimodal.videoHeader(bb.array()) === None)
+  }
+
   test("non-MP4 and malformed boxes are rejected") {
     assert(Multimodal.videoHeader("plain text payload, definitely not a container".getBytes) === None)
     val good = Multimodal.mp4Bytes(600, 100L, Array.fill[Byte](10)(0))

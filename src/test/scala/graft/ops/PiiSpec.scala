@@ -41,4 +41,12 @@ class PiiSpec extends AnyFunSuite {
     assert(scan("a@b.io saw 1.2.3.4 and 999-88-7777") ===
       ((1L, 1L, 0L, 1L, "<EMAIL> saw <IP> and <SSN>")))
   }
+
+  test("overlapping classes: counts describe the redaction, not the raw text") {
+    // an SSN-shaped email local part counts once, as the email it is
+    assert(scan("123-45-6789@x.co") === ((1L, 0L, 0L, 0L, "<EMAIL>")))
+    // an IP-literal domain is NOT an email under this grammar (no
+    // alphabetic TLD) — the IP inside it still gets scrubbed
+    assert(scan("user@1.2.3.4") === ((0L, 0L, 0L, 1L, "user@<IP>")))
+  }
 }

@@ -45,19 +45,10 @@ class DocumentsStreamingSpec extends AnyFunSuite {
     import graft.SparkEntry
     val dir = mkStreamDir(1)
     // static eval-gram relation: distinct 5-grams of the eval docs,
-    // built batch-side exactly as TextAnalysis.decontaminate does
-    val grams = {
-      val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
-      val g5 = array_distinct(transform(sequence(lit(1), size(col("toks")) - 4),
-        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
-          element_at(col("toks"), i + 2), element_at(col("toks"), i + 3),
-          element_at(col("toks"), i + 4))))
-      Tables.documents(spark, sfDir)
-        .where(col("doc_id") % 97 === 0)
-        .select(col("doc_id"), toks.as("toks"))
-        .where(size(col("toks")) >= 5)
-        .select(explode(g5).as("gram")).distinct()
-    }
+    // built by the SAME shared builder TextAnalysis.decontaminate uses
+    val grams = TextAnalysis.docGrams(
+        Tables.documents(spark, sfDir).where(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
     val stream = DocumentsStreaming.readDocuments(spark, dir)
       .where(col("doc_id") % 97 =!= 0) // train side only, as in q69
     EventsStreaming.runToMemory(
