@@ -1048,7 +1048,8 @@ object SparkEntry {
         | (5, 0, 0, 0, 0, 'no pii here just words'),
         | (6, 0, 0, 0, 2, 'server <IP> pinged <IP>'),
         | (7, 1, 1, 1, 1, 'mixed: <EMAIL>, <SSN>, <PHONE>, <IP>'),
-        | (8, 0, 0, 0, 0, '')
+        | (8, 0, 0, 0, 0, ''),
+        | (9, 1, 0, 0, 0, 'leak <EMAIL> now')
         |) AS t(id, n_emails, n_ssns, n_phones, n_ips, redacted)
         |ORDER BY id""".stripMargin,
     // q71: the oracle recomputes the deterministic synthesis parameters
