@@ -95,6 +95,7 @@ object SparkEntry {
     "q81_cohort_retention" -> Events.cohortRetention _,
     "q82_chunk_stats" -> ((s, d) => TextAnalysis.chunkStats(s, d)),
     "q83_cast_null_stats" -> ConvertQueries.castNullStats _,
+    "q84_rolling_active" -> ((s, d) => Events.rollingActive(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -835,6 +836,18 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q84: each (user, day) fact covers 7 report days; report days clamp
+    // to the observed max so no partial-lookback tail is emitted
+    "q84_rolling_active" ->
+      """WITH f AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |mx AS (SELECT max(d) AS max_d FROM f),
+        |r AS (SELECT user_id,
+        |        unnest(range(d, d + INTERVAL 7 DAY, INTERVAL 1 DAY)) AS report_ts
+        |      FROM f)
+        |SELECT strftime(report_ts, '%Y-%m-%d') AS day,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM r, mx WHERE CAST(report_ts AS DATE) <= max_d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q83: literal expected relation — hand-derived from the quirks
     // fixture semantics (qty row 9 'oops' is the one true coercion;
     // ratio row 2 is whitespace-empty; empty_col is all-empty)

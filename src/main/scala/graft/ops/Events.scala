@@ -205,6 +205,29 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q84: trailing-7-day active users per day — the sliding-window
+    * distinct count (WAU) no tumbling window expresses. Each (user, day)
+    * activity fact is exploded to the 7 report days it keeps the user
+    * active for, then one countDistinct per report day; report days are
+    * clamped to the observed range so no day reports a partial lookback
+    * tail past the data. Cost is a fixed 7× row amplification of the
+    * per-day DISTINCT facts (not raw events), then one hash aggregate —
+    * the scalable exact form; a sketch union (HLL per day) is the
+    * approximate path at extreme cardinality. */
+  def rollingActive(spark: SparkSession, dir: String, windowDays: Int = 7): DataFrame = {
+    val facts = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val bounds = facts.agg(max("d").as("max_d"))
+    facts
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), windowDays - 1))).as("report_d"))
+      .join(broadcast(bounds), col("report_d") <= col("max_d"))
+      .groupBy(date_format(col("report_d"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("day")
+  }
+
   /** q73: ordered conversion funnel signup → view → click → purchase,
     * each stage within 24 h of the one before. Stage times chain as four
     * partition-wide conditional minima over the SAME user partitioning —
