@@ -96,6 +96,7 @@ object SparkEntry {
     "q82_chunk_stats" -> ((s, d) => TextAnalysis.chunkStats(s, d)),
     "q83_cast_null_stats" -> ConvertQueries.castNullStats _,
     "q84_rolling_active" -> ((s, d) => Events.rollingActive(s, d)),
+    "q85_path_transitions" -> Events.pathTransitions _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -836,6 +837,30 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q85: transitions within q13's gap sessions; probabilities are
+    // exact integer ratios rounded to 4
+    "q85_path_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM t),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |steps AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id, session_id ORDER BY us, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM sess),
+        |counts AS (
+        |  SELECT prev_type, next_type, count(*) AS n FROM steps
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+        |FROM counts ORDER BY prev_type, next_type""".stripMargin,
     // q84: each (user, day) fact covers 7 report days; report days clamp
     // to the observed max so no partial-lookback tail is emitted
     "q84_rolling_active" ->

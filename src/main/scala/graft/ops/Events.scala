@@ -205,6 +205,35 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** q85: session path transitions — the first-order Markov matrix of
+    * event types within gap-sessions (q13's rule): for every observed
+    * (prev → next) step, its count and conditional probability. The
+    * path-analysis read behind "what do users do after X". One
+    * sessionize pass (user-partitioned window), one hash aggregate over
+    * (prev, next), and a |types|²-row window for the row-normalized
+    * probabilities — nothing scales past the event count. Probabilities
+    * are exact integer ratios rounded to 4. */
+  def pathTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cumulative = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 30L * 60 * 1000000
+    val bySession = Window.partitionBy("user_id", "session_id").orderBy("us", "event_id")
+    val steps = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(cumulative))
+      .withColumn("prev_type", lag("event_type", 1).over(bySession))
+      .where(col("prev_type").isNotNull)
+    val counts = steps.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val perPrev = Window.partitionBy("prev_type")
+    counts
+      .withColumn("p", round(col("n") / sum("n").over(perPrev), 4))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** q84: trailing-7-day active users per day — the sliding-window
     * distinct count (WAU) no tumbling window expresses. Each (user, day)
     * activity fact is exploded to the 7 report days it keeps the user
