@@ -97,6 +97,7 @@ object SparkEntry {
     "q83_cast_null_stats" -> ConvertQueries.castNullStats _,
     "q84_rolling_active" -> ((s, d) => Events.rollingActive(s, d)),
     "q85_path_transitions" -> Events.pathTransitions _,
+    "q86_hourly_anomalies" -> ((s, d) => Events.hourlyAnomalies(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -837,6 +838,20 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q86: |z| compares the ROUNDED z on both engines so last-ulp
+    // moment differences cannot flip a boundary row
+    "q86_hourly_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sigma
+        |  FROM hourly GROUP BY 1)
+        |SELECT hour_start, event_type, n, round((n - mu) / sigma, 4) AS z
+        |FROM hourly JOIN stats USING (event_type)
+        |WHERE abs(round((n - mu) / sigma, 4)) > 2.0
+        |ORDER BY hour_start, event_type""".stripMargin,
     // q85: transitions within q13's gap sessions; probabilities are
     // exact integer ratios rounded to 4
     "q85_path_transitions" ->

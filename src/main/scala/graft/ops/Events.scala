@@ -234,6 +234,28 @@ object Events {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q86: hourly volume anomalies — the monitoring read over event
+    * streams: hours whose per-type count sits more than `zThresh`
+    * sample standard deviations from that type's mean. Two hash
+    * aggregates (hourly counts, then per-type moments) and a broadcast
+    * join of the |types|-row stats back onto the hourly series. The
+    * filter compares the ROUNDED z on both engines so last-ulp moment
+    * differences cannot flip a boundary row. */
+  def hourlyAnomalies(spark: SparkSession, dir: String, zThresh: Double = 2.0): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_samp("n").as("sigma"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", round((col("n") - col("mu")) / col("sigma"), 4))
+      .where(abs(col("z")) > zThresh)
+      .select("hour_start", "event_type", "n", "z")
+      .orderBy("hour_start", "event_type")
+  }
+
   /** q84: trailing-7-day active users per day — the sliding-window
     * distinct count (WAU) no tumbling window expresses. Each (user, day)
     * activity fact is exploded to the 7 report days it keeps the user
