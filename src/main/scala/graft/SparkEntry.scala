@@ -98,6 +98,7 @@ object SparkEntry {
     "q84_rolling_active" -> ((s, d) => Events.rollingActive(s, d)),
     "q85_path_transitions" -> Events.pathTransitions _,
     "q86_hourly_anomalies" -> ((s, d) => Events.hourlyAnomalies(s, d)),
+    "q87_schema_report" -> ConvertQueries.schemaReport _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -838,6 +839,25 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q87: literal expected relation — drift_b's qty column ('x7') is
+    // the one deviation from the 2-of-3 INT64 consensus
+    "q87_schema_report" ->
+      """SELECT * FROM (VALUES
+        | ('drift_a.csv', 'id', 'INT64', 'INT64', CAST(0 AS BIGINT)),
+        | ('drift_a.csv', 'note', 'STRING', 'STRING', 0),
+        | ('drift_a.csv', 'price', 'DOUBLE', 'DOUBLE', 0),
+        | ('drift_a.csv', 'qty', 'INT64', 'INT64', 0),
+        | ('drift_b.csv', 'id', 'INT64', 'INT64', 0),
+        | ('drift_b.csv', 'note', 'STRING', 'STRING', 0),
+        | ('drift_b.csv', 'price', 'DOUBLE', 'DOUBLE', 0),
+        | ('drift_b.csv', 'qty', 'STRING', 'INT64', 1),
+        | ('drift_c.csv', 'extra', 'INT64', 'INT64', 0),
+        | ('drift_c.csv', 'id', 'INT64', 'INT64', 0),
+        | ('drift_c.csv', 'note', 'STRING', 'STRING', 0),
+        | ('drift_c.csv', 'price', 'DOUBLE', 'DOUBLE', 0),
+        | ('drift_c.csv', 'qty', 'INT64', 'INT64', 0)
+        |) AS t(file, column_name, inferred_type, consensus_type, drift)
+        |ORDER BY file, column_name""".stripMargin,
     // q86: |z| compares the ROUNDED z on both engines so last-ulp
     // moment differences cannot flip a boundary row
     "q86_hourly_anomalies" ->

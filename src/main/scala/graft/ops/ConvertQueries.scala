@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.core.{Converter, Inference}
+import graft.core.{Converter, FieldType, Inference}
 
 /** The converter path (reference O1-O18 surface) exposed as a driver-oracle
   * query: convert a committed quirks fixture CSV end-to-end through the
@@ -78,6 +78,42 @@ object ConvertQueries {
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     Converter.jsonConversionPlan(spark, jsonFixturePath, sampleRows = 100)
       .orderBy("id")
+
+  /** q87: schema-drift report over a directory batch — when a directory
+    * of CSVs converts (O12's unit of parallelism), each file infers its
+    * own schema (converter/converter.go:116-127); this report surfaces
+    * per-file deviations from the directory consensus BEFORE they become
+    * incompatible parquet outputs. Consensus per column = most frequent
+    * inferred type, ties widened through the reference lattice. The
+    * inference is the reference's own O(sample)-per-file driver pass;
+    * the report is file×column metadata, so driver-side assembly is the
+    * honest cost model, not a shortcut. */
+  def schemaReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def typeName(t: FieldType): String = t match {
+      case FieldType.TInt64 => "INT64"
+      case FieldType.TFloat64 => "DOUBLE"
+      case FieldType.TBool => "BOOL"
+      case FieldType.TString => "STRING"
+    }
+    val perFile = driftFixturePaths.map { case (name, path) =>
+      name -> Inference.detectFile(spark, path, ',', sampleRows = 100)
+    }
+    val all = perFile.flatMap { case (f, s) => s.headers.zip(s.types).map { case (h, t) => (f, h, t) } }
+    val consensus: Map[String, FieldType] = all.groupBy(_._2).map { case (h, ts) =>
+      val byFreq = ts.groupBy(_._3).map { case (t, xs) => (t, xs.size) }
+      val top = byFreq.values.max
+      h -> byFreq.collect { case (t, n) if n == top => t }.reduce(FieldType.widen)
+    }
+    all.map { case (f, h, t) =>
+      (f, h, typeName(t), typeName(consensus(h)), if (t != consensus(h)) 1L else 0L)
+    }.toDF("file", "column_name", "inferred_type", "consensus_type", "drift")
+      .orderBy("file", "column_name")
+  }
+
+  private lazy val driftFixturePaths: Seq[(String, String)] =
+    Seq("drift_a.csv", "drift_b.csv", "drift_c.csv")
+      .map(n => n -> materialize(s"/graft/$n", ".csv"))
 
   /** q83: silent-null cast telemetry — per column, how many values the
     * reference's parse-to-null semantics coerced away (null out minus
