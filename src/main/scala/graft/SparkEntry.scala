@@ -99,6 +99,7 @@ object SparkEntry {
     "q85_path_transitions" -> Events.pathTransitions _,
     "q86_hourly_anomalies" -> ((s, d) => Events.hourlyAnomalies(s, d)),
     "q87_schema_report" -> ConvertQueries.schemaReport _,
+    "q88_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -839,6 +840,27 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q88: confirmed near-dup pairs bucketed by unordered source pair
+    "q88_source_dup_matrix" -> (MinhashCte + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |conf AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b
+        |  WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5)
+        |SELECT least(da.source, db.source) AS source_x,
+        |  greatest(da.source, db.source) AS source_y,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM conf
+        |JOIN documents da ON da.doc_id = conf.doc_a
+        |JOIN documents db ON db.doc_id = conf.doc_b
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     // q87: literal expected relation — drift_b's qty column ('x7') is
     // the one deviation from the 2-of-3 INT64 consensus
     "q87_schema_report" ->

@@ -221,6 +221,24 @@ object Dedup {
       .orderBy("degree")
   }
 
+  /** q88: cross-source duplication matrix — confirmed near-dup pairs
+    * (q33's verified set) bucketed by the unordered (source, source)
+    * pair: the provenance read that tells a crawl pipeline which feeds
+    * mirror each other (high off-diagonal mass = buy one, drop the
+    * other). Two key-joins to attach sources + one small aggregate on
+    * top of the bounded candidate set. */
+  def sourceDupMatrix(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    ngramJaccard(spark, dir, threshold)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .groupBy("source_x", "source_y")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
   /** Materialized dedup: the surviving corpus after near-dup removal —
     * what a training-data pipeline actually feeds downstream. Greedy
     * min-id policy: a doc is dropped iff it has a confirmed near-dup
