@@ -100,6 +100,7 @@ object SparkEntry {
     "q86_hourly_anomalies" -> ((s, d) => Events.hourlyAnomalies(s, d)),
     "q87_schema_report" -> ConvertQueries.schemaReport _,
     "q88_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
+    "q89_quantization_error" -> Similarity.quantizationError _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -840,6 +841,18 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q89: exact per-component quantize/dequantize; index-order error
+    // folds; per-label averages cross the SUM as 1e9-scaled longs
+    "q89_quantization_error" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT label, v, list_max([abs(x) for x in v]) AS s FROM e),
+        |r AS (SELECT label,
+        |        list_sum([abs(x - round(x / s * 127) * s / 127) for x in v]) / len(v) AS err
+        |      FROM s WHERE s > 0)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(sum(CAST(round(err * 1e9) AS BIGINT)) / count(*) / 1e9, 6) AS avg_abs_err,
+        |  round(max(CAST(round(err * 1e9) AS BIGINT)) / 1e9, 6) AS max_abs_err
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     // q88: confirmed near-dup pairs bucketed by unordered source pair
     "q88_source_dup_matrix" -> (MinhashCte + """,
         |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

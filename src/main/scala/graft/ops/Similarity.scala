@@ -237,6 +237,31 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** q89: int8 quantization loss — per label, the mean and max absolute
+    * reconstruction error of symmetric max-abs int8 quantization (the
+    * standard ANN-index compression). The read that decides whether an
+    * index can ship at 4× less memory. Determinism: quantize/dequantize
+    * is exact per component; the per-vector mean-abs-error folds the
+    * components in index order (sequential `aggregate` HOF); per-label
+    * averages cross the unordered SUM as 1e9-scaled longs. */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddingsSpread(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("s", aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .where(col("s") > 0)
+    val recon = e.withColumn("err",
+      aggregate(col("v"), lit(0.0),
+        (a, x) => a + abs(x - round(x / col("s") * 127) * col("s") / 127)) / size(col("v")))
+    recon
+      .select(col("label"), round(col("err") * 1e9).cast("long").as("err9"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum("err9") / count(lit(1)) / 1e9, 6).as("avg_abs_err"),
+        round(max("err9") / 1e9, 6).as("max_abs_err"))
+      .orderBy("label")
+  }
+
   /** q78: per-label embedding statistics — count, mean vector norm, and
     * centroid norm (a low centroid norm = the label's vectors point in
     * scattered directions; near 1 = a tight semantic cluster). The
