@@ -101,6 +101,7 @@ object SparkEntry {
     "q87_schema_report" -> ConvertQueries.schemaReport _,
     "q88_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "q89_quantization_error" -> Similarity.quantizationError _,
+    "q90_template_prefixes" -> ((s, d) => TextAnalysis.templatePrefixes(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -841,6 +842,15 @@ object SparkEntry {
         |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
         |       count(DISTINCT ev.eval_id) AS n_eval_hits
         |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q90: identical first-10-token prefixes; clusters of 2+
+    "q90_template_prefixes" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)
+        |SELECT array_to_string(t[1:10], ' ') AS prefix,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS example_id
+        |FROM tok WHERE len(t) >= 10
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY prefix""".stripMargin,
     // q89: exact per-component quantize/dequantize; index-order error
     // folds; per-label averages cross the SUM as 1e9-scaled longs
     "q89_quantization_error" ->

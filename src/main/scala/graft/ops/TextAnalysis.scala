@@ -227,6 +227,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q90: template/boilerplate prefix clusters — groups of documents
+    * opening with the same first `k` tokens (crawl boilerplate, license
+    * headers, scraped templates open identically long before the bodies
+    * diverge, so whole-text fingerprints miss them). One hash aggregate
+    * on the prefix; clusters of 2+ surface with their size and an
+    * example doc. */
+  def templatePrefixes(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), concat_ws(" ", slice(col("toks"), 1, k)).as("prefix"))
+      .groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("example_id"))
+      .where(col("n_docs") >= 2)
+      .orderBy("prefix")
+  }
+
   /** Corpus-wide top-k bigrams — vocabulary/phrase statistics over the
     * whole corpus. The groupBy on the exploded bigram stream IS the
     * workload: map-side partial aggregation collapses each partition's
