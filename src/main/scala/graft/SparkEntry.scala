@@ -857,8 +857,10 @@ object SparkEntry {
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT label, v, list_max([abs(x) for x in v]) AS s FROM e),
         |r AS (SELECT label,
-        |        list_sum([abs(x - round(x / s * 127) * s / 127) for x in v]) / len(v) AS err
-        |      FROM s WHERE s > 0)
+        |        CASE WHEN s > 0
+        |          THEN list_sum([abs(x - round(x / s * 127) * s / 127) for x in v]) / len(v)
+        |          ELSE 0.0 END AS err
+        |      FROM s)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  round(sum(CAST(round(err * 1e9) AS BIGINT)) / count(*) / 1e9, 6) AS avg_abs_err,
         |  round(max(CAST(round(err * 1e9) AS BIGINT)) / 1e9, 6) AS max_abs_err

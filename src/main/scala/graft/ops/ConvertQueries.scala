@@ -128,8 +128,12 @@ object ConvertQueries {
     val cast = Converter.conversionPlan(spark, fixturePath, schema, ',', multiLine = true)
     val raw = Converter.rawStringPlan(spark, fixturePath, schema, ',', multiLine = true)
     val cols = schema.headers
+    // emptiness must use GoTrim (Go's full whitespace set), the same trim
+    // the cast path applies — Spark's trim strips only ASCII 0x20, so a
+    // "\t"-only cell would be misclassified as a type coercion
     val rawAgg = raw.agg(count(lit(1)).as("n_rows"),
-      cols.map(c => sum(when(col(c).isNull || trim(col(c)) === "", 1L).otherwise(0L)).as(s"e_$c")): _*)
+      cols.map(c => sum(when(col(c).isNull ||
+        graft.functions.GoCast.goTrim(col(c)) === "", 1L).otherwise(0L)).as(s"e_$c")): _*)
     val castAgg = cast.agg(
       sum(lit(0L)).as("ignore"),
       cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"n_$c")): _*)

@@ -26,10 +26,12 @@ object Events {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .orderBy("hour_start", "event_type")
 
-  /** Gap-based sessionization (30-minute inactivity): the classic
-    * lag → new-session flag → cumulative-sum pattern. All arithmetic in
-    * integer microseconds for cross-engine determinism. */
-  def sessions(spark: SparkSession, dir: String): DataFrame = {
+  /** THE session rule (30-minute inactivity gap): lag → new-session
+    * flag → cumulative sum, all in integer microseconds. One shared
+    * definition — q13, q80's sweep, and q85's transitions must agree on
+    * what a session is, so they all call this instead of re-deriving
+    * it. Adds `us` and `session_id` columns to the events. */
+  private def sessionized(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val cumulative = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val gapUs = 30L * 60 * 1000000
@@ -39,6 +41,12 @@ object Events {
         when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum("new_sess").over(cumulative))
+  }
+
+  /** Gap-based sessionization: per-session event counts, duration, and
+    * value (q13). */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    sessionized(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
@@ -154,15 +162,7 @@ object Events {
     * the day-clip explode is what buys that partitioning; sessions
     * crossing midnight contribute to both days. */
   def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val cumulative = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapUs = 30L * 60 * 1000000
-    val sess = Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("new_sess",
-        when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("new_sess").over(cumulative))
+    val sess = sessionized(spark, dir)
       .groupBy("user_id", "session_id")
       .agg(min("us").as("s_us"), max("us").as("e_us"))
     val clipped = sess
@@ -214,16 +214,8 @@ object Events {
     * probabilities — nothing scales past the event count. Probabilities
     * are exact integer ratios rounded to 4. */
   def pathTransitions(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val cumulative = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gapUs = 30L * 60 * 1000000
     val bySession = Window.partitionBy("user_id", "session_id").orderBy("us", "event_id")
-    val steps = Tables.events(spark, dir)
-      .withColumn("us", unix_micros(col("ts")))
-      .withColumn("new_sess",
-        when(lag("us", 1).over(byUser).isNull || col("us") - lag("us", 1).over(byUser) > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id", sum("new_sess").over(cumulative))
+    val steps = sessionized(spark, dir)
       .withColumn("prev_type", lag("event_type", 1).over(bySession))
       .where(col("prev_type").isNotNull)
     val counts = steps.groupBy(col("prev_type"), col("event_type").as("next_type"))

@@ -164,7 +164,10 @@ object Multimodal {
       // a size field past the payload (or >= 2^31, which would turn the
       // step negative after toInt) ends the walk — the data chunk is
       // still usable because its length clamps to the real payload
-      if (tag(i, "fmt ") && i + 24 <= p.length) {
+      // the fmt fields live INSIDE the chunk: require the declared size
+      // to cover them (16 bytes for PCM), or a zero-size hostile fmt
+      // chunk would read ch/rate/bits from the NEXT chunk's bytes
+      if (tag(i, "fmt ") && sz >= 16 && i + 24 <= p.length) {
         ch = le16(i + 10).toLong; rate = le32(i + 12); bits = le16(i + 22).toLong
       } else if (tag(i, "data")) dataLen = math.min(sz, (p.length - i - 8).toLong)
       if (sz > p.length) i = p.length // malformed: stop after this chunk

@@ -249,10 +249,13 @@ object Similarity {
       .select(col("label").cast("long").as("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("s", aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
-      .where(col("s") > 0)
+    // an all-zero vector quantizes with exactly zero error — it stays in
+    // the per-label stats (diluting the mean), never silently dropped
     val recon = e.withColumn("err",
-      aggregate(col("v"), lit(0.0),
-        (a, x) => a + abs(x - round(x / col("s") * 127) * col("s") / 127)) / size(col("v")))
+      when(col("s") > 0,
+        aggregate(col("v"), lit(0.0),
+          (a, x) => a + abs(x - round(x / col("s") * 127) * col("s") / 127)) / size(col("v")))
+        .otherwise(lit(0.0)))
     recon
       .select(col("label"), round(col("err") * 1e9).cast("long").as("err9"))
       .groupBy("label")

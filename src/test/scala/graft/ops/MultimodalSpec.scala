@@ -73,6 +73,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioHeader(truncated) === Some((8000L, 1L, 16L, 40L)))
   }
 
+  test("WAV parser rejects a zero-size fmt chunk (fields would read from the next chunk)") {
+    val wav = Multimodal.wavBytes(16000, 1, 16, Array.fill[Byte](100)(0))
+    // zero out the fmt chunk's size field (offset 16): a parser reading
+    // fields at fixed offsets regardless would see the data chunk's bytes
+    (16 until 20).foreach(i => wav(i) = 0)
+    assert(Multimodal.audioHeader(wav) === None)
+  }
+
   test("WAV parser terminates on a hostile 0xFFFFFFFF chunk size") {
     val wav = Multimodal.wavBytes(8000, 1, 16, Array.fill[Byte](40)(0))
     // corrupt the data chunk's size field (offset 40) to u32 max
