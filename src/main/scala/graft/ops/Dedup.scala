@@ -104,6 +104,27 @@ object Dedup {
     bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
   }
 
+  /** LSH candidate pairs from cached signature rows: band → cap → self
+    * equi-join on (band, band_key) → distinct. Shared by [[minhashLsh]]
+    * and [[confirmedPairs]] so both key generation paths stay identical. */
+  private def lshCandidates(sigs: DataFrame, k: Int, r: Int,
+      maxBandPopulation: Int): DataFrame = {
+    val b = k / r
+    val bandCols = (0 until b).map(i =>
+      struct(lit(i).as("band"),
+        md5(concat(col(s"m${r * i}"), lit("|"), col(s"m${r * i + 1}"))).as("band_key")))
+    val bands = capBands(sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")),
+      maxBandPopulation)
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** LSH banding (b bands of r rows) → candidate pairs → MinHash-estimated
     * Jaccard. The candidate join keys on (band, band_key): cost scales
     * with corpus size, never with pair count; the estimator is a per-row
@@ -112,21 +133,9 @@ object Dedup {
     * bounds the worst-case band — see [[capBands]]. */
   def minhashLsh(spark: SparkSession, dir: String,
       maxBandPopulation: Int = 1000): DataFrame = {
-    val k = 8; val r = 2; val b = k / r
+    val k = 8; val r = 2
     val sigs = minhashSignatures(spark, dir, k).cache()
-    val bandCols = (0 until b).map(i =>
-      struct(lit(i).as("band"),
-        md5(concat(col(s"m${r * i}"), lit("|"), col(s"m${r * i + 1}"))).as("band_key")))
-    val bands = capBands(sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")),
-      maxBandPopulation)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = lshCandidates(sigs, k, r, maxBandPopulation)
     val matches = (0 until k).map(i =>
       when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0)).reduce(_ + _)
     cand
@@ -137,26 +146,77 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Session-scoped cache of the verified near-dup pair stage, keyed on
+    * (session, dir). Six queries (q33/q43/q58/q59/q77/q88) consume the
+    * same shingles → MinHash → LSH-candidates → exact-Jaccard subplan;
+    * before this stage existed each re-ran it from scratch (~2.5 s × 6 of
+    * the sf0.1 bench). A real pipeline materializes the verified edge
+    * list once — this is that stage, kept as an eagerly-computed
+    * in-memory table for the session (at cluster scale the same method
+    * would parquet-materialize under a job-scoped path; the session map
+    * is the local analogue and keeps the oracle path hermetic). */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Visible for specs: number of times the pair pipeline was actually
+    * built (not served from cache). */
+  private[ops] val pairsBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** The full scored near-dup pair set (doc_a, doc_b, jaccard — every LSH
+    * candidate pair sharing ≥1 shingle, unfiltered, unsorted), computed
+    * once per (session, dir), eagerly materialized, then the bulky
+    * intermediates (shingle rows, signature rows) are unpersisted — only
+    * the bounded pair set stays resident. Downstream thresholds are a
+    * filter over this set, so every threshold shares one build. */
+  def confirmedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    // storage-aware: `spark.catalog.clearCache()` (e.g. Bench's
+    // post-warmup reset) unpersists the stage behind our back — a map hit
+    // whose storage is gone must rebuild, or six queries silently re-run
+    // the full pipeline each
+    val hit = pairsCache.get(key)
+    if (hit != null && hit.storageLevel.useMemory) return hit
+    synchronized {
+      val again = pairsCache.get(key)
+      if (again != null && again.storageLevel.useMemory) return again
+      val built = buildConfirmedPairs(spark, dir)
+      pairsCache.put(key, built)
+      built
+    }
+  }
+
+  private def buildConfirmedPairs(spark: SparkSession, dir: String): DataFrame = {
+      pairsBuilds.incrementAndGet()
+      val k = 8; val r = 2
+      val sh = docShingles(spark, dir).cache()
+      val sigs = minhashSignatures(spark, dir, k).cache()
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val cand = lshCandidates(sigs, k, r, maxBandPopulation = 1000)
+      val inter = cand
+        .join(sh.as("wa"), col("wa.doc_id") === col("doc_a"))
+        .join(sh.as("wb"), col("wb.doc_id") === col("doc_b") && col("wa.sh") === col("wb.sh"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = inter
+        .join(counts.as("ca"), col("ca.doc_id") === col("doc_a"))
+        .join(counts.as("cb"), col("cb.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_inter") * lit(1.0) /
+            (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")), 4).as("jaccard"))
+        .cache()
+      pairs.count() // materialize fully before dropping the parents
+      sh.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+      pairs
+  }
+
   /** Exact n-gram Jaccard, computed only for LSH candidate pairs
-    * (candidate-filtered verification — the scalable two-phase shape). */
-  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(spark, dir).cache()
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
-    val inter = cand
-      .join(sh.as("wa"), col("wa.doc_id") === col("doc_a"))
-      .join(sh.as("wb"), col("wb.doc_id") === col("doc_b") && col("wa.sh") === col("wb.sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.as("ca"), col("ca.doc_id") === col("doc_a"))
-      .join(counts.as("cb"), col("cb.doc_id") === col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") * lit(1.0) /
-          (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")), 4).as("jaccard"))
+    * (candidate-filtered verification — the scalable two-phase shape).
+    * Served from the shared [[confirmedPairs]] stage. */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    confirmedPairs(spark, dir)
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Hybrid near-dup verdict: MinHash-LSH text candidates scored by BOTH
     * exact shingle Jaccard and embedding cosine (doc_id ↔ vec_id) — the
@@ -165,7 +225,7 @@ object Dedup {
     * LSH equi-join; the embedding join is a plain key join, so nothing
     * here scales with pair count. */
   def hybridNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val text = ngramJaccard(spark, dir, threshold = 0.0)
+    val text = confirmedPairs(spark, dir)
     val e = Tables.embeddingsSpread(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val unit = e.select(col("vec_id"),
@@ -214,7 +274,7 @@ object Dedup {
     // explode both endpoints in ONE pass — a union of two selects would
     // duplicate the whole candidate pipeline in the plan (2x the
     // exchanges before runtime reuse kicks in)
-    ngramJaccard(spark, dir, threshold)
+    confirmedPairs(spark, dir).where(col("jaccard") >= threshold)
       .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
       .groupBy("d").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_docs"))
@@ -229,7 +289,7 @@ object Dedup {
     * top of the bounded candidate set. */
   def sourceDupMatrix(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val src = Tables.documents(spark, dir).select("doc_id", "source")
-    ngramJaccard(spark, dir, threshold)
+    confirmedPairs(spark, dir).where(col("jaccard") >= threshold)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
       .select(least(col("sa"), col("sb")).as("source_x"),
@@ -249,7 +309,7 @@ object Dedup {
     * at 100 TB the anti-join is a shuffle on doc_id, candidates stay
     * near-linear per the LSH design above. */
   def keepers(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val losers = ngramJaccard(spark, dir, threshold)
+    val losers = confirmedPairs(spark, dir).where(col("jaccard") >= threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, dir)
       .join(losers, Seq("doc_id"), "left_anti")
@@ -295,7 +355,8 @@ object Dedup {
     * the exact closure and would diverge. */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
       maxIters: Int = 10): DataFrame = {
-    val edges = ngramJaccard(spark, dir, threshold).select("doc_a", "doc_b")
+    val edges = confirmedPairs(spark, dir).where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
     val sym = truncate(spark, edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     var labels = truncate(spark, Tables.documents(spark, dir)

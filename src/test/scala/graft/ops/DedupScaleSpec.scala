@@ -24,6 +24,20 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(Dedup.capBands(bands, maxBandPopulation = 5).count() === 7)
   }
 
+  test("confirmedPairs builds the candidate pipeline once per (session, dir) and stays cached") {
+    val before = Dedup.pairsBuilds.get()
+    val first = Dedup.confirmedPairs(spark, dir)
+    val second = Dedup.confirmedPairs(spark, dir)
+    assert(second eq first, "second call must serve the session-cached stage")
+    assert(Dedup.pairsBuilds.get() <= before + 1, "pipeline rebuilt despite the cache")
+    assert(first.storageLevel.useMemory, "pair stage must be persisted")
+    // six downstream queries share the stage: their pair sets must be
+    // consistent views (filter of the same scored set)
+    val all = first.count()
+    val confirmed = Dedup.ngramJaccard(spark, dir).count()
+    assert(confirmed <= all && all > 0)
+  }
+
   test("clusters under a reliable checkpoint dir matches the localCheckpoint result") {
     val local = Dedup.clusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(local.nonEmpty, "expected at least one near-dup cluster in testdata")
@@ -33,5 +47,17 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(reliable === local)
     // the loop actually went through RDD checkpoints, not localCheckpoint
     assert(java.nio.file.Files.list(ckpt).count() > 0, "no checkpoint data written")
+  }
+
+  // declared last: ensureCheckpointDir pins a session-global checkpoint
+  // dir, and the local-vs-reliable test above needs to control its own
+  test("entry points provision a reliable checkpoint dir by default") {
+    graft.GraftSession.ensureCheckpointDir(spark)
+    assert(spark.sparkContext.getCheckpointDir.isDefined,
+      "Bench/Verify sessions must run the fault-tolerant checkpoint path")
+    // idempotent: an already-configured dir is honored, not replaced
+    val before = spark.sparkContext.getCheckpointDir
+    graft.GraftSession.ensureCheckpointDir(spark)
+    assert(spark.sparkContext.getCheckpointDir === before)
   }
 }
