@@ -187,9 +187,9 @@ object SparkEntry {
     * = first 16 vectors, one deterministic Lloyd round with means summed
     * as 1e6-scaled LONGS (integer addition is associative, so the mean is
     * bit-identical across engines and partitionings), nearest-centroid
-    * assignment, nProbe=2 probes, exact cosine within probed lists.
+    * assignment, `nProbe` probes, exact cosine within probed lists.
     * Emits `prefix`scored/`prefix`ranked. */
-  private def ivfCtes(nQueries: Int, prefix: String = ""): String =
+  private def ivfCtes(nQueries: Int, nProbe: Int = 8, prefix: String = ""): String =
     s""", cents0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < 16),
        |a0 AS (
        |  SELECT u.vec_id, u.u, cent_id, ${cosSql("u.u", "cu")} AS cdot
@@ -222,7 +222,7 @@ object SparkEntry {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
        |    FROM adist WHERE vec_id < $nQueries)
-       |  WHERE crn <= 2),
+       |  WHERE crn <= $nProbe),
        |${prefix}scored AS (
        |  SELECT q_id, a.vec_id AS neighbor_id, ${cosSql("qu", "a.u")} AS cos
        |  FROM probes p JOIN assigned a USING (cent_id)

@@ -114,28 +114,33 @@ object Similarity {
     * `avg` varies in the last ulp with summation order, which can flip a
     * rounded tie cross-engine). Long overflow headroom: 1e6-scaled unit
     * components sum safely past 1e12 rows per (centroid, dim). */
-  def ivfCentroids(spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame =
-    ivfCentroidsOf(unitEmbeddings(spark, dir), nCentroids)
+  def ivfCentroids(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      rounds: Int = 1): DataFrame =
+    ivfCentroidsOf(unitEmbeddings(spark, dir), nCentroids, rounds)
 
-  private def ivfCentroidsOf(e: DataFrame, nCentroids: Int): DataFrame = {
-    val seeds = e.where(col("vec_id") < nCentroids)
+  private def ivfCentroidsOf(e: DataFrame, nCentroids: Int, rounds: Int = 1): DataFrame = {
+    var cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("u").as("cu"))
-    val assigned0 = assignNearest(e, seeds)
-    val means = assigned0
-      .select(col("cent_id"), posexplode(col("u")))
-      .groupBy("cent_id", "pos")
-      .agg((sum(round(col("col") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("m"))
-      .groupBy("cent_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cent_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
-    means.select(col("cent_id"), unitVec(col("cv")).as("cu"))
+    for (_ <- 0 until rounds) {
+      val assigned = assignNearest(e, cents)
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("u")))
+        .groupBy("cent_id", "pos")
+        .agg((sum(round(col("col") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
+        .select(col("cent_id"), unitVec(col("cv")).as("cu"))
+    }
+    cents
   }
 
   /** Corpus-side IVF assignment (the inverted file): exposed for plan
     * tests — must contain no Window, only hash aggregates. */
-  def ivfAssignments(spark: SparkSession, dir: String, nCentroids: Int = 16): DataFrame = {
+  def ivfAssignments(spark: SparkSession, dir: String, nCentroids: Int = 16,
+      rounds: Int = 1): DataFrame = {
     val e = unitEmbeddings(spark, dir)
-    assignNearest(e, ivfCentroidsOf(e, nCentroids))
+    assignNearest(e, ivfCentroidsOf(e, nCentroids, rounds))
   }
 
   /** IVF-style ANN: assign every vector to its nearest centroid, then
@@ -143,13 +148,23 @@ object Similarity {
     * ranking exact cosine within them. Candidate generation is an
     * equi-join on centroid id — cost ∝ corpus/nCentroids × nProbe per
     * query, never the full corpus. The probe ranking uses a window only
-    * on the BOUNDED query side. */
+    * on the BOUNDED query side.
+    *
+    * Recall ladder measured at sf0.01 (recall@3 vs exact, 100 queries,
+    * 16 centroids): nProbe 2 → 0.46, 4 → 0.61, 6 → 0.76, 8 → 0.83.
+    * Extra Lloyd `rounds` buy little here (+0.02 at rounds=2) because
+    * the synthetic embeddings are near-isotropic — real text embeddings
+    * cluster harder and shift the tradeoff toward more rounds / more
+    * centroids with fewer probes. At larger corpora raise `nCentroids`
+    * (list length ∝ n/nCentroids) and keep nProbe/nCentroids — the
+    * scanned fraction — at whatever the recall target demands. */
   def ivfTopK(spark: SparkSession, dir: String, nCentroids: Int = 16,
-      nProbe: Int = 2, nQueries: Int = 100, k: Int = 3): DataFrame = {
+      nProbe: Int = 8, nQueries: Int = 100, k: Int = 3,
+      rounds: Int = 1): DataFrame = {
     // the unit-vector scan feeds the seed pass, the corpus assignment and
     // the query side — cache it once (normalization is per-row sqrt work)
     val e = unitEmbeddings(spark, dir).cache()
-    val cents = ivfCentroidsOf(e, nCentroids)
+    val cents = ivfCentroidsOf(e, nCentroids, rounds)
     val assigned = assignNearest(e, cents)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
