@@ -84,10 +84,11 @@ object ConvertQueries {
     * own schema (converter/converter.go:116-127); this report surfaces
     * per-file deviations from the directory consensus BEFORE they become
     * incompatible parquet outputs. Consensus per column = most frequent
-    * inferred type, ties widened through the reference lattice. The
-    * inference is the reference's own O(sample)-per-file driver pass;
-    * the report is file×column metadata, so driver-side assembly is the
-    * honest cost model, not a shortcut. */
+    * inferred type, ties widened through the reference lattice.
+    * Per-file inference runs as ONE distributed job
+    * ([[Inference.detectFiles]]) — reference sampling semantics per file,
+    * executor-parallel across files; only the O(files × columns)
+    * consensus fold is driver-side metadata work. */
   def schemaReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def typeName(t: FieldType): String = t match {
@@ -96,9 +97,9 @@ object ConvertQueries {
       case FieldType.TBool => "BOOL"
       case FieldType.TString => "STRING"
     }
-    val perFile = driftFixturePaths.map { case (name, path) =>
-      name -> Inference.detectFile(spark, path, ',', sampleRows = 100)
-    }
+    val byPath = Inference.detectFiles(
+      spark, driftFixturePaths.map(_._2), ',', sampleRows = 100)
+    val perFile = driftFixturePaths.map { case (name, path) => name -> byPath(path) }
     val all = perFile.flatMap { case (f, s) => s.headers.zip(s.types).map { case (h, t) => (f, h, t) } }
     val consensus: Map[String, FieldType] = all.groupBy(_._2).map { case (h, ts) =>
       val byFreq = ts.groupBy(_._3).map { case (t, xs) => (t, xs.size) }
