@@ -61,6 +61,48 @@ class DocumentsStreamingSpec extends AnyFunSuite {
       s"stream flagged $streamedDocs vs batch $batchDocs")
   }
 
+  test("full streaming curation front-end keeps EXACTLY the batch q72 id-set") {
+    import graft.ops.Curation
+    val dir = mkStreamDir(1)
+    val contaminated = TextAnalysis.decontaminate(spark, sfDir).select("doc_id")
+    // the full front-end, every stage streaming: quality gate (stateless)
+    // → watermarked fingerprint dedup (stateful) → eval holdout
+    // (stateless) → decontamination anti-join (stream-static)
+    val stream = DocumentsStreaming.readDocuments(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore)
+      .where(col("quality") >= 0.5)
+    val clean = DocumentsStreaming.dedupedByFingerprint(stream)
+      .where(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    EventsStreaming.runToMemory(
+      clean.select("doc_id"), "curation_e2e_stream", OutputMode.Append())
+    val streamIds = spark.table("curation_e2e_stream")
+      .collect().map(_.getLong(0)).toSet
+    // batch: q72's kept set before the final accounting aggregate (same
+    // stage order: dedup within the quality-gated corpus, then holdout,
+    // then decontamination)
+    val quality = Tables.documents(spark, sfDir)
+      .where(TextAnalysis.qualityScore >= 0.5)
+    val keepIds = quality
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val batchIds = quality.join(keepIds, Seq("doc_id"), "left_semi")
+      .where(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.nonEmpty)
+    // EXACT id parity, not just counts. The dedup winner matches batch's
+    // min-doc_id policy because the single source file streams as one
+    // ordered task (doc_id-ascending parquet), so each fingerprint's
+    // first-arriving row IS its min id.
+    assert(streamIds === batchIds,
+      s"stream-batch= ${(streamIds -- batchIds).toSeq.sorted.take(10)}, " +
+        s"batch-stream= ${(batchIds -- streamIds).toSeq.sorted.take(10)}")
+    // and the composite is exactly what q72 accounts for
+    val q72n = Curation.curate(spark, sfDir).agg(sum("n_docs")).collect()(0).getLong(0)
+    assert(q72n === batchIds.size)
+  }
+
   test("watermarked fingerprint dedup drops cross-batch duplicates with bounded state") {
     val dir = mkStreamDir(2) // same corpus twice, two micro-batches
     val stream = DocumentsStreaming.readDocuments(spark, dir, maxFilesPerTrigger = 1)
