@@ -86,12 +86,14 @@ object Converter {
     // GoTrim, not trim(): Spark's trim strips only ASCII spaces; the
     // reference (and our inference) trims Go's full whitespace set
     val trimmed = GoCast.goTrim(col(name))
-    val cell = when(trimmed === lit(""), lit(null)).otherwise(trimmed)
     val typed = t match {
-      case FieldType.TInt64   => GoCast.goLong(cell)
-      case FieldType.TFloat64 => GoCast.goDouble(cell)
-      case FieldType.TBool    => GoCast.goBool(cell)
-      case FieldType.TString  => cell
+      // empty→null needs no branch on typed columns: the Go parsers
+      // reject "" to null themselves, exactly like the reference's
+      // empty-cell rule (converter/converter.go:384-386)
+      case FieldType.TInt64   => GoCast.goLong(trimmed)
+      case FieldType.TFloat64 => GoCast.goDouble(trimmed)
+      case FieldType.TBool    => GoCast.goBool(trimmed)
+      case FieldType.TString  => when(trimmed === lit(""), lit(null)).otherwise(trimmed)
     }
     typed.as(name)
   }

@@ -95,14 +95,148 @@ object GoParse {
   }
 
   // ---- boxed variants for Catalyst codegen (see functions.GoCast) ----
-  def trimSpaceUtf8(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
-    if (s == null) null
-    else org.apache.spark.unsafe.types.UTF8String.fromString(trimSpace(s.toString))
-
   def parseDoubleBoxed(s: String): java.lang.Double =
     parseDouble(s) match { case Some(d) => java.lang.Double.valueOf(d); case None => null }
   def parseLongBoxed(s: String): java.lang.Long =
     parseLong(s) match { case Some(l) => java.lang.Long.valueOf(l); case None => null }
   def parseBoolBoxed(s: String): java.lang.Boolean =
     parseBool(s) match { case Some(b) => java.lang.Boolean.valueOf(b); case None => null }
+
+  // ---- zero-allocation UTF8String fast paths (see functions.GoCast) ----
+  // The converter's cast projection runs these per CELL; the String-based
+  // paths above cost a UTF8String->String copy plus a regex matcher per
+  // call, which measured as the dominant cost of the whole CSV->parquet
+  // pipeline (ConvertBench: ~13s of 15.6s at 32 cores on 1 GiB). Each
+  // fast path handles the all-ASCII common case byte-wise with zero
+  // allocation and delegates any non-ASCII / exotic input to the exact
+  // String-grammar implementation above, so semantics are unchanged.
+
+  private type U8 = org.apache.spark.unsafe.types.UTF8String
+
+  /** Single-byte (ASCII) members of Go's whitespace set. The multi-byte
+    * members (U+0085, U+00A0, Unicode White_Space) encode with a negative
+    * lead byte in UTF-8, which routes to the String fallback below. */
+  private def isAsciiGoSpace(b: Byte): Boolean =
+    b == ' '.toByte || (b >= '\t'.toByte && b <= '\r'.toByte)
+
+  /** Go `strings.TrimSpace` over UTF-8 bytes. Returns the input object
+    * untouched (zero alloc) when the boundary bytes are ASCII non-space —
+    * the overwhelmingly common case for CSV cells. */
+  def trimSpaceUtf8(s: U8): U8 = {
+    if (s == null) return null
+    val n = s.numBytes()
+    if (n == 0) return s
+    val first = s.getByte(0)
+    val last = s.getByte(n - 1)
+    if (first >= 0 && last >= 0 && !isAsciiGoSpace(first) && !isAsciiGoSpace(last)) return s
+    var start = 0
+    var end = n
+    while (start < end && { val b = s.getByte(start); b >= 0 && isAsciiGoSpace(b) }) start += 1
+    while (end > start && { val b = s.getByte(end - 1); b >= 0 && isAsciiGoSpace(b) }) end -= 1
+    if (start == end) return org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+    // a non-ASCII boundary byte may start a multi-byte whitespace rune
+    // (U+0085, U+00A0, ...): only the String path knows the full set
+    if (s.getByte(start) < 0 || s.getByte(end - 1) < 0)
+      return org.apache.spark.unsafe.types.UTF8String.fromString(trimSpace(s.toString))
+    if (start == 0 && end == n) s
+    else org.apache.spark.unsafe.types.UTF8String.fromBytes(s.getBytes, start, end - start)
+  }
+
+  /** `strconv.ParseInt(s, 10, 64)` over bytes: optional sign + ASCII
+    * digits, null on syntax error or int64 overflow. Accumulates toward
+    * MIN_VALUE like Long.parseLong so -9223372036854775808 round-trips. */
+  def parseLongBoxedUtf8(s: U8): java.lang.Long = {
+    if (s == null) return null
+    val n = s.numBytes()
+    if (n == 0) return null
+    val b0 = s.getByte(0)
+    val neg = b0 == '-'.toByte
+    var i = if (neg || b0 == '+'.toByte) 1 else 0
+    if (i >= n) return null
+    val limit = if (neg) Long.MinValue else -Long.MaxValue
+    val multmin = limit / 10
+    var acc = 0L
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < '0'.toByte || b > '9'.toByte) return null
+      val d = b - '0'.toByte
+      if (acc < multmin) return null
+      acc *= 10
+      if (acc < limit + d) return null
+      acc -= d
+      i += 1
+    }
+    java.lang.Long.valueOf(if (neg) acc else -acc)
+  }
+
+  /** True iff the bytes form a plain decimal float literal — the subset of
+    * the Go grammar with no underscores, hex, or inf/nan — for which
+    * `Double.parseDouble` returns the same correctly-rounded IEEE value as
+    * Go's `ParseFloat`. */
+  private def isPlainDecimal(s: U8, n: Int): Boolean = {
+    var i = 0
+    val b0 = s.getByte(0)
+    if (b0 == '+'.toByte || b0 == '-'.toByte) i = 1
+    def digits(from: Int): Int = {
+      var j = from
+      while (j < n && { val b = s.getByte(j); b >= '0'.toByte && b <= '9'.toByte }) j += 1
+      j
+    }
+    val intEnd = digits(i)
+    var j = intEnd
+    var fracDigits = 0
+    if (j < n && s.getByte(j) == '.'.toByte) {
+      val fracEnd = digits(j + 1)
+      fracDigits = fracEnd - (j + 1)
+      j = fracEnd
+    }
+    if (intEnd - i == 0 && fracDigits == 0) return false // no mantissa digits
+    if (j < n) {
+      val e = s.getByte(j)
+      if (e != 'e'.toByte && e != 'E'.toByte) return false
+      j += 1
+      if (j < n && { val b = s.getByte(j); b == '+'.toByte || b == '-'.toByte }) j += 1
+      val expEnd = digits(j)
+      if (expEnd == j) return false // empty exponent
+      j = expEnd
+    }
+    j == n
+  }
+
+  /** `strconv.ParseFloat(s, 64)` as the reference uses it, over bytes:
+    * plain decimals validated byte-wise then parsed by the JVM (one String
+    * alloc — Double.parseDouble has no byte API); underscores/hex/inf/nan
+    * fall back to the full String grammar. Overflow to ±Inf is a parse
+    * failure, as in Go. */
+  def parseDoubleBoxedUtf8(s: U8): java.lang.Double = {
+    if (s == null) return null
+    val n = s.numBytes()
+    if (n == 0) return null
+    if (isPlainDecimal(s, n)) {
+      val d = java.lang.Double.parseDouble(s.toString)
+      if (java.lang.Double.isInfinite(d)) null else java.lang.Double.valueOf(d)
+    } else parseDoubleBoxed(s.toString)
+  }
+
+  /** Reference bool test over bytes: ASCII case-insensitive true/false.
+    * Any non-ASCII byte defers to the String path (Go lowercases runes;
+    * no multi-byte rune lowercases into ASCII t/r/u/e, but the String
+    * path stays the single source of truth for that claim). */
+  def parseBoolBoxedUtf8(s: U8): java.lang.Boolean = {
+    if (s == null) return null
+    val n = s.numBytes()
+    var i = 0
+    while (i < n) { if (s.getByte(i) < 0) return parseBoolBoxed(s.toString); i += 1 }
+    def eqLower(word: String): Boolean = {
+      var j = 0
+      while (j < n) {
+        if ((s.getByte(j) | 0x20) != word.charAt(j).toInt) return false
+        j += 1
+      }
+      true
+    }
+    if (n == 4 && eqLower("true")) java.lang.Boolean.TRUE
+    else if (n == 5 && eqLower("false")) java.lang.Boolean.FALSE
+    else null
+  }
 }

@@ -25,8 +25,9 @@ import graft.core.GoParse
   */
 abstract class GoCastExpression extends UnaryExpression {
   override def nullable: Boolean = true
-  /** Java snippet: given the name of a `String` variable, produce a boxed
-    * parse result (null on failure). */
+  /** GoParse method taking the child's UTF8String and returning a boxed
+    * parse result (null on failure) — the zero-copy byte-wise fast paths,
+    * which fall back internally to the String grammar for exotic input. */
   protected def parserMethod: String
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -35,7 +36,7 @@ abstract class GoCastExpression extends UnaryExpression {
       val box = boxedJavaType
       // explicit .xxxValue() unbox — Janino has no auto-unboxing
       s"""
-         |$box $tmp = graft.core.GoParse.$parserMethod($c.toString());
+         |$box $tmp = graft.core.GoParse.$parserMethod($c);
          |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.$unboxMethod(); }
        """.stripMargin
     })
@@ -46,30 +47,33 @@ abstract class GoCastExpression extends UnaryExpression {
 
 case class GoLong(child: Expression) extends GoCastExpression {
   override def dataType: DataType = LongType
-  override protected def parserMethod: String = "parseLongBoxed"
+  override protected def parserMethod: String = "parseLongBoxedUtf8"
   override protected def boxedJavaType: String = "java.lang.Long"
   override protected def unboxMethod: String = "longValue"
-  override protected def nullSafeEval(input: Any): Any = GoParse.parseLongBoxed(input.toString)
+  override protected def nullSafeEval(input: Any): Any =
+    GoParse.parseLongBoxedUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "go_long"
 }
 
 case class GoDouble(child: Expression) extends GoCastExpression {
   override def dataType: DataType = DoubleType
-  override protected def parserMethod: String = "parseDoubleBoxed"
+  override protected def parserMethod: String = "parseDoubleBoxedUtf8"
   override protected def boxedJavaType: String = "java.lang.Double"
   override protected def unboxMethod: String = "doubleValue"
-  override protected def nullSafeEval(input: Any): Any = GoParse.parseDoubleBoxed(input.toString)
+  override protected def nullSafeEval(input: Any): Any =
+    GoParse.parseDoubleBoxedUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "go_double"
 }
 
 case class GoBool(child: Expression) extends GoCastExpression {
   override def dataType: DataType = BooleanType
-  override protected def parserMethod: String = "parseBoolBoxed"
+  override protected def parserMethod: String = "parseBoolBoxedUtf8"
   override protected def boxedJavaType: String = "java.lang.Boolean"
   override protected def unboxMethod: String = "booleanValue"
-  override protected def nullSafeEval(input: Any): Any = GoParse.parseBoolBoxed(input.toString)
+  override protected def nullSafeEval(input: Any): Any =
+    GoParse.parseBoolBoxedUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
   override def prettyName: String = "go_bool"
 }

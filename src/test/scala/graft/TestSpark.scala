@@ -17,4 +17,9 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Recursive on-disk size of a directory (for write-throughput specs). */
+  def dirBytes(f: java.io.File): Long =
+    if (f.isDirectory) Option(f.listFiles()).map(_.map(dirBytes).sum).getOrElse(0L)
+    else f.length()
 }

@@ -26,6 +26,36 @@ class ThroughputScratchSpec extends AnyFunSuite {
     }
   }
 
+  test("codec/dictionary sweep: parquet write throughput on the big CSV") {
+    assume(new java.io.File(big).exists(), s"$big not present")
+    val mb = new java.io.File(big).length / 1024.0 / 1024.0
+    val prevSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
+    try {
+      val schema = Inference.detectFile(spark, big, ',', 100)
+      val cast = Converter.conversionPlan(spark, big, schema, ',', multiLine = false)
+      cast.count() // warm the scan path so the first codec isn't penalized
+      val variants = Seq(
+        ("snappy", true), ("snappy", false),
+        ("zstd", true), ("zstd", false),
+        ("lz4", true), ("uncompressed", true))
+      variants.foreach { case (codec, dict) =>
+        val out = s"/tmp/scratch_codec_${codec}_$dict.parquet"
+        val t0 = System.nanoTime()
+        cast.write.mode("overwrite")
+          .option("compression", codec)
+          .option("parquet.enable.dictionary", dict.toString)
+          .parquet(out)
+        val s = (System.nanoTime() - t0) / 1e9
+        val outMb = graft.TestSpark.dirBytes(new java.io.File(out)) / 1024.0 / 1024.0
+        info(f"$codec dict=$dict: $s%.1fs  (${mb / s}%.1f MiB/s in, $outMb%.0f MiB out)")
+      }
+    } finally prevSplit match {
+      case Some(v) => spark.conf.set("spark.sql.files.maxPartitionBytes", v)
+      case None => spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    }
+  }
+
   private def runBreakdown(mb: Double): Unit = {
     val schema = Inference.detectFile(spark, big, ',', 100)
 
