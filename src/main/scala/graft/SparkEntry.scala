@@ -234,12 +234,40 @@ object SparkEntry {
        |  FROM ${prefix}scored)""".stripMargin
 
   private def simhashVotes(src: String): String =
-    (1 to 32).map(i =>
-      s"sum(CASE WHEN substring(md5($src), $i, 1) >= '8' THEN 1 ELSE -1 END) AS v$i")
-      .mkString(",\n    ")
+    (1 to 32).flatMap { i =>
+      val d = s"substring(md5($src), $i, 1)"
+      Seq(
+        s"sum(CASE WHEN $d >= '8' THEN 1 ELSE -1 END) AS v${2 * i - 1}",
+        s"sum(CASE WHEN $d BETWEEN '4' AND '7' OR $d BETWEEN 'c' AND 'f' THEN 1 ELSE -1 END) AS v${2 * i}")
+    }.mkString(",\n    ")
 
   private val simhashBits =
-    (1 to 32).map(i => s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    (1 to 64).map(i => s"CASE WHEN v$i >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  /** Transitive near-dup clusters over the confirmed-pair graph (requires
+    * MinhashCte's `sh`/`cand` CTEs and WITH RECURSIVE) — shared by q59
+    * (cluster histogram) and q67 (canonical member selection). */
+  private val ClusterCtes =
+    """counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT doc_a, doc_b, count(*) AS n_inter
+      |  FROM cand
+      |  JOIN sh wa ON wa.doc_id = doc_a
+      |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+      |  GROUP BY doc_a, doc_b),
+      |jacpairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM inter
+      |  JOIN counts ca ON ca.doc_id = doc_a
+      |  JOIN counts cb ON cb.doc_id = doc_b
+      |  WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5),
+      |sym AS (SELECT doc_a, doc_b FROM jacpairs
+      |        UNION SELECT doc_b, doc_a FROM jacpairs),
+      |reach(doc_id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.doc_a, r.label FROM sym s JOIN reach r ON r.doc_id = s.doc_b),
+      |per_doc AS (SELECT doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc_id)""".stripMargin
 
   /** DuckDB oracle for each query (same parquet tables, same column
     * names, same ordering). */
@@ -587,16 +615,16 @@ object SparkEntry {
         |  FROM sh GROUP BY doc_id),
         |fp AS (SELECT doc_id, $simhashBits AS simhash FROM votes),
         |nib AS (SELECT doc_id, simhash, n AS nib,
-        |          substring(simhash, n * 8 + 1, 8) AS nib_key
+        |          substring(simhash, n * 16 + 1, 16) AS nib_key
         |        FROM fp CROSS JOIN (SELECT unnest(range(4)) AS n)),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sha,
         |                b.doc_id AS doc_b, b.simhash AS shb
         |         FROM nib a JOIN nib b USING (nib, nib_key)
         |         WHERE a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b,
-        |  CAST(${(1 to 32).map(i => s"(CASE WHEN substring(sha, $i, 1) <> substring(shb, $i, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS hamming
+        |  CAST(${(1 to 64).map(i => s"(CASE WHEN substring(sha, $i, 1) <> substring(shb, $i, 1) THEN 1 ELSE 0 END)").mkString(" + ")} AS BIGINT) AS hamming
         |FROM cand
-        |WHERE ${(1 to 32).map(i => s"(CASE WHEN substring(sha, $i, 1) <> substring(shb, $i, 1) THEN 1 ELSE 0 END)").mkString(" + ")} <= 4
+        |WHERE ${(1 to 64).map(i => s"(CASE WHEN substring(sha, $i, 1) <> substring(shb, $i, 1) THEN 1 ELSE 0 END)").mkString(" + ")} <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
     "q36_embedding_neardup" -> (UnitVecCte + """
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -774,27 +802,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin),
     // transitive closure via a recursive CTE mirrors Spark's min-label
     // propagation fixpoint: both converge to the component minimum
-    "q59_dedup_clusters" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT doc_a, doc_b, count(*) AS n_inter
-        |  FROM cand
-        |  JOIN sh wa ON wa.doc_id = doc_a
-        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
-        |  GROUP BY doc_a, doc_b),
-        |jacpairs AS (
-        |  SELECT doc_a, doc_b
-        |  FROM inter
-        |  JOIN counts ca ON ca.doc_id = doc_a
-        |  JOIN counts cb ON cb.doc_id = doc_b
-        |  WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5),
-        |sym AS (SELECT doc_a, doc_b FROM jacpairs
-        |        UNION SELECT doc_b, doc_a FROM jacpairs),
-        |reach(doc_id, label) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT s.doc_a, r.label FROM sym s JOIN reach r ON r.doc_id = s.doc_b),
-        |per_doc AS (SELECT doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc_id)
+    "q59_dedup_clusters" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      ClusterCtes + """
         |SELECT cluster_rep, count(*) AS n_members
         |FROM per_doc
         |GROUP BY cluster_rep
@@ -1239,12 +1248,8 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS frac
         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
-    "q67_canonical_keepers" -> (ShinglesCte + s""",
-        |votes AS (
-        |  SELECT doc_id,
-        |    ${simhashVotes("sh")}
-        |  FROM sh GROUP BY doc_id),
-        |fp AS (SELECT doc_id, $simhashBits AS simhash FROM votes),
+    "q67_canonical_keepers" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      ClusterCtes + s""",
         |qual AS (
         |  SELECT doc_id,
         |    round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
@@ -1253,11 +1258,11 @@ object SparkEntry {
         |        + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0 /
         |            greatest(length(text), 1)), 4) AS q
         |  FROM documents),
-        |r AS (SELECT fp.simhash, fp.doc_id, qual.q,
-        |        row_number() OVER (PARTITION BY fp.simhash ORDER BY qual.q DESC, fp.doc_id) AS rn,
-        |        count(*) OVER (PARTITION BY fp.simhash) AS n
-        |      FROM fp JOIN qual ON qual.doc_id = fp.doc_id)
-        |SELECT simhash, doc_id AS keep_id, q AS quality, CAST(n AS BIGINT) AS n_dups
+        |r AS (SELECT p.cluster_rep, p.doc_id, qual.q,
+        |        row_number() OVER (PARTITION BY p.cluster_rep ORDER BY qual.q DESC, p.doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY p.cluster_rep) AS n
+        |      FROM per_doc p JOIN qual ON qual.doc_id = p.doc_id)
+        |SELECT cluster_rep, doc_id AS keep_id, q AS quality, CAST(n AS BIGINT) AS n_dups
         |FROM r WHERE rn = 1 AND n >= 2
         |ORDER BY keep_id""".stripMargin),
     "q60_stats_suite" ->

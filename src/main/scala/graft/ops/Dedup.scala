@@ -242,20 +242,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 32-bit SimHash from shingle md5 hex digits: bit i votes +1 when hex
-    * digit i of the shingle's md5 is >= '8'. One groupBy with 32 parallel
-    * sums — no per-bit explode, single shuffle of |docs| rows. (16 bits
-    * proved too coarse: 4-bit LSH bands collide at ~23% for unrelated
-    * docs, a quadratic candidate explosion; 8-bit bands collide at
-    * ~1.6%.) */
+  /** 64-bit SimHash from shingle md5 hex digits: each of the 32 digits
+    * contributes its top two nibble bits (>= '8'; and the 4-bit, i.e.
+    * 4-7/c-f), so the digest is consumed as 64 independent coin flips.
+    * One groupBy with 64 parallel sums — no per-bit explode, single
+    * shuffle of |docs| rows.
+    *
+    * Width history, measured on this corpus: 16-bit fingerprints (4-bit
+    * bands) collide at ~23% for unrelated docs — quadratic candidate
+    * blowup at any scale; 32-bit (8-bit bands) collide at ~1.6% — fine to
+    * ~5k docs but the 10x corpus put q35 at 4.5x cost (bucket populations
+    * grow linearly when band width is fixed, pairs quadratically); 64-bit
+    * (16-bit bands) is the standard production width (Manku et al.,
+    * WWW'07) and keeps expected bucket populations ~1 into the millions
+    * of docs. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // 32 one-byte substring compares per row beat the "parse the digest
+    // one-byte substring compares per row beat the "parse the digest
     // into ints and bit-twiddle" formulation (measured: conv()'s string
     // number parsing costs more than it saves — 3.5s vs 2.3s at sf0.1)
-    val votes = (1 to 32).map { i =>
-      sum(when(substring(col("h"), i, 1) >= "8", 1).otherwise(-1)).as(s"v$i")
+    val votes = (1 to 32).flatMap { i =>
+      val d = substring(col("h"), i, 1)
+      Seq(
+        sum(when(d >= "8", 1).otherwise(-1)).as(s"v${2 * i - 1}"),
+        sum(when(d.between("4", "7") || d.between("c", "f"), 1).otherwise(-1)).as(s"v${2 * i}"))
     }
-    val fp = concat((1 to 32).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*)
+    val fp = concat((1 to 64).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*)
     docShingles(spark, dir)
       .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy("doc_id")
@@ -354,7 +365,17 @@ object Dedup {
     * loudly warned, because the q59 oracle (a recursive CTE) computes
     * the exact closure and would diverge. */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5,
-      maxIters: Int = 10): DataFrame = {
+      maxIters: Int = 10): DataFrame =
+    clusterLabels(spark, dir, threshold, maxIters)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") >= 2)
+      .orderBy("cluster_rep")
+
+  /** Per-doc min-label after propagation — the raw (doc_id, label)
+    * assignment [[clusters]] histograms and [[canonical]] selects within. */
+  private[ops] def clusterLabels(spark: SparkSession, dir: String, threshold: Double,
+      maxIters: Int): DataFrame = {
     val edges = confirmedPairs(spark, dir).where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
     val sym = truncate(spark, edges.union(
@@ -392,21 +413,19 @@ object Dedup {
         s"with $changed labels still changing — clusters may be under-merged vs exact " +
         "transitive closure (raise maxIters)")
     labels
-      .groupBy(col("label").as("cluster_rep"))
-      .agg(count(lit(1)).as("n_members"))
-      .where(col("n_members") >= 2)
-      .orderBy("cluster_rep")
   }
 
-  /** Canonical selection: within each group of SIMHASH-identical docs
-    * (near-identical content), keep the highest-quality member (quality
-    * per TextAnalysis.qualityFilter's score, doc_id as the deterministic
-    * tiebreak). One join + one `max_by` hash aggregate on the simhash
-    * key; emits only groups that actually had duplicates. The "which
-    * copy survives" policy step that follows grouping in a real dedup
-    * pipeline — keyed on the similarity fingerprint rather than the
-    * exact-normalization fingerprint because near-dup corpora rarely
-    * contain byte-identical pairs (this one has none). */
+  /** Canonical selection: within each near-dup CLUSTER (transitive
+    * closure over the confirmed-pair graph, [[clusterLabels]]), keep the
+    * highest-quality member (quality per TextAnalysis.qualityFilter's
+    * score, doc_id as the deterministic tiebreak). One join + one
+    * `max_by` hash aggregate on the cluster label; emits only clusters
+    * that actually had duplicates. The "which copy survives" policy step
+    * that follows clustering in a real dedup pipeline. (Earlier revision
+    * grouped by exact fingerprint equality; at 64-bit fingerprints
+    * near-dups never tie exactly, so grouping keys on the verified
+    * cluster instead — the semantics production pipelines actually
+    * want.) */
   def canonical(spark: SparkSession, dir: String): DataFrame = {
     val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
     val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
@@ -418,34 +437,42 @@ object Dedup {
       lit(0.2) * (lit(1.0) - punct), 4)
     val qdf = Tables.documents(spark, dir)
       .select(col("doc_id"), quality.as("q"))
-    simhash(spark, dir)
+    clusterLabels(spark, dir, threshold = 0.5, maxIters = 10)
       .join(qdf, Seq("doc_id"))
-      .groupBy("simhash")
+      .groupBy(col("label").as("cluster_rep"))
       .agg(max_by(struct(col("doc_id"), col("q")), struct(col("q"), -col("doc_id"))).as("best"),
         count(lit(1)).as("n_dups"))
       .where(col("n_dups") >= 2)
-      .select(col("simhash"), col("best.doc_id").as("keep_id"),
+      .select(col("cluster_rep"), col("best.doc_id").as("keep_id"),
         col("best.q").as("quality"), col("n_dups"))
       .orderBy("keep_id")
   }
 
-  /** SimHash near-dup pairs: 4 bands of 8 bits for candidates (a pair
-    * with hamming <= 4 over 32 bits must agree on at least one band by
-    * pigeonhole... hamming <= 3 strictly; <= 4 with high probability),
-    * then the exact 32-position hamming distance. */
-  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 4): DataFrame = {
+  /** SimHash near-dup pairs: 4 bands of 16 bits for candidates (a pair
+    * with hamming <= 3 over 64 bits must agree on at least one band by
+    * pigeonhole; <= maxHamming with high probability), then the exact
+    * 64-position hamming distance. Bands carry the same population guard
+    * as the MinHash ladder ([[capBands]]): a band key shared by more than
+    * `maxBandPopulation` docs (mass-produced boilerplate) is dropped
+    * rather than allowed to go quadratic — those docs keep their other
+    * three bands. */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 8,
+      maxBandPopulation: Int = 1000): DataFrame = {
     val sh = simhash(spark, dir).cache()
-    val nibbles = sh.select(col("doc_id"), col("simhash"),
-      explode(sequence(lit(0), lit(3))).as("nib"))
-      .withColumn("nib_key", expr("substring(simhash, nib * 8 + 1, 8)"))
-    val cand = nibbles.as("a")
-      .join(nibbles.as("b"),
-        col("a.nib") === col("b.nib") && col("a.nib_key") === col("b.nib_key") &&
+    val bands = capBands(
+      sh.select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("band_key", expr("substring(simhash, band * 16 + 1, 16)"))
+        .select("doc_id", "band", "band_key"),
+      maxBandPopulation)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sha"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("shb"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val hamming = (1 to 32).map(i =>
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("shb")), Seq("doc_b"))
+    val hamming = (1 to 64).map(i =>
       when(substring(col("sha"), i, 1) =!= substring(col("shb"), i, 1), 1).otherwise(0))
       .reduce(_ + _)
     cand

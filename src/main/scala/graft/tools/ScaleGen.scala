@@ -51,6 +51,10 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // events carries TIMESTAMP(NANOS); surface as raw long like Tables
+    // does — the scaled copy round-trips as plain INT64, which
+    // Tables.events normalizes identically
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
