@@ -203,19 +203,69 @@ object GoParse {
     j == n
   }
 
+  // 10^0..10^22 are exactly representable as doubles (5^22 < 2^53)
+  private val Pow10 = Array.tabulate(23)(i => math.pow(10, i))
+
   /** `strconv.ParseFloat(s, 64)` as the reference uses it, over bytes:
-    * plain decimals validated byte-wise then parsed by the JVM (one String
-    * alloc — Double.parseDouble has no byte API); underscores/hex/inf/nan
-    * fall back to the full String grammar. Overflow to ±Inf is a parse
-    * failure, as in Go. */
+    * plain decimals validated byte-wise then parsed; underscores/hex/
+    * inf/nan fall back to the full String grammar. Overflow to ±Inf is a
+    * parse failure, as in Go.
+    *
+    * Short decimals take the classic exact-power-of-ten path (the strtod
+    * fast case): when the mantissa fits 2^53 and |decimal exponent| <=
+    * 22, both operands of `mant * 10^e` / `mant / 10^-e` are exact
+    * doubles, so the single IEEE multiply/divide is correctly rounded —
+    * identical to Double.parseDouble, with no String alloc. Everything
+    * else (long mantissas, big exponents) still goes through the JVM
+    * parser. */
   def parseDoubleBoxedUtf8(s: U8): java.lang.Double = {
     if (s == null) return null
     val n = s.numBytes()
     if (n == 0) return null
-    if (isPlainDecimal(s, n)) {
+    if (!isPlainDecimal(s, n)) return parseDoubleBoxed(s.toString)
+    // second pass: accumulate mantissa/exponent for the exact fast case
+    var i = 0
+    val b0 = s.getByte(0)
+    val neg = b0 == '-'.toByte
+    if (neg || b0 == '+'.toByte) i = 1
+    var mant = 0L
+    var mantDigits = 0
+    var exp10 = 0
+    var exact = true
+    while (i < n && { val b = s.getByte(i); b >= '0'.toByte && b <= '9'.toByte }) {
+      if (mantDigits < 18) { mant = mant * 10 + (s.getByte(i) - '0'.toByte); mantDigits += 1 }
+      else exact = false
+      i += 1
+    }
+    if (i < n && s.getByte(i) == '.'.toByte) {
+      i += 1
+      while (i < n && { val b = s.getByte(i); b >= '0'.toByte && b <= '9'.toByte }) {
+        if (mantDigits < 18) { mant = mant * 10 + (s.getByte(i) - '0'.toByte); mantDigits += 1; exp10 -= 1 }
+        else exact = false
+        i += 1
+      }
+    }
+    if (i < n) { // exponent part (isPlainDecimal guarantees the shape)
+      i += 1
+      var esign = 1
+      if (s.getByte(i) == '-'.toByte) { esign = -1; i += 1 }
+      else if (s.getByte(i) == '+'.toByte) i += 1
+      var e = 0
+      while (i < n) {
+        if (e < 10000) e = e * 10 + (s.getByte(i) - '0'.toByte)
+        i += 1
+      }
+      exp10 += esign * e
+    }
+    if (exact && mant <= (1L << 53) && exp10 >= -22 && exp10 <= 22) {
+      val v =
+        if (exp10 >= 0) mant.toDouble * Pow10(exp10)
+        else mant.toDouble / Pow10(-exp10)
+      java.lang.Double.valueOf(if (neg) -v else v)
+    } else {
       val d = java.lang.Double.parseDouble(s.toString)
       if (java.lang.Double.isInfinite(d)) null else java.lang.Double.valueOf(d)
-    } else parseDoubleBoxed(s.toString)
+    }
   }
 
   /** Reference bool test over bytes: ASCII case-insensitive true/false.

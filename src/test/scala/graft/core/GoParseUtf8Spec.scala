@@ -19,7 +19,13 @@ class GoParseUtf8Spec extends AnyFunSuite {
     "1d", "1f", "inf", "Inf", "+inf", "-Infinity", "nan", "NaN", "0x1p3",
     "0x1.8p1", "1_000.5", "true", "TRUE", "True", "false", "FALSE", "t", "yes",
     "trze", "trué", "truE", "falsÉ", "١٢٣", " 1.5", "1.5 ", "a",
-    " ", " 1 ", "0.1.2", "-.", "+.e5", ".e5", "-.5", "+.5e-3")
+    " ", " 1 ", "0.1.2", "-.", "+.e5", ".e5", "-.5", "+.5e-3",
+    // exact-power-of-ten fast-path boundaries
+    "9007199254740992", "9007199254740993", "-9007199254740993", "0.1",
+    "1e22", "1e-22", "1e23", "1e-23", "2.5e15", "123456789012345678",
+    "1234567890123456789", "12345678901234567890.5", "0.000000000000000001",
+    "000000000000000000001.5", "9007199254740991.5", "1e308", "1e-308",
+    "4.9e-324", "2.2250738585072011e-308", "0e22", "-0e-22", "1e2147483700")
 
   private val rng = new scala.util.Random(20260812L)
   private val alphabet =
