@@ -48,7 +48,18 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val r1 = once(); val r2 = once()
+      var best = math.min(r1, r2)
+      // this box shows intermittent multi-second stall windows (observed
+      // 20-90 s, idle CPU, no GC pauses, position varies across runs —
+      // host-level, not plan-level); a query whose both samples landed in
+      // a stall would record a phantom regression, so anything still slow
+      // after two runs earns a third sample
+      val r3 = if (best > 2.0) { val r = once(); best = math.min(best, r); f", run3=$r%.2f" } else ""
+      // per-run times to stderr: best-of-N hides one-off jitter in the
+      // JSON, but diagnosing WHICH run was slow needs the samples
+      System.err.println(f"[bench] $name run1=$r1%.2f run2=$r2%.2f$r3")
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Multimodal, Packing, Relational, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -102,6 +102,7 @@ object SparkEntry {
     "q88_source_dup_matrix" -> ((s, d) => Dedup.sourceDupMatrix(s, d)),
     "q89_quantization_error" -> Similarity.quantizationError _,
     "q90_template_prefixes" -> ((s, d) => TextAnalysis.templatePrefixes(s, d)),
+    "q91_length_packing" -> ((s, d) => Packing.lengthPacking(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -979,6 +980,33 @@ object SparkEntry {
         | ('ratio',     9, 1, 1, 0)
         |) AS t(column_name, n_rows, n_empty_in, n_null_out, n_coerced)
         |ORDER BY column_name""".stripMargin,
+    // q91: length-bucketed packing into 128-token sequences; bucket via
+    // an explicit comparison ladder (log2 formulations can differ by an
+    // ulp at boundaries across engines), pack math exact small-integer
+    "q91_length_packing" ->
+      """WITH d AS (
+        |  SELECT source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents),
+        |b AS (
+        |  SELECT source, n_tok,
+        |    CASE WHEN n_tok > 64 THEN 128 WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
+        |         WHEN n_tok <= 4 THEN 4 WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16
+        |         WHEN n_tok <= 32 THEN 32 ELSE 64 END AS bucket
+        |  FROM d),
+        |g AS (
+        |  SELECT source, CAST(bucket AS BIGINT) AS bucket,
+        |    count(*) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |    CAST(sum(CAST(ceil(n_tok / 128.0) AS BIGINT)) AS BIGINT) AS long_packs
+        |  FROM b GROUP BY 1, 2),
+        |p AS (
+        |  SELECT source, bucket, n_docs, sum_tok,
+        |    CASE WHEN bucket = 128 THEN long_packs
+        |         ELSE CAST(ceil(n_docs * bucket / 128.0) AS BIGINT) END AS n_packs
+        |  FROM g)
+        |SELECT source, bucket, n_docs, n_packs,
+        |  CAST(n_packs * 128 - sum_tok AS BIGINT) AS pad_tokens,
+        |  round(sum_tok / (n_packs * 128.0), 4) AS fill_ratio
+        |FROM p ORDER BY source, bucket""".stripMargin,
     // q82: 128-token context windows; ceil over integer token counts
     "q82_chunk_stats" ->
       """WITH d AS (

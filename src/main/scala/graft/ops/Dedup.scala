@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def tokens: Column = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+  private def tokens: Column = TextAnalysis.tokens(col("text"))
 
   /** Distinct word-3-gram shingles; short docs (<3 tokens) collapse to a
     * single whole-text shingle. */
@@ -186,7 +186,8 @@ object Dedup {
   }
 
   private def buildConfirmedPairs(spark: SparkSession, dir: String): DataFrame = {
-      pairsBuilds.incrementAndGet()
+      val n = pairsBuilds.incrementAndGet()
+      System.err.println(s"[graft] confirmedPairs build #$n for $dir")
       val k = 8; val r = 2
       val sh = docShingles(spark, dir).cache()
       val sigs = minhashSignatures(spark, dir, k).cache()
@@ -428,7 +429,7 @@ object Dedup {
     * want.) */
   def canonical(spark: SparkSession, dir: String): DataFrame = {
     val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
-    val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long")
+    val nTok = TextAnalysis.nTokens(col("text"))
     val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
       greatest(length(col("text")), lit(1))
     val quality = round(

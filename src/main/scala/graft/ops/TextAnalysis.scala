@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  // counts cast to long: DuckDB surfaces lengths as BIGINT and the
+  // counts surface as long: DuckDB surfaces lengths as BIGINT and the
   // driver compares schemas
   private[ops] def nTokens(c: Column): Column =
-    size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+    graft.functions.TextFunctions.countTokens(c)
 
-  /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
-    * symbol — the classic byte-pair pre-split shape. */
-  private val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  /** `\S+` token runs — byte-wise single-pass kernel, exactly equivalent
+    * to `regexp_extract_all(c, "\\S+", 0)` (contract + fuzz pin:
+    * graft.core.TextNorm / TextExpressionsSpec). Shared by every
+    * text/dedup operator so tokenization can't drift between them. */
+  private[graft] def tokens(c: Column): Column =
+    graft.functions.TextFunctions.splitWhitespace(c)
+
+  // BPE-ish pre-tokenizer (letter runs | digit runs | single non-space
+  // symbol — the classic byte-pair pre-split shape) lives in
+  // TextNorm.countBpeTokensUtf8 as a count-only byte kernel.
 
   /** Per-document surface statistics. */
   def textStats(spark: SparkSession, dir: String): DataFrame =
@@ -72,7 +79,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(nTokens(col("text"))).cast("long").as("ws_tokens"),
-        sum(size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))).cast("long").as("bpe_tokens"))
+        sum(graft.functions.TextFunctions.countBpeTokens(col("text"))).cast("long").as("bpe_tokens"))
       .orderBy("source")
 
   /** Heuristic quality score in [0,1] as a reusable column over a
@@ -100,9 +107,13 @@ object TextAnalysis {
 
   /** Normalization fingerprint: lowercase → strip non-alnum → collapse
     * whitespace → md5. The canonical near-exact-dup key (casing /
-    * punctuation / whitespace insensitive). */
+    * punctuation / whitespace insensitive). The normalization is the
+    * byte-wise `normalize_text` kernel — bit-identical to the original
+    * `trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""),
+    * "\\s+", " "))` chain (TextExpressionsSpec), which was 16.7 s of
+    * pure regex compute at the 100× corpus. */
   def fingerprint(c: Column): Column =
-    md5(trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), "\\s+", " ")))
+    md5(graft.functions.TextFunctions.normalizeText(c))
 
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -128,7 +139,7 @@ object TextAnalysis {
     * the doubles are bit-identical cross-engine. Docs with fewer than two
     * tokens produce no bigrams and drop out (same on both engines). */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val toks = tokens(col("text"))
     val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
       i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
     Tables.documents(spark, dir)
@@ -173,7 +184,7 @@ object TextAnalysis {
     * before ranking so ties break identically cross-engine. */
   def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("term"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = words.distinct().groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
@@ -211,7 +222,7 @@ object TextAnalysis {
 
   /** Exploded (doc_id, gram) rows for all docs with >= 5 tokens. */
   private[graft] def docGrams(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+    df.select(col("doc_id"), tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 5)
       .select(col("doc_id"), explode(grams5(col("toks"))).as("gram"))
 
@@ -234,7 +245,7 @@ object TextAnalysis {
     * on the prefix; clusters of 2+ surface with their size and an
     * example doc. */
   def templatePrefixes(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+    val toks = tokens(col("text"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= k)
@@ -256,7 +267,7 @@ object TextAnalysis {
     val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
       i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
     Tables.documents(spark, dir)
-      .select(regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("toks"))
+      .select(tokens(col("text")).as("toks"))
       .where(size(col("toks")) >= 2)
       .select(explode(bigrams).as("bg"))
       .groupBy("bg")
