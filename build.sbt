@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 87-query bench session compiles ~42k JIT nmethods (~130 MB of
+  // code); the JDK17 default 240 MB segmented code cache hits its
+  // flushing threshold mid-run and the resulting evict/recompile churn
+  // degraded EVERY query 2-30x (measured: full-surface bench 172.5 s
+  // default vs 76.6 s with headroom, q39 35 s -> 2.1 s). Uniform
+  // late-session inflation, invisible on short runs.
+  "-XX:ReservedCodeCacheSize=1g",
 )
