@@ -117,6 +117,107 @@ object TextNorm {
     count
   }
 
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '_'
+
+  private val WordPatterns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
+
+  /** `size(regexp_extract_all(c, "\\b(w1|w2|...)\\b", 0))` for a fixed
+    * lowercase word list. ASCII input takes a one-byte-pass run match:
+    * maximal `[a-zA-Z0-9_]` runs are exactly the `\b`-delimited words,
+    * compared byte-for-byte against each candidate (case-sensitive, like
+    * the pattern; lists here are ≤ 7 entries so a linear probe beats any
+    * hash). Any byte ≥ 0x80 falls back to the literal compiled pattern,
+    * because Java's `\b` is UNICODE-aware even though its `\w` is ASCII —
+    * "aK" with a Kelvin sign has no boundary after the 'a' — and that
+    * quirk is not worth reimplementing byte-wise. Used by the quality
+    * score (stopword density) and lang-ID (marker-word hits). */
+  def countWordsUtf8(s: UTF8String, words: Array[Array[Byte]]): Long = {
+    val n = s.numBytes
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) < 0) return countWordsSlow(s, words)
+      while (i < n && !isWordByte(s.getByte(i)) && s.getByte(i) >= 0) i += 1
+      if (i < n && s.getByte(i) < 0) return countWordsSlow(s, words)
+      if (i < n) {
+        val start = i
+        while (i < n && isWordByte(s.getByte(i))) i += 1
+        // a run ending at a non-ASCII byte has no ASCII-decidable boundary
+        if (i < n && s.getByte(i) < 0) return countWordsSlow(s, words)
+        val len = i - start
+        var w = 0
+        var matched = false
+        while (!matched && w < words.length) {
+          val cand = words(w)
+          if (cand.length == len) {
+            var j = 0
+            while (j < len && cand(j) == s.getByte(start + j)) j += 1
+            matched = j == len
+          }
+          w += 1
+        }
+        if (matched) count += 1
+      }
+    }
+    count
+  }
+
+  private def countWordsSlow(s: UTF8String, words: Array[Array[Byte]]): Long = {
+    val key = words.map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).mkString("|")
+    var p = WordPatterns.get(key)
+    if (p == null) {
+      p = java.util.regex.Pattern.compile("\\b(" + key + ")\\b")
+      WordPatterns.put(key, p)
+    }
+    val m = p.matcher(s.toString)
+    var count = 0L
+    while (m.find()) count += 1
+    count
+  }
+
+  /** `length(regexp_replace(c, "[a-zA-Z0-9\\s]", ""))` — the count of
+    * CODE POINTS outside ASCII alnum/whitespace (Spark `length` counts
+    * characters; a multi-byte sequence is one). Lead-byte walk, exact
+    * for valid UTF-8. The punctuation-ratio numerator. */
+  def countNonAlnumCharsUtf8(s: UTF8String): Long = {
+    val n = s.numBytes
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      val u = s.getByte(i) & 0xFF
+      if (u < 0x80) {
+        if (!((u >= 'a' && u <= 'z') || (u >= 'A' && u <= 'Z') ||
+              (u >= '0' && u <= '9') || u == ' ' || (u >= 9 && u <= 13))) count += 1
+        i += 1
+      } else {
+        count += 1
+        i += (if (u < 0xE0) 2 else if (u < 0xF0) 3 else 4)
+      }
+    }
+    count
+  }
+
+  /** `length(regexp_replace(c, "\\s", ""))` — code points that are not
+    * ASCII whitespace. The avg-token-length numerator. */
+  def countNonWsCharsUtf8(s: UTF8String): Long = {
+    val n = s.numBytes
+    var count = 0L
+    var i = 0
+    while (i < n) {
+      val u = s.getByte(i) & 0xFF
+      if (u < 0x80) {
+        if (!(u == ' ' || (u >= 9 && u <= 13))) count += 1
+        i += 1
+      } else {
+        count += 1
+        i += (if (u < 0xE0) 2 else if (u < 0xF0) 3 else 4)
+      }
+    }
+    count
+  }
+
   private val EmptyTokens = new GenericArrayData(new Array[Any](0))
 
   /** `\S+` token runs as zero-copy slices over one shared byte array. */

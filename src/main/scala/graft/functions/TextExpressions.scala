@@ -59,9 +59,57 @@ case class CountBpeTokens(child: Expression) extends UnaryExpression {
   override def prettyName: String = "count_bpe_tokens"
 }
 
+/** `size(regexp_extract_all(c, "\\b(w1|w2|…)\\b", 0))` for a fixed
+  * lowercase word list — whole-`\b`-word hit counting as one byte pass
+  * (contract: TextNorm.countWordsUtf8). The compiled word-byte table is
+  * embedded in the generated class via `addReferenceObj`. */
+case class CountWords(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    TextNorm.countWordsUtf8(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], wordBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftWords", wordBytes, "byte[][]")
+      s"${ev.value} = graft.core.TextNorm.countWordsUtf8($c, $ref);"
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "count_words"
+}
+
+/** `length(regexp_replace(c, "[a-zA-Z0-9\\s]", ""))` — code points
+  * outside ASCII alnum/whitespace (punctuation-ratio numerator). */
+case class CountNonAlnumChars(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextNorm.countNonAlnumCharsUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextNorm.countNonAlnumCharsUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "count_non_alnum_chars"
+}
+
+/** `length(regexp_replace(c, "\\s", ""))` — non-ASCII-whitespace code
+  * points (avg-token-length numerator). */
+case class CountNonWsChars(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override protected def nullSafeEval(input: Any): Any =
+    TextNorm.countNonWsCharsUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.core.TextNorm.countNonWsCharsUtf8($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+  override def prettyName: String = "count_non_ws_chars"
+}
+
 object TextFunctions {
   def normalizeText(c: Column): Column = Bridge.column(NormalizeText(Bridge.expression(c)))
   def splitWhitespace(c: Column): Column = Bridge.column(SplitWhitespace(Bridge.expression(c)))
   def countTokens(c: Column): Column = Bridge.column(CountTokens(Bridge.expression(c)))
   def countBpeTokens(c: Column): Column = Bridge.column(CountBpeTokens(Bridge.expression(c)))
+  def countWords(c: Column, words: Seq[String]): Column =
+    Bridge.column(CountWords(Bridge.expression(c), words))
+  def countNonAlnumChars(c: Column): Column = Bridge.column(CountNonAlnumChars(Bridge.expression(c)))
+  def countNonWsChars(c: Column): Column = Bridge.column(CountNonWsChars(Bridge.expression(c)))
 }

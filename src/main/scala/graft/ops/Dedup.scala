@@ -191,6 +191,15 @@ object Dedup {
       val k = 8; val r = 2
       val sh = docShingles(spark, dir).cache()
       val sigs = minhashSignatures(spark, dir, k).cache()
+      // materialize both caches BEFORE the candidate/intersection joins
+      // are planned: cold, the shingle explode's size estimate is garbage
+      // and join-strategy misplays on it are catastrophic at scale
+      // (observed: a 100x cold build orders of magnitude over its warm
+      // cost); planned against materialized InMemoryRelations, every join
+      // sees real row counts. The scans were needed anyway — this only
+      // moves them ahead of planning.
+      sh.count()
+      sigs.count()
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = lshCandidates(sigs, k, r, maxBandPopulation = 1000)
       val inter = cand
@@ -428,9 +437,9 @@ object Dedup {
     * cluster instead — the semantics production pipelines actually
     * want.) */
   def canonical(spark: SparkSession, dir: String): DataFrame = {
-    val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
+    val stop = graft.functions.TextFunctions.countWords(col("text"), TextAnalysis.QualityStopwords)
     val nTok = TextAnalysis.nTokens(col("text"))
-    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+    val punct = graft.functions.TextFunctions.countNonAlnumChars(col("text")) * lit(1.0) /
       greatest(length(col("text")), lit(1))
     val quality = round(
       lit(0.4) * least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0)) +

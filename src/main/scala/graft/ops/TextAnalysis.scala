@@ -42,9 +42,9 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nTokens(col("text")).as("n_tokens"),
-        round(length(regexp_replace(col("text"), "\\s", "")) * lit(1.0) /
+        round(graft.functions.TextFunctions.countNonWsChars(col("text")) * lit(1.0) /
           greatest(nTokens(col("text")), lit(1)), 4).as("avg_token_len"),
-        round(length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+        round(graft.functions.TextFunctions.countNonAlnumChars(col("text")) * lit(1.0) /
           greatest(length(col("text")), lit(1)), 4).as("punct_ratio"))
       .orderBy("doc_id")
 
@@ -53,7 +53,7 @@ object TextAnalysis {
     * the confusion matrix against the labeled `lang` column. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     def hits(words: String): Column =
-      size(regexp_extract_all(col("text"), lit(s"\\b($words)\\b"), lit(0)))
+      graft.functions.TextFunctions.countWords(col("text"), words.split('|').toSeq)
     val scored = Tables.documents(spark, dir)
       .withColumn("n_en", hits("the|and|of|to|in"))
       .withColumn("n_de", hits("der|die|und|das|ist"))
@@ -87,11 +87,14 @@ object TextAnalysis {
     * saturation + stopword density + non-alnum penalty — the standard
     * pre-training quality-filter shape. Shared by q23, the q72 curation
     * pipeline, and the streaming curation front-end. */
+  /** English stopword set of the quality score's density term. */
+  private[graft] val QualityStopwords = Seq("the", "a", "of", "to", "and", "is", "in")
+
   private[graft] def qualityScore: Column = {
-    val stop = size(regexp_extract_all(col("text"), lit("\\b(the|a|of|to|and|is|in)\\b"), lit(0)))
+    val stop = graft.functions.TextFunctions.countWords(col("text"), QualityStopwords)
     val lenScore = least(col("n_chars") * lit(1.0) / lit(500.0), lit(1.0))
     val stopScore = least(stop * lit(10.0) / greatest(nTokens(col("text")), lit(1)), lit(1.0))
-    val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")) * lit(1.0) /
+    val punct = graft.functions.TextFunctions.countNonAlnumChars(col("text")) * lit(1.0) /
       greatest(length(col("text")), lit(1))
     round(lit(0.4) * lenScore + lit(0.4) * stopScore + lit(0.2) * (lit(1.0) - punct), 4)
   }

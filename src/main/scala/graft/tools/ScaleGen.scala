@@ -30,11 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object ScaleGen {
 
-  private def rotate(c: Column, shift: Int): Column = {
-    val lower = "abcdefghijklmnopqrstuvwxyz"
-    val upper = lower.toUpperCase
-    def rot(s: String) = s.drop(shift % 26) + s.take(shift % 26)
-    translate(c, lower + upper, rot(lower) + rot(upper))
+  /** Per-copy letter substitution: a seeded Fisher-Yates PERMUTATION of
+    * the alphabet (copy 0 = identity). Replaces the earlier Caesar
+    * rotation, which has only 26 distinct values — at factors > 26, or
+    * when two ScaleGen applications compose (10 × 10 → shift i+j), copies
+    * landing on the same total shift had IDENTICAL text, seeding massive
+    * cross-copy exact-dup clusters whose candidate-pair workload grows
+    * quadratically (measured: the 100× confirmed-pair build at 981 s vs
+    * the ~linear cost the corpus was supposed to exhibit — that measured
+    * the data, not the engine). Distinct seeded permutations (26! space)
+    * keep cross-copy docs shingle-disjoint at any factor, and two
+    * compositions collide with ~zero probability. The seed is salted
+    * with the source path so chained applications (sf0.1 → 10× → 100×)
+    * draw from different permutation families — otherwise copy (i, 0)
+    * and copy (0, i) would compose to the same single permutation and
+    * collide exactly. */
+  private def rotate(c: Column, copy: Int, seedSalt: Long): Column = {
+    if (copy == 0) return c
+    val lower = "abcdefghijklmnopqrstuvwxyz".toCharArray
+    val rng = new scala.util.Random(0x5eedL + copy * 1000003L + seedSalt * 7919L)
+    val perm = lower.clone()
+    for (i <- perm.length - 1 to 1 by -1) {
+      val j = rng.nextInt(i + 1)
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+    }
+    val from = new String(lower) + new String(lower).toUpperCase
+    val to = new String(perm) + new String(perm).toUpperCase
+    translate(c, from, to)
   }
 
   /** Union `factor` copies of `df`, transforming copy i via `shifted`. */
@@ -97,7 +119,7 @@ object ScaleGen {
     }, "events")
     write(copies(documents, factor) { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * docOff))
-        .withColumn("text", rotate(col("text"), i))
+        .withColumn("text", rotate(col("text"), i, src.hashCode.toLong))
     }, "documents")
     write(copies(embeddings, factor) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
