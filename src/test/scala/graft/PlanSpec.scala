@@ -130,4 +130,20 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges >= 1, "counter counted nothing — plan-string format changed?")
     assert(exchanges <= 2, s"too many shuffles for exact dedup:\n${p.take(2000)}")
   }
+
+  test("q91 packing is one map-side-combined aggregate — no window, no join") {
+    val df = SparkEntry.queries("q91_length_packing")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the closed-form pack math must never regress to rank-then-assign
+    // (a per-bucket global ordering) or a self-join for the sums
+    assert(!p.contains("Window"), s"q91 planned a window:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"q91 planned a join:\n${p.take(2000)}")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "q91 should partial-aggregate map-side")
+    // one aggregation exchange (+ the final orderBy's range exchange);
+    // the AQE plan string can render the aggregate exchange twice
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges >= 1 && exchanges <= 2,
+      s"q91 should shuffle once for the aggregate:\n${p.take(2000)}")
+  }
 }
