@@ -65,7 +65,7 @@ object SparkEntry {
     "q47_range_join" -> Relational.balanceBands _,
     "q48_pivot" -> Relational.segmentStatusPivot _,
     "q49_cube" -> Relational.cubeRevenue _,
-    "q50_approx_distinct" -> Relational.approxOrderCounts _,
+    "q50_approx_distinct" -> ((s, d) => Relational.approxOrderCounts(s, d)),
     "q51_activity_full_outer" -> Relational.activityFullOuter _,
     "q52_union_parties" -> Relational.nationParticipants _,
     "q53_order_seasonality" -> Relational.orderSeasonality _,
@@ -732,8 +732,24 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, o_orderpriority)
         |ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-    // q50_approx_distinct: deliberately no oracle — HLL sketches are not
-    // cross-engine reproducible; QueriesSpec bounds the relative error.
+    // q50/q55: the Spark side reduces each sketch to a deterministic
+    // verdict relation (exact value + within_bound flag), so the oracle
+    // is plain SQL with a constant 1 — a sketch drifting out of bound
+    // flips the flag and fails the hash compare.
+    "q50_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q55_approx_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(value, 0.95), 2) AS p95_exact,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     "q51_activity_full_outer" ->
       """SELECT user_id, n_orders, order_value, n_events
         |FROM (SELECT o_custkey AS user_id, count(*) AS n_orders,

@@ -295,12 +295,18 @@ object Relational {
         |ORDER BY gid, r_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
   }
 
-  /** HyperLogLog++ sketch vs exact distinct count, side by side. The
-    * sketch is the scale path: mergeable partial state (bytes per group,
-    * not a distinct-values hash table), one narrow shuffle. No DuckDB
-    * oracle — HLL implementations differ across engines — so the driver
-    * records a rows-only check; QueriesSpec bounds rel_err ≤ 2%. */
-  def approxOrderCounts(spark: SparkSession, dir: String): DataFrame =
+  /** HyperLogLog++ sketch vs exact distinct count. The sketch is the
+    * scale path: mergeable partial state (bytes per group, not a
+    * distinct-values hash table), one narrow shuffle.
+    *
+    * Output is the deterministic VERDICT relation, not the sketch value:
+    * the exact count (engine-portable) plus `within_bound` = 1 iff the
+    * HLL estimate landed within `bound` relative error of it. Raw HLL
+    * estimates differ across engines, so publishing the estimate would
+    * leave the query un-oracle-checkable; publishing the verdict keeps
+    * the sketch's accuracy claim inside the hard hash-compare gate (the
+    * oracle expects a constant 1 — a drifting sketch flips the hash). */
+  def approxOrderCounts(spark: SparkSession, dir: String, bound: Double = 0.02): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
@@ -308,8 +314,9 @@ object Relational {
         // state per group, vs the unbounded hash table exact needs
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         countDistinct("l_orderkey").as("exact_orders"))
-      .withColumn("rel_err",
-        round(abs(col("approx_orders") - col("exact_orders")) / col("exact_orders"), 4))
+      .select(col("l_returnflag"), col("exact_orders"),
+        when(abs(col("approx_orders") - col("exact_orders")) / col("exact_orders") <= bound, 1L)
+          .otherwise(0L).as("within_bound"))
       .orderBy("l_returnflag")
 
   /** FULL OUTER join of two aggregates: per-user order activity vs
@@ -358,10 +365,16 @@ object Relational {
   /** Quantile sketch vs exact interpolated percentile. Like q50's HLL,
     * the sketch (GK/KLL-style, `percentile_approx`) is the 100 TB path:
     * bounded-size mergeable per-group state instead of buffering every
-    * value for an exact sort. Rows-only for the driver (sketch internals
-    * are not cross-engine reproducible); QueriesSpec bounds the error
-    * against the exact answer computed in the same query. */
-  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    * value for an exact sort.
+    *
+    * Same verdict shape as [[approxOrderCounts]]: the exact percentiles
+    * (q19 proves they hash-match DuckDB's `quantile_cont` at 2 decimals)
+    * plus `within_bound` = 1 iff BOTH sketch estimates track their exact
+    * answer within max(5% relative, 0.5 absolute) — so sketch accuracy
+    * sits inside the hard oracle gate instead of a spec-only check. */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+      abs(approx - exact) <= greatest(abs(exact) * 0.05, lit(0.5))
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
@@ -369,7 +382,11 @@ object Relational {
         round(expr("percentile(value, 0.5)"), 2).as("p50_exact"),
         round(expr("percentile_approx(value, 0.95, 10000)"), 2).as("p95_approx"),
         round(expr("percentile(value, 0.95)"), 2).as("p95_exact"))
+      .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+        when(ok(col("p50_approx"), col("p50_exact")) &&
+          ok(col("p95_approx"), col("p95_exact")), 1L).otherwise(0L).as("within_bound"))
       .orderBy("event_type")
+  }
 
   /** Array aggregation: per-order sorted part list (rendered as a CSV
     * string so the oracle compare is representation-independent).
