@@ -2,19 +2,46 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+/** Benchmark main: prints ONE compact JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * and writes a SELF-DEFENDING evidence file alongside it.
   *
   * Each query is first run once untimed at sf0.001 (WARMUP: triggers
   * Catalyst analysis, whole-stage codegen class generation, and JIT of
   * the generated code — measured to dominate cold timings by 10-30x),
   * then timed at the target scale factor in name order.
+  *
+  * Why the evidence file exists: this host shows intermittent multi-
+  * second stall windows (observed 20-90 s, idle CPU, no GC pauses,
+  * position varies across runs — host-level, not plan-level). Two
+  * recorded rounds disagreed with same-code local runs by 1.5-2.7x, and
+  * the per-sample data needed to arbitrate lived only in stderr, which
+  * the recording pipeline truncates. The bench therefore records, per
+  * query: every wall-time sample, the process-CPU time of each sample,
+  * and an interleaved sub-100 ms CONTROL query (fixed plan, sf0.001) —
+  * a stall window shows up as a control spike + wall≫CPU on whatever
+  * query it landed on, distinguishing "host stalled under q34" from
+  * "q34 regressed". The compact stdout line carries a summary
+  * (control min/median/max, total wall vs CPU) and the evidence path;
+  * values are rounded to 3 decimals so the full 87-query line fits a
+  * 4 KiB log-tail window.
   */
 object Bench {
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** Process CPU seconds (all threads) — wall≫ΔCPU on a sample means the
+    * process was descheduled or blocked, i.e. a host stall, not plan work. */
+  private def cpuSec(): Double = osBean.getProcessCpuTime / 1e9
+
+  private def r3(d: Double): String = f"$d%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val evidencePath = sys.env.getOrElse("SPARK_GRAFT_EVIDENCE", "/root/repo/BENCH_EVIDENCE.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,36 +62,83 @@ object Bench {
       }
     }
     spark.catalog.clearCache() // drop warmup cached relations before timing
-    // best of two timed runs per query: single samples showed multi-second
-    // one-off jitter (GC / JIT recompilation) on sub-second plans
+
+    // CONTROL: a fixed sub-100 ms plan re-run between every timed query —
+    // one whole-stage-codegen range-sum stage, no IO, no shuffle, so its
+    // only variance sources are the scheduler, GC, and the host. Its
+    // timeline is flat unless the host stalls — the per-query samples
+    // then show WHICH timed query absorbed the stall.
+    def controlOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    controlOnce() // warm the control's own codegen before the timeline starts
+    val controls = scala.collection.mutable.ArrayBuffer[Double](controlOnce())
+
+    val samples = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
     val results = ordered.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
+      def once(): (Double, Double) = {
+        val c0 = cpuSec(); val t0 = System.nanoTime()
         // a query that crashes at bench scale must FAIL the bench loudly,
         // never silently report a fast wall-time
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           throw new RuntimeException(s"bench query $name failed: ${e.getMessage}", e)
         }
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, cpuSec() - c0)
       }
-      val r1 = once(); val r2 = once()
-      var best = math.min(r1, r2)
-      // this box shows intermittent multi-second stall windows (observed
-      // 20-90 s, idle CPU, no GC pauses, position varies across runs —
-      // host-level, not plan-level); a query whose both samples landed in
-      // a stall would record a phantom regression, so anything still slow
-      // after two runs earns a third sample
-      val r3 = if (best > 2.0) { val r = once(); best = math.min(best, r); f", run3=$r%.2f" } else ""
-      // per-run times to stderr: best-of-N hides one-off jitter in the
-      // JSON, but diagnosing WHICH run was slow needs the samples
-      System.err.println(f"[bench] $name run1=$r1%.2f run2=$r2%.2f$r3")
+      // best of two timed runs per query: single samples showed multi-
+      // second one-off jitter (GC / JIT recompilation) on sub-second
+      // plans; anything still slow after two runs earns a third sample
+      // (a stall window can swallow both)
+      var runs = Vector(once(), once())
+      if (runs.map(_._1).min > 2.0) runs = runs :+ once()
+      samples(name) = runs
+      controls += controlOnce()
+      val best = runs.map(_._1).min
+      System.err.println(s"[bench] $name " +
+        runs.zipWithIndex.map { case ((w, c), i) => s"run${i + 1}=${r3(w)}/cpu${r3(c)}" }
+          .mkString(" "))
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val ctlSorted = controls.toVector.sorted
+    val ctlMed = ctlSorted(ctlSorted.size / 2)
+    val totalWall = samples.values.map(_.map(_._1).sum).sum
+    val totalCpu = samples.values.map(_.map(_._2).sum).sum
+
+    // full evidence: every sample (wall + process-CPU) per query, every
+    // control reading in run order — enough to reconstruct the timeline
+    // and falsify (or confirm) a host-stall hypothesis from the artifact
+    val ev = new StringBuilder
+    ev.append("{\"sf\":\"").append(sfDir).append("\",\"cpus\":").append(cpus)
+      .append(",\"control_query\":\"range(50e6).sum - codegen only, no IO\"")
+      .append(",\"control_runs\":[").append(controls.map(r3).mkString(",")).append(']')
+      .append(",\"total_wall\":").append(r3(totalWall))
+      .append(",\"total_process_cpu\":").append(r3(totalCpu))
+      .append(",\"queries\":{")
+    ev.append(samples.map { case (n, rs) =>
+      "\"" + n + "\":{\"wall\":[" + rs.map(r => r3(r._1)).mkString(",") +
+        "],\"cpu\":[" + rs.map(r => r3(r._2)).mkString(",") + "]}"
+    }.mkString(","))
+    ev.append("}}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(evidencePath), ev.toString)
+    catch { case e: Exception =>
+      System.err.println(s"[bench] warn: could not write $evidencePath: ${e.getMessage}")
+    }
+    System.err.println(s"[bench] evidence written to $evidencePath")
+
+    // compact line of record LAST (log tails keep the end): 3-decimal
+    // values + control/CPU summary — the anomaly tells are in-band even
+    // if only this line survives
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs""" +
+      s""","ctl":{"n":${controls.size},"min":${r3(ctlSorted.head)},"med":${r3(ctlMed)},"max":${r3(ctlSorted.last)}}""" +
+      s""","wall":${r3(totalWall)},"pcpu":${r3(totalCpu)}""" +
+      s""","evidence":"$evidencePath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,19 +38,33 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(confirmed <= all && all > 0)
   }
 
-  test("clusters under a reliable checkpoint dir matches the localCheckpoint result") {
-    val local = Dedup.clusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(local.nonEmpty, "expected at least one near-dup cluster in testdata")
+  test("simhash stage is computed once per (session, dir) and shared by q34/q35") {
+    val before = Dedup.simhashBuilds.get()
+    val fp1 = Dedup.simhash(spark, dir).collect()
+    val fp2 = Dedup.simhash(spark, dir).collect()
+    assert(fp1.sameElements(fp2))
+    assert(Dedup.simhashBuilds.get() <= before + 1, "fingerprints recomputed despite the stage cache")
+    // q35 consumes the same stage — no extra build
+    val mid = Dedup.simhashBuilds.get()
+    Dedup.simhashNearDup(spark, dir).count()
+    assert(Dedup.simhashBuilds.get() === mid, "simhashNearDup rebuilt the fingerprint stage")
+  }
+
+  test("the propagation loop self-provisions a RELIABLE checkpoint dir and honors an explicit one") {
+    // any entry point reaching the BSP loop must end up with a reliable
+    // checkpoint dir (localCheckpoint dies with an executor on a cluster)
+    val auto = Dedup.clusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.nonEmpty, "expected at least one near-dup cluster in testdata")
+    assert(spark.sparkContext.getCheckpointDir.isDefined,
+      "clusters() must self-provision a reliable checkpoint dir")
+    // an explicitly configured dir is honored and actually written to
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.sparkContext.setCheckpointDir(ckpt.toString)
-    val reliable = Dedup.clusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(reliable === local)
-    // the loop actually went through RDD checkpoints, not localCheckpoint
+    val explicit = Dedup.clusters(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(explicit === auto)
     assert(java.nio.file.Files.list(ckpt).count() > 0, "no checkpoint data written")
   }
 
-  // declared last: ensureCheckpointDir pins a session-global checkpoint
-  // dir, and the local-vs-reliable test above needs to control its own
   test("entry points provision a reliable checkpoint dir by default") {
     graft.GraftSession.ensureCheckpointDir(spark)
     assert(spark.sparkContext.getCheckpointDir.isDefined,
