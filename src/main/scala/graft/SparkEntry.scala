@@ -147,8 +147,9 @@ object SparkEntry {
   /** Multi-table sign-LSH chain with multi-probe (mirrors
     * Similarity.lshTopK): `nTables` tables, table t keyed by sign bits of
     * dims [t*bits+1, t*bits+bits]; each query probes its own bucket per
-    * table plus every flip-one-bit bucket; candidates dedup before exact
-    * scoring. Emits `prefix`scored/`prefix`ranked on top of
+    * table plus every bucket at hamming distance 1 or 2 ((f1,f2) pairs:
+    * (0,0)=own, (0,j)=flip j, (i<j)=flip both); candidates dedup before
+    * exact scoring. Emits `prefix`scored/`prefix`ranked on top of
     * [[UnitVecCte]]. */
   private def lshCtes(bits: Int, nTables: Int, nQueries: Int, prefix: String = ""): String = {
     val signs = (1 to bits * nTables)
@@ -163,11 +164,15 @@ object SparkEntry {
        |  WHERE vec_id < $nQueries),
        |probe AS (
        |  SELECT q_id, tbl,
-       |    CASE WHEN f = 0 THEN bucket
-       |         ELSE substring(bucket, 1, f - 1)
-       |           || (CASE WHEN substring(bucket, f, 1) = '1' THEN '0' ELSE '1' END)
-       |           || substring(bucket, f + 1) END AS bucket
-       |  FROM qb, (SELECT unnest(range(0, ${bits + 1})) AS f)),
+       |    array_to_string([CASE WHEN i = f1 OR i = f2
+       |        THEN (CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
+       |        ELSE substring(bucket, i, 1) END
+       |      for i in range(1, $bits + 1)], '') AS bucket
+       |  FROM qb,
+       |    (SELECT a.f AS f1, b.f AS f2
+       |     FROM (SELECT unnest(range(0, ${bits + 1})) AS f) a,
+       |          (SELECT unnest(range(0, ${bits + 1})) AS f) b
+       |     WHERE a.f = 0 OR b.f > a.f)),
        |lcand AS (
        |  SELECT DISTINCT q_id, t.vec_id AS neighbor_id
        |  FROM probe p JOIN tb t USING (tbl, bucket)

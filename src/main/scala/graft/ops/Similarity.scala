@@ -183,21 +183,25 @@ object Similarity {
 
   /** ANN via multi-table sign-LSH with multi-probe: `nTables` hash
     * tables, table t keyed by the sign bits of dims [t*bits+1, t*bits+bits];
-    * each query probes its own bucket per table plus (with `multiProbe`)
-    * every flip-one-bit bucket. Candidate generation is a hash equi-join
-    * on (table, bucket) + a distinct — the same banded shape as
-    * MinHash-LSH, never all-pairs.
+    * each query probes its own bucket per table plus every bucket within
+    * hamming distance `maxFlips` (all flip-one and flip-two variants).
+    * Candidate generation is a hash equi-join on (table, bucket) + a
+    * distinct — the same banded shape as MinHash-LSH, never all-pairs.
     *
-    * Scale knobs (measured at sf0.01, 500 random vectors, recall@3 vs
-    * exact): 1 table × 8 bits = 0.02; +multiprobe = 0.12; 8 tables = 0.14;
-    * 8 tables + multiprobe = 0.66 with ~127 candidates/query. As the
-    * corpus grows, widen `bits` (bucket population ∝ n/2^bits) and spend
-    * tables/probes to hold recall — probe count grows linearly while
-    * bucket population shrinks exponentially. */
+    * Recall ladder (measured at sf0.01, recall@3 vs exact): 1 table ×
+    * 8 bits = 0.02; +flip-one = 0.12; 8 tables = 0.14; 8 tables +
+    * flip-one = 0.66; 8 tables + flip-two = see BASELINE.md (this is the
+    * shipped default). Probe count per table grows ~bits²/2 (37 at
+    * bits=8) but probes are metadata rows — candidate cost is governed by
+    * bucket population. As the corpus grows, widen `bits` (bucket
+    * population ∝ n/2^bits) and spend tables/probes to hold recall —
+    * probe count grows polynomially while bucket population shrinks
+    * exponentially. */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 200,
       k: Int = 3, bits: Int = 8, nTables: Int = 8,
-      multiProbe: Boolean = true): DataFrame = {
+      maxFlips: Int = 2): DataFrame = {
     require(bits * nTables <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
+    require(maxFlips >= 0 && maxFlips <= 2, "probe ladder supports hamming 0-2")
     val e = unitEmbeddings(spark, dir)
       .withColumn("sig", signBucket(col("u"), bits * nTables))
     val tableKey = (0 until nTables).map(t =>
@@ -207,14 +211,21 @@ object Similarity {
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val probeKeys: Seq[Column] = (0 until nTables).flatMap { t =>
       val base = substring(col("sig"), t * bits + 1, bits)
+      def flip(i: Int): Column =
+        when(substring(base, i, 1) === "1", "0").otherwise("1")
       val own = struct(lit(t).as("tbl"), base.as("bucket"))
-      val flips = if (!multiProbe) Nil else (1 to bits).map { i =>
+      val one = if (maxFlips < 1) Nil else (1 to bits).map { i =>
         struct(lit(t).as("tbl"), concat(
-          substring(base, 1, i - 1),
-          when(substring(base, i, 1) === "1", "0").otherwise("1"),
+          substring(base, 1, i - 1), flip(i),
           substring(base, i + 1, bits - i)).as("bucket"))
       }
-      own +: flips
+      val two = if (maxFlips < 2) Nil else (for {
+        i <- 1 to bits; j <- (i + 1) to bits
+      } yield struct(lit(t).as("tbl"), concat(
+        substring(base, 1, i - 1), flip(i),
+        substring(base, i + 1, j - i - 1), flip(j),
+        substring(base, j + 1, bits - j)).as("bucket")))
+      own +: (one ++ two)
     }
     val probes = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), explode(array(probeKeys: _*)).as("tb"))
