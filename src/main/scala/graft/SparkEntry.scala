@@ -145,34 +145,29 @@ object SparkEntry {
     s"list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)])"
 
   /** Multi-table sign-LSH chain with multi-probe (mirrors
-    * Similarity.lshTopK): `nTables` tables, table t keyed by sign bits of
-    * dims [t*bits+1, t*bits+bits]; each query probes its own bucket per
-    * table plus every bucket at hamming distance 1 or 2 ((f1,f2) pairs:
-    * (0,0)=own, (0,j)=flip j, (i<j)=flip both); candidates dedup before
-    * exact scoring. Emits `prefix`scored/`prefix`ranked on top of
-    * [[UnitVecCte]]. */
+    * Similarity.lshTopK): `nTables` tables, table t keyed by the sign
+    * bits of dims [t*bits+1, t*bits+bits] folded into ONE INTEGER (first
+    * dim = most significant bit); each query probes `xor(bucket, mask)`
+    * for every mask in the hamming-0/1/2 ladder. The literal mask list
+    * comes from the SAME Scala function the Spark side explodes
+    * ([[graft.ops.Similarity.probeMasks]]), so the probed bucket set is
+    * identical by construction. Candidates dedup before exact scoring.
+    * Emits `prefix`scored/`prefix`ranked on top of [[UnitVecCte]]. */
   private def lshCtes(bits: Int, nTables: Int, nQueries: Int, prefix: String = ""): String = {
-    val signs = (1 to bits * nTables)
-      .map(i => s"(CASE WHEN u[$i] >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
-    s""", sg AS (SELECT vec_id, u, $signs AS sig FROM u),
+    val buckets = (0 until nTables).map { t =>
+      (1 to bits).map(i =>
+        s"(CASE WHEN u[${t * bits + i}] >= 0 THEN ${1 << (bits - i)} ELSE 0 END)")
+        .mkString(" + ")
+    }.mkString("[", ",\n       ", "]")
+    val masks = graft.ops.Similarity.probeMasks(bits, maxFlips = 2).mkString(", ")
+    s""", sg AS (SELECT vec_id, $buckets AS buckets FROM u),
        |tb AS (
-       |  SELECT vec_id, tbl, substring(sig, tbl * $bits + 1, $bits) AS bucket
+       |  SELECT vec_id, tbl, buckets[tbl + 1] AS bucket
        |  FROM sg, (SELECT unnest(range($nTables)) AS tbl)),
-       |qb AS (
-       |  SELECT vec_id AS q_id, tbl, substring(sig, tbl * $bits + 1, $bits) AS bucket
-       |  FROM sg, (SELECT unnest(range($nTables)) AS tbl)
-       |  WHERE vec_id < $nQueries),
        |probe AS (
-       |  SELECT q_id, tbl,
-       |    array_to_string([CASE WHEN i = f1 OR i = f2
-       |        THEN (CASE WHEN substring(bucket, i, 1) = '1' THEN '0' ELSE '1' END)
-       |        ELSE substring(bucket, i, 1) END
-       |      for i in range(1, $bits + 1)], '') AS bucket
-       |  FROM qb,
-       |    (SELECT a.f AS f1, b.f AS f2
-       |     FROM (SELECT unnest(range(0, ${bits + 1})) AS f) a,
-       |          (SELECT unnest(range(0, ${bits + 1})) AS f) b
-       |     WHERE a.f = 0 OR b.f > a.f)),
+       |  SELECT vec_id AS q_id, tbl, xor(bucket, mask) AS bucket
+       |  FROM tb, (SELECT unnest([$masks]) AS mask)
+       |  WHERE vec_id < $nQueries),
        |lcand AS (
        |  SELECT DISTINCT q_id, t.vec_id AS neighbor_id
        |  FROM probe p JOIN tb t USING (tbl, bucket)

@@ -87,9 +87,65 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Sign-projection bucket code over the first `bits` dimensions. */
-  private def signBucket(u: Column, bits: Int): Column =
-    concat((1 to bits).map(i => when(element_at(u, i) >= 0, "1").otherwise("0")): _*)
+  /** Table-local sign bucket folded into ONE INTEGER key: bit (bits-i)
+    * of the key is the sign of dim offset+i, so the first dim of the
+    * range is the most significant bit. An int key (vs the former
+    * '1'/'0' string code) keeps the probe ladder a constant-size
+    * expression — flipping bucket bits is `bucket XOR mask`, not string
+    * surgery — and the (tbl, bucket) equi-join shuffles 4-byte keys. */
+  private def signBucketInt(u: Column, offset: Int, bits: Int): Column =
+    (1 to bits).map(i =>
+      when(element_at(u, offset + i) >= 0, lit(1 << (bits - i))).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** The multi-probe mask ladder: XOR-ing a bucket key with each mask
+    * enumerates every bucket within hamming distance `maxFlips` (0 =
+    * own bucket, one-bit masks = flip one, two-bit masks = flip two).
+    * Shared with the DuckDB oracle ([[graft.SparkEntry]]) so the probed
+    * bucket set is provably identical on both sides. */
+  private[graft] def probeMasks(bits: Int, maxFlips: Int): Seq[Int] = {
+    val one = (1 to bits).map(i => 1 << (bits - i))
+    Seq(0) ++
+      (if (maxFlips >= 1) one else Nil) ++
+      (if (maxFlips >= 2)
+        for { i <- 0 until bits; j <- (i + 1) until bits } yield one(i) | one(j)
+      else Nil)
+  }
+
+  /** Session-scoped LSH signature stage — (vec_id, u, buckets) with
+    * buckets(t) = table t's integer sign key — cached AND counted before
+    * any consumer is planned. The materialization is the fix for the
+    * round-4 regression: left as a view, Catalyst's projection collapse
+    * inlines the normalize→sign chain into every probe expression (the
+    * generated projection blew past JIT method limits and poisoned the
+    * code cache for the rest of the JVM). As an InMemoryRelation the
+    * probe/corpus branches each read plain int columns. Same
+    * storage-aware pattern as Dedup.confirmedPairs: a map hit whose
+    * cache was cleared behind our back rebuilds. */
+  private val lshSigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+
+  /** Visible for specs: number of times the signature stage was built. */
+  private[ops] val lshSigBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def lshSigStage(spark: SparkSession, dir: String,
+      bits: Int, nTables: Int): DataFrame = {
+    val key = (spark, dir, bits, nTables)
+    val hit = lshSigCache.get(key)
+    if (hit != null && hit.storageLevel.useMemory) return hit
+    synchronized {
+      val again = lshSigCache.get(key)
+      if (again != null && again.storageLevel.useMemory) return again
+      lshSigBuilds.incrementAndGet()
+      val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t * bits, bits))
+      val built = unitEmbeddings(spark, dir)
+        .select(col("vec_id"), col("u"), array(bucketCols: _*).as("buckets"))
+        .cache()
+      built.count()
+      lshSigCache.put(key, built)
+      built
+    }
+  }
 
   /** Assign every vector of `e` (vec_id, u) to its nearest centroid of
     * `cents` (cent_id, cu): one broadcast join + one `max_by` hash
@@ -202,43 +258,27 @@ object Similarity {
       maxFlips: Int = 2): DataFrame = {
     require(bits * nTables <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
     require(maxFlips >= 0 && maxFlips <= 2, "probe ladder supports hamming 0-2")
-    val e = unitEmbeddings(spark, dir)
-      .withColumn("sig", signBucket(col("u"), bits * nTables))
-    val tableKey = (0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), substring(col("sig"), t * bits + 1, bits).as("bucket")))
-    val corpus = e
-      .select(col("vec_id"), explode(array(tableKey: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    val probeKeys: Seq[Column] = (0 until nTables).flatMap { t =>
-      val base = substring(col("sig"), t * bits + 1, bits)
-      def flip(i: Int): Column =
-        when(substring(base, i, 1) === "1", "0").otherwise("1")
-      val own = struct(lit(t).as("tbl"), base.as("bucket"))
-      val one = if (maxFlips < 1) Nil else (1 to bits).map { i =>
-        struct(lit(t).as("tbl"), concat(
-          substring(base, 1, i - 1), flip(i),
-          substring(base, i + 1, bits - i)).as("bucket"))
-      }
-      val two = if (maxFlips < 2) Nil else (for {
-        i <- 1 to bits; j <- (i + 1) to bits
-      } yield struct(lit(t).as("tbl"), concat(
-        substring(base, 1, i - 1), flip(i),
-        substring(base, i + 1, j - i - 1), flip(j),
-        substring(base, j + 1, bits - j)).as("bucket")))
-      own +: (one ++ two)
-    }
-    val probes = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), explode(array(probeKeys: _*)).as("tb"))
-      .select(col("q_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val sig = lshSigStage(spark, dir, bits, nTables)
+    val corpus = sig
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    // probes are DATA, not expressions: explode the mask ladder (a 37-int
+    // literal array at bits=8/flips=2) and XOR it onto the bucket key —
+    // a constant-size plan regardless of bits/flips, vs the former
+    // 296-struct string-surgery projection that blew up codegen
+    val masks = typedLit(probeMasks(bits, maxFlips))
+    val probes = sig.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket0")))
+      .select(col("q_id"), col("tbl"), col("bucket0"), explode(masks).as("mask"))
+      .select(col("q_id"), col("tbl"), col("bucket0").bitwiseXOR(col("mask")).as("bucket"))
     val cand = probes.join(corpus, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
       .distinct()
-    val qv = e.where(col("vec_id") < nQueries)
+    val qv = sig.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val scored = cand
       .join(broadcast(qv), Seq("q_id"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), Seq("neighbor_id"))
+      .join(sig.select(col("vec_id").as("neighbor_id"), col("u").as("nu")), Seq("neighbor_id"))
       .select(col("q_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
     rankTopK(scored, k)
   }
