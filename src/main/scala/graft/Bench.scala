@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * the generated code — measured to dominate cold timings by 10-30x),
   * then timed at the target scale factor in name order.
   *
+  * Besides wall/CPU samples and the interleaved control, the evidence
+  * records per query the JIT code-cache delta, the number of generated
+  * codegen methods, and the largest generated-method bytecode size —
+  * the round-4 q38 regression (oversized generated projections flooding
+  * the code cache and degrading the whole JVM) would have been
+  * attributable from the artifact alone with these fields.
+  *
   * Why the evidence file exists: this host shows intermittent multi-
   * second stall windows (observed 20-90 s, idle CPU, no GC pauses,
   * position varies across runs — host-level, not plan-level). Two
@@ -35,7 +42,31 @@ object Bench {
     * process was descheduled or blocked, i.e. a host stall, not plan work. */
   private def cpuSec(): Double = osBean.getProcessCpuTime / 1e9
 
-  private def r3(d: Double): String = f"$d%.3f"
+  // explicit ROOT locale: the JSON line of record must parse regardless of
+  // the host's default locale (a comma-decimal locale would emit "1,234")
+  private def r3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
+
+  /** JIT code-cache bytes in use, summed over the CodeHeap pools. The
+    * round-4 q38 regression mechanism was invisible in wall/CPU alone:
+    * oversized generated projections flooded the code cache and every
+    * later query in the JVM paid for it. A per-query delta names that
+    * killer straight from the artifact. */
+  private def codeCacheUsed(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+      .map(_.getUsage.getUsed).sum
+  }
+
+  /** (methods generated so far, largest generated-method bytecode in the
+    * recent window). A max over ~8 KiB means the JIT refuses to compile
+    * the method (-XX:-DontCompileHugeMethods limit); over
+    * spark.sql.codegen.hugeMethodLimit (65535) Spark itself falls back
+    * to interpreted — either way codegen has left the healthy zone. */
+  private def codegenStats(): (Long, Long) = {
+    val h = org.apache.spark.metrics.source.CodegenMetrics.METRIC_GENERATED_METHOD_BYTECODE_SIZE
+    (h.getCount, h.getSnapshot.getMax)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -77,6 +108,9 @@ object Bench {
     val controls = scala.collection.mutable.ArrayBuffer[Double](controlOnce())
 
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
+    // per-query codegen telemetry: (code-cache delta bytes, generated
+    // methods delta, max generated-method bytecode seen after the query)
+    val codegen = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
     val results = ordered.map { case (name, fn) =>
       def once(): (Double, Double) = {
         val c0 = cpuSec(); val t0 = System.nanoTime()
@@ -92,9 +126,12 @@ object Bench {
       // second one-off jitter (GC / JIT recompilation) on sub-second
       // plans; anything still slow after two runs earns a third sample
       // (a stall window can swallow both)
+      val cc0 = codeCacheUsed(); val (gm0, _) = codegenStats()
       var runs = Vector(once(), once())
       if (runs.map(_._1).min > 2.0) runs = runs :+ once()
       samples(name) = runs
+      val (gm1, mm1) = codegenStats()
+      codegen(name) = (codeCacheUsed() - cc0, gm1 - gm0, mm1)
       controls += controlOnce()
       val best = runs.map(_._1).min
       System.err.println(s"[bench] $name " +
@@ -117,17 +154,21 @@ object Bench {
       .append(",\"control_runs\":[").append(controls.map(r3).mkString(",")).append(']')
       .append(",\"total_wall\":").append(r3(totalWall))
       .append(",\"total_process_cpu\":").append(r3(totalCpu))
+      .append(",\"code_cache_used_end\":").append(codeCacheUsed())
       .append(",\"queries\":{")
     ev.append(samples.map { case (n, rs) =>
+      val (cc, gm, mm) = codegen(n)
       "\"" + n + "\":{\"wall\":[" + rs.map(r => r3(r._1)).mkString(",") +
-        "],\"cpu\":[" + rs.map(r => r3(r._2)).mkString(",") + "]}"
+        "],\"cpu\":[" + rs.map(r => r3(r._2)).mkString(",") +
+        s"""],"cc_delta":$cc,"gen_methods":$gm,"max_method_bytes":$mm}"""
     }.mkString(","))
     ev.append("}}")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(evidencePath), ev.toString)
-    catch { case e: Exception =>
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(evidencePath), ev.toString)
+      System.err.println(s"[bench] evidence written to $evidencePath")
+    } catch { case e: Exception =>
       System.err.println(s"[bench] warn: could not write $evidencePath: ${e.getMessage}")
     }
-    System.err.println(s"[bench] evidence written to $evidencePath")
 
     // compact line of record LAST (log tails keep the end): 3-decimal
     // values + control/CPU summary — the anomaly tells are in-band even
