@@ -75,13 +75,45 @@ object Dedup {
     * sorts 1/k the data and shuffles 1/k the rows — and 8-char minima
     * keep the aggregate state and the shuffled signature rows 4x
     * smaller than full 32-hex digests. */
-  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    minhashSignaturesOf(docShingles(spark, dir), k)
+
+  private def minhashSignaturesOf(sh: DataFrame, k: Int): DataFrame = {
     require(k <= 16, "two md5s yield 16 32-bit slices")
     val h = concat(md5(concat(lit("a|"), col("sh"))), md5(concat(lit("b|"), col("sh"))))
     val mins = (0 until k).map(i => min(substring(h, i * 8 + 1, 8)).as(s"m$i"))
-    docShingles(spark, dir)
-      .groupBy("doc_id")
+    sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
+  }
+
+  /** Session-scoped (doc_id, m0..m7) MinHash signature stage, the same
+    * pattern as [[simhashStage]]: q32's estimator and every pair-stage
+    * build share ONE tokenize→shingle→hash pass per (session, dir). The
+    * signature relation is |docs| rows of 8 short strings — cheap to keep
+    * resident; the expensive input (the shingle scan) is what sharing
+    * avoids. */
+  private val minhashCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Visible for specs: number of times the signature stage was built. */
+  private[ops] val minhashBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def minhashStage(spark: SparkSession, dir: String,
+      preShingles: Option[DataFrame]): DataFrame = {
+    val key = (spark, dir)
+    // storage-aware, like confirmedPairs: rebuild on a dead cache hit
+    val hit = minhashCache.get(key)
+    if (hit != null && hit.storageLevel.useMemory) return hit
+    synchronized {
+      val again = minhashCache.get(key)
+      if (again != null && again.storageLevel.useMemory) return again
+      minhashBuilds.incrementAndGet()
+      val built = minhashSignaturesOf(
+        preShingles.getOrElse(docShingles(spark, dir)), k = 8).cache()
+      built.count()
+      minhashCache.put(key, built)
+      built
+    }
   }
 
   /** Hot-band guard: a band key shared by m docs emits m(m-1)/2 candidate
@@ -134,7 +166,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
       maxBandPopulation: Int = 1000): DataFrame = {
     val k = 8; val r = 2
-    val sigs = minhashSignatures(spark, dir, k).cache()
+    val sigs = minhashStage(spark, dir, None) // session-cached signatures
     val cand = lshCandidates(sigs, k, r, maxBandPopulation)
     val matches = (0 until k).map(i =>
       when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0)).reduce(_ + _)
@@ -190,21 +222,21 @@ object Dedup {
       System.err.println(s"[graft] confirmedPairs build #$n for $dir")
       val k = 8; val r = 2
       val sh = docShingles(spark, dir).cache()
-      val sigs = minhashSignatures(spark, dir, k).cache()
-      // materialize both caches BEFORE the candidate/intersection joins
-      // are planned: cold, the shingle explode's size estimate is garbage
-      // and join-strategy misplays on it are catastrophic at scale
+      // materialize the shingle cache BEFORE the candidate/intersection
+      // joins are planned: cold, the shingle explode's size estimate is
+      // garbage and join-strategy misplays on it are catastrophic at scale
       // (observed: a 100x cold build orders of magnitude over its warm
       // cost); planned against materialized InMemoryRelations, every join
       // sees real row counts. The scans were needed anyway — this only
       // moves them ahead of planning.
       sh.count()
-      sigs.count()
-      // piggyback the SimHash fingerprint stage on the hot shingle cache:
-      // q34/q35 otherwise re-run the tokenize→shingle scan this build just
-      // materialized (it dominates their cost); the fingerprints are one
-      // extra groupBy over rows already in memory and stay resident for
-      // the session (|docs| rows of 64 chars)
+      // piggyback BOTH fingerprint stages on the hot shingle cache:
+      // q32 (MinHash signatures) and q34/q35 (SimHash) otherwise re-run
+      // the tokenize→shingle scan this build just materialized (it
+      // dominates their cost); each stage is one extra groupBy over rows
+      // already in memory and stays resident for the session (|docs| rows
+      // of a few short strings each)
+      val sigs = minhashStage(spark, dir, Some(sh))
       val _ = simhashStage(spark, dir, Some(sh))
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = lshCandidates(sigs, k, r, maxBandPopulation = 1000)
@@ -222,7 +254,8 @@ object Dedup {
         .cache()
       pairs.count() // materialize fully before dropping the parents
       sh.unpersist(blocking = false)
-      sigs.unpersist(blocking = false)
+      // sigs stays resident: it IS the session minhash stage (q32 serves
+      // from it), bounded at |docs| rows of 8 short strings
       pairs
   }
 

@@ -50,6 +50,18 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(Dedup.simhashBuilds.get() === mid, "simhashNearDup rebuilt the fingerprint stage")
   }
 
+  test("minhash signature stage is computed once per (session, dir) and shared with the pair build") {
+    val before = Dedup.minhashBuilds.get()
+    val est1 = Dedup.minhashLsh(spark, dir).collect()
+    val est2 = Dedup.minhashLsh(spark, dir).collect()
+    assert(est1.sameElements(est2))
+    assert(Dedup.minhashBuilds.get() <= before + 1, "signatures recomputed despite the stage cache")
+    // the pair pipeline consumes the same stage — no extra build
+    val mid = Dedup.minhashBuilds.get()
+    Dedup.confirmedPairs(spark, dir).count()
+    assert(Dedup.minhashBuilds.get() === mid, "confirmedPairs rebuilt the signature stage")
+  }
+
   test("the propagation loop self-provisions a RELIABLE checkpoint dir and honors an explicit one") {
     // any entry point reaching the BSP loop must end up with a reliable
     // checkpoint dir (localCheckpoint dies with an executor on a cluster)
