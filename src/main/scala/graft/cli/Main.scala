@@ -12,7 +12,8 @@ import graft.core.{Converter, GraftConfig}
   *        [--config config.yaml] [--log-level info] [--keep]
   *        [--format csv|json] [--sink parquet|orc|json]
   *        [--codec snappy|gzip|zstd|lz4|uncompressed]
-  *        [--dir-output] [--no-multiline] [--partition-by col1,col2]
+  *        [--dir-output] [--no-multiline] [--multiline]
+  *        [--partition-by col1,col2]
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -27,7 +28,9 @@ object Main {
           // conversion is a scan→cast→write pipeline with no shuffle, so
           // split width IS the parallelism; 32 MB splits keep a mid-size
           // file busy on every core (default 128 MB gives a 150 MB file
-          // just two tasks). Only effective with --no-multiline.
+          // just two tasks). Effective whenever the scan is line-based —
+          // the default since the multiLine sniff (a newline-free sample
+          // picks the splittable scan; --multiline forces parity mode).
           .config("spark.sql.files.maxPartitionBytes", s"${32 * 1024 * 1024}")
         // under spark-submit the master comes from the launcher; standalone
         // CLI runs default to all local cores

@@ -131,13 +131,33 @@ object Converter {
       .csv(input)
   }
 
+  /** The scan mode one conversion actually uses: multiLine only when the
+    * config asks for embedded-newline support AND either auto-detection
+    * is off or the inference sample actually contained a quoted newline.
+    * Pure — unit-tested separately from the IO path. */
+  def effectiveMultiLine(cfg: GraftConfig, sampleHadNewline: Boolean): Boolean =
+    cfg.multiLine && (!cfg.multiLineAuto || sampleHadNewline)
+
   /** Convert one CSV file. Mirrors convertFile (converter/converter.go:116-183):
     * infer → write → verify non-empty output → cleanup partial output on
-    * failure → delete original only after a verified write. */
+    * failure → delete original only after a verified write.
+    *
+    * The inference prefix read doubles as a multiLine sniff: when no
+    * sampled field carries an embedded newline, the data pass keeps
+    * Spark's splittable line-based scan (many tasks over one large file)
+    * instead of the non-splittable multiLine mode — the default
+    * single-big-file conversion was otherwise ONE scan task at any size.
+    * See [[GraftConfig.multiLineAuto]] for the heuristic's contract. */
   def convertFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult =
     finishConversion(spark, input, cfg) {
-      val schema = Inference.detectFile(spark, input, cfg.delimiterChar, cfg.sampleRows)
-      conversionPlan(spark, input, schema, cfg.delimiterChar, cfg.multiLine)
+      val (schema, sawNewline) =
+        Inference.detectFileStats(spark, input, cfg.delimiterChar, cfg.sampleRows)
+      val multiLine = effectiveMultiLine(cfg, sawNewline)
+      if (cfg.multiLine && !multiLine)
+        System.err.println(s"[graft] $input: no embedded newlines in the first " +
+          s"${cfg.sampleRows} records — using the splittable line-based scan " +
+          "(pass --multiline to force Go-parity quoted-newline support)")
+      conversionPlan(spark, input, schema, cfg.delimiterChar, multiLine)
     }
 
   /** Convert one JSON-lines file with the SAME inference semantics as the
@@ -222,13 +242,29 @@ object Converter {
   }
 
   /** Reference contract: a single `<base>.parquet` FILE, not a directory
-    * (SURVEY §7.4.2). coalesce(1) into a temp dir, then rename the part
-    * file. Scale note: this serializes the write; `singleFile = false`
-    * keeps Spark's parallel directory output for large inputs. */
+    * (SURVEY §7.4.2).
+    *
+    * Parquet and JSON keep the PARALLEL write: every core scans/casts its
+    * own splits into a temp directory, then the parts collapse to one
+    * file without decoding — parquet by footer-level row-group append
+    * (`ParquetFileWriter.appendFile`: column chunks are copied as raw
+    * bytes, offsets rebased, one new footer), JSON by byte concatenation.
+    * Part files are merged in name order = split offset order, so row
+    * order matches a sequential read. The former `coalesce(1)` collapsed
+    * the WHOLE plan — scan, cast and write — into one task (a 1 GiB CSV
+    * converted at ~20 MiB/s no matter how many cores); the merge is a
+    * ~output-sized byte copy instead. Tradeoff: one row group per scan
+    * task rather than one 128 MB group — readers parallelize across
+    * groups, so at worst this mirrors the input split width.
+    *
+    * ORC stripes cannot be footer-merged without decode by the bundled
+    * API, so the ORC sink keeps the single-task write; `singleFile =
+    * false` keeps Spark's parallel directory output for any sink. */
   private def writeSingleFile(spark: SparkSession, df: DataFrame, out: String,
       codec: String = "snappy", sink: String = "parquet"): Long = {
     val outPath = new Path(out)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = outPath.getFileSystem(conf)
     val tmp = new Path(outPath.getParent, s".${outPath.getName}.tmp-${System.nanoTime()}")
     // text formats signal their codec via file extension (part-*.json.snappy);
     // the rename to <base>.json would strip it and make the file unreadable —
@@ -239,16 +275,68 @@ object Converter {
         "(the <base>.json rename strips the codec extension text formats need) — " +
         "writing uncompressed; use --dir-output to keep the codec")
     try {
-      df.coalesce(1).write.option("compression", effCodec).mode("overwrite").format(sink).save(tmp.toString)
-      val part = fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      val mergeable = sink == "parquet" || sink == "json"
+      val writer = if (mergeable) df.write else df.coalesce(1).write
+      writer.option("compression", effCodec).mode("overwrite").format(sink).save(tmp.toString)
+      val single =
+        if (mergeable) {
+          val parts = fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
+          if (parts.isEmpty) throw new IllegalStateException(s"no part files under $tmp")
+          if (parts.size == 1) parts.head
+          else {
+            val merged = new Path(tmp, s"merged.$sink")
+            if (sink == "parquet") mergeParquetParts(conf, parts, merged)
+            else concatParts(fs, parts, merged)
+            merged
+          }
+        } else
+          fs.listStatus(tmp).map(_.getPath).find(_.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
       if (fs.exists(outPath)) fs.delete(outPath, true)
-      if (!fs.rename(part, outPath)) throw new IllegalStateException(s"rename $part -> $outPath failed")
+      if (!fs.rename(single, outPath)) throw new IllegalStateException(s"rename $single -> $outPath failed")
       fs.getFileStatus(outPath).getLen
     } finally {
       // never leak the hidden temp dir, even when the write/rename fails
       try fs.delete(tmp, true) catch { case _: Exception => () }
     }
+  }
+
+  /** Zero-decode parquet merge: copy every part's row groups into one
+    * file via the official append API and carry the first part's
+    * key-value metadata (Spark stores its schema JSON there — losing it
+    * would change timestamp/nullability round-trip semantics). */
+  private def mergeParquetParts(conf: org.apache.hadoop.conf.Configuration,
+      parts: Seq[Path], merged: Path): Unit = {
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val first = ParquetFileReader.open(HadoopInputFile.fromPath(parts.head, conf))
+    val (schema, kv) =
+      try {
+        val fmd = first.getFooter.getFileMetaData
+        (fmd.getSchema, fmd.getKeyValueMetaData)
+      } finally first.close()
+    import org.apache.parquet.column.ParquetProperties
+    val w = new ParquetFileWriter(HadoopOutputFile.fromPath(merged, conf), schema,
+      ParquetFileWriter.Mode.CREATE, ParquetWriter.DEFAULT_BLOCK_SIZE,
+      ParquetWriter.MAX_PADDING_SIZE_DEFAULT,
+      ParquetProperties.DEFAULT_COLUMN_INDEX_TRUNCATE_LENGTH,
+      ParquetProperties.DEFAULT_STATISTICS_TRUNCATE_LENGTH,
+      ParquetProperties.DEFAULT_PAGE_WRITE_CHECKSUM_ENABLED)
+    w.start()
+    parts.foreach(p => w.appendFile(HadoopInputFile.fromPath(p, conf)))
+    w.end(kv)
+  }
+
+  /** Byte-concatenate text part files (JSON-lines) in split order. */
+  private def concatParts(fs: org.apache.hadoop.fs.FileSystem,
+      parts: Seq[Path], merged: Path): Unit = {
+    val out = fs.create(merged, true)
+    try parts.foreach { p =>
+      val in = fs.open(p)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+      finally in.close()
+    } finally out.close()
   }
 
   private def contentLength(fs: org.apache.hadoop.fs.FileSystem, p: Path): Long =

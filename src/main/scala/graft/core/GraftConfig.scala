@@ -36,6 +36,15 @@ final case class GraftConfig(
       * Disable (`--no-multiline`) when fields are newline-free to let
       * Spark split large files across tasks. */
     multiLine: Boolean = true,
+    /** Let the converter downgrade to the splittable line-based scan when
+      * the inference sample (header + `sampleRows` records) contains no
+      * embedded newline — the single biggest lever on one-big-file
+      * conversion, which is otherwise a single non-splittable task.
+      * Heuristic caveat: a quoted newline appearing only AFTER the sample
+      * would split into ragged fragments that DROPMALFORMED discards;
+      * `--multiline` forces the Go-parity scan for files known to carry
+      * late embedded newlines. Ignored when `multiLine` is false. */
+    multiLineAuto: Boolean = true,
     /** Comma-separated columns (post-normalization names) to partition
       * the output by (hive-style `col=value/` directories → partition
       * pruning downstream). Requires directory output. */
@@ -132,12 +141,14 @@ object GraftConfig {
     var keep = false
     var dirOutput = false
     var noMultiline = false
+    var forceMultiline = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--keep" => keep = true; i += 1
         case "--dir-output" => dirOutput = true; i += 1
         case "--no-multiline" => noMultiline = true; i += 1
+        case "--multiline" => forceMultiline = true; i += 1
         case flag if flag.startsWith("--") =>
           val key = flag.stripPrefix("--")
           if (!KnownFlags.contains(key)) return Left(s"unknown flag: $flag")
@@ -173,7 +184,9 @@ object GraftConfig {
     flags.get("partition-by").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(partitionBy = v))
     if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
     if (dirOutput || cfg.partitionCols.nonEmpty) cfg = cfg.copy(singleFile = false)
+    if (noMultiline && forceMultiline) return Left("--multiline and --no-multiline conflict")
     if (noMultiline) cfg = cfg.copy(multiLine = false)
+    if (forceMultiline) cfg = cfg.copy(multiLine = true, multiLineAuto = false)
 
     if (cfg.input.isEmpty) Left("input is required (--input or config file)")
     else if (cfg.format != "csv" && cfg.format != "json")

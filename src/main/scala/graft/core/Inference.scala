@@ -69,7 +69,18 @@ object Inference {
 
   /** Open `path` (any Hadoop-visible filesystem), read the header and up to
     * `sampleRows` records through the lazy-quote CSV reader, and infer. */
-  def detectFile(spark: SparkSession, path: String, delimiter: Char, sampleRows: Int): InferredSchema = {
+  def detectFile(spark: SparkSession, path: String, delimiter: Char, sampleRows: Int): InferredSchema =
+    detectFileStats(spark, path, delimiter, sampleRows)._1
+
+  /** [[detectFile]] plus a fact the converter wants from the SAME prefix
+    * read: did any sampled field (header included) carry an embedded
+    * newline? Quoted newlines force Spark's multiLine CSV mode, which
+    * makes the scan non-splittable (one task per file, whatever the
+    * size); a newline-free sample lets the converter keep the splittable
+    * line-based scan. No extra IO — the sniff rides the records the
+    * inference fold was reading anyway. */
+  def detectFileStats(spark: SparkSession, path: String, delimiter: Char,
+      sampleRows: Int): (InferredSchema, Boolean) = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(hadoopConf(spark))
     val in = new BufferedReader(new InputStreamReader(fs.open(hPath), StandardCharsets.UTF_8))
@@ -77,7 +88,15 @@ object Inference {
       val csv = new LazyCsv(in, delimiter)
       if (!csv.hasNext) throw new IllegalArgumentException(s"empty CSV: $path")
       val header = csv.next().toSeq
-      detect(header, csv, sampleRows)
+      def hasNewline(fields: Iterable[String]): Boolean =
+        fields.exists(f => f != null && (f.indexOf('\n') >= 0 || f.indexOf('\r') >= 0))
+      var sawNewline = hasNewline(header)
+      val watched = csv.map { rec =>
+        if (!sawNewline && hasNewline(rec)) sawNewline = true
+        rec
+      }
+      val schema = detect(header, watched, sampleRows)
+      (schema, sawNewline)
     } finally in.close()
   }
 

@@ -152,6 +152,33 @@ class ConverterSpec extends AnyFunSuite {
     assert(row.getString(1) == "he said \"hi\", ok")
   }
 
+  test("multiLine sniff: newline-free sample picks the splittable scan, quoted newline keeps parity mode") {
+    val dir = tmpDir()
+    // sniff facts from the inference prefix read
+    val plain = writeCsv(dir, "plain.csv", "a,b\n1,x\n2,\"quoted, no newline\"\n")
+    assert(!Inference.detectFileStats(spark, plain, ',', 100)._2)
+    val quoted = writeCsv(dir, "quoted.csv", "a,b\n1,\"l1\nl2\"\n")
+    assert(Inference.detectFileStats(spark, quoted, ',', 100)._2)
+    // decision table
+    val base = cfg(dir)
+    assert(!Converter.effectiveMultiLine(base, sampleHadNewline = false))
+    assert(Converter.effectiveMultiLine(base, sampleHadNewline = true))
+    assert(Converter.effectiveMultiLine(base.copy(multiLineAuto = false), sampleHadNewline = false))
+    assert(!Converter.effectiveMultiLine(base.copy(multiLine = false), sampleHadNewline = true))
+    // end-to-end: the splittable path converts every row intact
+    val r = Converter.convertFile(spark, plain, base)
+    assert(r.ok, r.error)
+    val rows = spark.read.parquet(r.outputFile).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getString(1)).toSet == Set("x", "quoted, no newline"))
+  }
+
+  test("--multiline forces parity mode; conflict with --no-multiline is rejected") {
+    val loaded = GraftConfig.load(Seq("--input", "x.csv", "--multiline")).toOption.get
+    assert(loaded.multiLine && !loaded.multiLineAuto)
+    assert(GraftConfig.load(Seq("--input", "x.csv", "--multiline", "--no-multiline")).isLeft)
+  }
+
   test("delimiters: tab and pipe; multi-char uses first char (converter.go:127-130)") {
     val dir = tmpDir()
     val tsv = writeCsv(dir, "d.tsv", "a\tb\n1\t2\n")
