@@ -13,10 +13,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Besides wall/CPU samples and the interleaved control, the evidence
   * records per query the JIT code-cache delta, the number of generated
-  * codegen methods, and the largest generated-method bytecode size —
-  * the round-4 q38 regression (oversized generated projections flooding
-  * the code cache and degrading the whole JVM) would have been
-  * attributable from the artifact alone with these fields.
+  * codegen methods, the largest generated-method bytecode size, and the
+  * GC time/count delta — the round-4 q38 regression (oversized generated
+  * projections flooding the code cache and degrading the whole JVM) and
+  * the 100x heap-pressure anomaly (GC thrash inflating wall with CPU
+  * pinned near the GC thread count) are both attributable from the
+  * artifact alone with these fields.
   *
   * Why the evidence file exists: this host shows intermittent multi-
   * second stall windows (observed 20-90 s, idle CPU, no GC pauses,
@@ -56,6 +58,18 @@ object Bench {
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
       .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
       .map(_.getUsage.getUsed).sum
+  }
+
+  /** Cumulative (GC milliseconds, GC collections) over all collectors.
+    * The 100x q38/q39 anomaly (wall growing run-over-run with CPU/wall
+    * pinned near the GC thread count, controls flat) was a GC-pressure
+    * signature that wall/CPU/code-cache fields could not name — a
+    * per-query GC delta makes heap thrash attributable from the
+    * artifact, exactly as cc_delta does for codegen flood. */
+  private def gcStats(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+    (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
   }
 
   /** (methods generated so far, largest generated-method bytecode in the
@@ -111,6 +125,8 @@ object Bench {
     // per-query codegen telemetry: (code-cache delta bytes, generated
     // methods delta, max generated-method bytecode seen after the query)
     val codegen = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
+    // per-query GC telemetry: (collection-time ms delta, collection count delta)
+    val gc = scala.collection.mutable.LinkedHashMap[String, (Long, Long)]()
     val results = ordered.map { case (name, fn) =>
       def once(): (Double, Double) = {
         val c0 = cpuSec(); val t0 = System.nanoTime()
@@ -127,11 +143,14 @@ object Bench {
       // plans; anything still slow after two runs earns a third sample
       // (a stall window can swallow both)
       val cc0 = codeCacheUsed(); val (gm0, _) = codegenStats()
+      val (gt0, gn0) = gcStats()
       var runs = Vector(once(), once())
       if (runs.map(_._1).min > 2.0) runs = runs :+ once()
       samples(name) = runs
       val (gm1, mm1) = codegenStats()
       codegen(name) = (codeCacheUsed() - cc0, gm1 - gm0, mm1)
+      val (gt1, gn1) = gcStats()
+      gc(name) = (gt1 - gt0, gn1 - gn0)
       controls += controlOnce()
       val best = runs.map(_._1).min
       System.err.println(s"[bench] $name " +
@@ -155,12 +174,14 @@ object Bench {
       .append(",\"total_wall\":").append(r3(totalWall))
       .append(",\"total_process_cpu\":").append(r3(totalCpu))
       .append(",\"code_cache_used_end\":").append(codeCacheUsed())
+      .append(",\"heap_max\":").append(Runtime.getRuntime.maxMemory)
       .append(",\"queries\":{")
     ev.append(samples.map { case (n, rs) =>
       val (cc, gm, mm) = codegen(n)
+      val (gt, gn) = gc(n)
       "\"" + n + "\":{\"wall\":[" + rs.map(r => r3(r._1)).mkString(",") +
         "],\"cpu\":[" + rs.map(r => r3(r._2)).mkString(",") +
-        s"""],"cc_delta":$cc,"gen_methods":$gm,"max_method_bytes":$mm}"""
+        s"""],"cc_delta":$cc,"gen_methods":$gm,"max_method_bytes":$mm,"gc_ms":$gt,"gc_n":$gn}"""
     }.mkString(","))
     ev.append("}}")
     try {
