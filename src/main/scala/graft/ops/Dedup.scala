@@ -92,29 +92,19 @@ object Dedup {
     * signature relation is |docs| rows of 8 short strings — cheap to keep
     * resident; the expensive input (the shingle scan) is what sharing
     * avoids. */
-  private val minhashCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val minhashCache = new StageCache[(SparkSession, String)]
 
   /** Visible for specs: number of times the signature stage was built. */
-  private[ops] val minhashBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[ops] def minhashBuilds = minhashCache.builds
 
   private def minhashStage(spark: SparkSession, dir: String,
-      preShingles: Option[DataFrame]): DataFrame = {
-    val key = (spark, dir)
-    // storage-aware, like confirmedPairs: rebuild on a dead cache hit
-    val hit = minhashCache.get(key)
-    if (hit != null && hit.storageLevel.useMemory) return hit
-    synchronized {
-      val again = minhashCache.get(key)
-      if (again != null && again.storageLevel.useMemory) return again
-      minhashBuilds.incrementAndGet()
+      preShingles: Option[DataFrame]): DataFrame =
+    minhashCache.getOrBuild((spark, dir)) {
       val built = minhashSignaturesOf(
         preShingles.getOrElse(docShingles(spark, dir)), k = 8).cache()
       built.count()
-      minhashCache.put(key, built)
       built
     }
-  }
 
   /** Hot-band guard: a band key shared by m docs emits m(m-1)/2 candidate
     * pairs, so one giant duplicate cluster (or degenerate content like
@@ -187,12 +177,11 @@ object Dedup {
     * in-memory table for the session (at cluster scale the same method
     * would parquet-materialize under a job-scoped path; the session map
     * is the local analogue and keeps the oracle path hermetic). */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val pairsCache = new StageCache[(SparkSession, String)]
 
   /** Visible for specs: number of times the pair pipeline was actually
     * built (not served from cache). */
-  private[ops] val pairsBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[ops] def pairsBuilds = pairsCache.builds
 
   /** The full scored near-dup pair set (doc_a, doc_b, jaccard — every LSH
     * candidate pair sharing ≥1 shingle, unfiltered, unsorted), computed
@@ -200,26 +189,11 @@ object Dedup {
     * intermediates (shingle rows, signature rows) are unpersisted — only
     * the bounded pair set stays resident. Downstream thresholds are a
     * filter over this set, so every threshold shares one build. */
-  def confirmedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    // storage-aware: `spark.catalog.clearCache()` (e.g. Bench's
-    // post-warmup reset) unpersists the stage behind our back — a map hit
-    // whose storage is gone must rebuild, or six queries silently re-run
-    // the full pipeline each
-    val hit = pairsCache.get(key)
-    if (hit != null && hit.storageLevel.useMemory) return hit
-    synchronized {
-      val again = pairsCache.get(key)
-      if (again != null && again.storageLevel.useMemory) return again
-      val built = buildConfirmedPairs(spark, dir)
-      pairsCache.put(key, built)
-      built
-    }
-  }
+  def confirmedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrBuild((spark, dir))(buildConfirmedPairs(spark, dir))
 
   private def buildConfirmedPairs(spark: SparkSession, dir: String): DataFrame = {
-      val n = pairsBuilds.incrementAndGet()
-      System.err.println(s"[graft] confirmedPairs build #$n for $dir")
+      System.err.println(s"[graft] confirmedPairs build #${pairsBuilds.get()} for $dir")
       val k = 8; val r = 2
       val sh = docShingles(spark, dir).cache()
       // materialize the shingle cache BEFORE the candidate/intersection
@@ -314,30 +288,19 @@ object Dedup {
     * (session, dir). The fingerprint relation is |docs| rows of 64 chars —
     * cheap to keep resident; the expensive input (the shingle scan) is
     * what sharing avoids. */
-  private val simhashCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val simhashCache = new StageCache[(SparkSession, String)]
 
   /** Visible for specs: number of times the simhash stage was actually
     * computed (not served from cache). */
-  private[ops] val simhashBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[ops] def simhashBuilds = simhashCache.builds
 
   private def simhashStage(spark: SparkSession, dir: String,
-      preShingles: Option[DataFrame]): DataFrame = {
-    val key = (spark, dir)
-    // storage-aware, like confirmedPairs: clearCache() empties the cached
-    // relation behind the map's back — rebuild on a dead hit
-    val hit = simhashCache.get(key)
-    if (hit != null && hit.storageLevel.useMemory) return hit
-    synchronized {
-      val again = simhashCache.get(key)
-      if (again != null && again.storageLevel.useMemory) return again
-      simhashBuilds.incrementAndGet()
+      preShingles: Option[DataFrame]): DataFrame =
+    simhashCache.getOrBuild((spark, dir)) {
       val built = simhashOf(preShingles.getOrElse(docShingles(spark, dir))).cache()
       built.count()
-      simhashCache.put(key, built)
       built
     }
-  }
 
   /** The fingerprint computation over shingle rows (doc_id, sh) — no sort;
     * [[simhash]] adds the presentation ORDER BY. */
@@ -568,4 +531,13 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Drop this session's resident dedup stages (MinHash/SimHash
+    * signatures, confirmed-pair set), returning executor storage memory
+    * to the pool — the long-lived-session discipline [[StageCache]]
+    * documents. Next use rebuilds. */
+  def releaseStages(spark: SparkSession): Int =
+    minhashCache.release(_._1 eq spark) +
+      simhashCache.release(_._1 eq spark) +
+      pairsCache.release(_._1 eq spark)
 }

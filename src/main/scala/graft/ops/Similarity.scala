@@ -122,30 +122,29 @@ object Similarity {
     * probe/corpus branches each read plain int columns. Same
     * storage-aware pattern as Dedup.confirmedPairs: a map hit whose
     * cache was cleared behind our back rebuilds. */
-  private val lshSigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Int), DataFrame]()
+  private val lshSigCache = new StageCache[(SparkSession, String, Int, Int)]
 
   /** Visible for specs: number of times the signature stage was built. */
-  private[ops] val lshSigBuilds = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[ops] def lshSigBuilds = lshSigCache.builds
 
   private def lshSigStage(spark: SparkSession, dir: String,
-      bits: Int, nTables: Int): DataFrame = {
-    val key = (spark, dir, bits, nTables)
-    val hit = lshSigCache.get(key)
-    if (hit != null && hit.storageLevel.useMemory) return hit
-    synchronized {
-      val again = lshSigCache.get(key)
-      if (again != null && again.storageLevel.useMemory) return again
-      lshSigBuilds.incrementAndGet()
+      bits: Int, nTables: Int): DataFrame =
+    lshSigCache.getOrBuild((spark, dir, bits, nTables)) {
       val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t * bits, bits))
       val built = unitEmbeddings(spark, dir)
         .select(col("vec_id"), col("u"), array(bucketCols: _*).as("buckets"))
         .cache()
       built.count()
-      lshSigCache.put(key, built)
       built
     }
-  }
+
+  /** Drop this session's resident similarity stages (LSH signatures,
+    * IVF codebook + assignment) — see [[StageCache.release]]. Next use
+    * rebuilds. */
+  def releaseStages(spark: SparkSession): Int =
+    lshSigCache.release(_._1 eq spark) +
+      ivfCentCache.release(_._1 eq spark) +
+      ivfAssignCache.release(_._1 eq spark)
 
   /** Assign every vector of `e` (vec_id, u) to its nearest centroid of
     * `cents` (cent_id, cu): one broadcast join + one `max_by` hash
@@ -214,15 +213,47 @@ object Similarity {
     * centroids with fewer probes. At larger corpora raise `nCentroids`
     * (list length ∝ n/nCentroids) and keep nProbe/nCentroids — the
     * scanned fraction — at whatever the recall target demands. */
+  /** Session-scoped IVF index — codebook + corpus assignment trained
+    * once per (session, dir, nCentroids, rounds) and kept resident, the
+    * same [[StageCache]] discipline as the LSH signature stage: q39 and
+    * q62 otherwise each re-pay the Lloyd round and the full-corpus
+    * assignment. The bulky unit-vector parent is dropped once the
+    * bounded index is materialized (as confirmedPairs drops its shingle
+    * cache); the query side reads from the assignment itself. */
+  private val ivfCentCache = new StageCache[(SparkSession, String, Int, Int)]
+  private val ivfAssignCache = new StageCache[(SparkSession, String, Int, Int)]
+
+  /** Visible for specs: number of times the IVF index was trained. */
+  private[ops] def ivfBuilds = ivfAssignCache.builds
+
+  private def ivfStage(spark: SparkSession, dir: String,
+      nCentroids: Int, rounds: Int): (DataFrame, DataFrame) = {
+    val key = (spark, dir, nCentroids, rounds)
+    val cents = ivfCentCache.getOrBuild(key) {
+      // the unit-vector scan feeds the seed pass, every Lloyd round and
+      // the assignment below — cache it across both stage builds
+      // (normalization is per-row sqrt work); CacheManager dedupes the
+      // identical plan so both builders share one entry
+      val e = unitEmbeddings(spark, dir).cache()
+      val built = ivfCentroidsOf(e, nCentroids, rounds).cache()
+      built.count()
+      built
+    }
+    val assigned = ivfAssignCache.getOrBuild(key) {
+      val e = unitEmbeddings(spark, dir).cache()
+      val built = assignNearest(e, cents).cache()
+      built.count()
+      e.unpersist(blocking = false) // bounded index resident; bulky parent dropped
+      built
+    }
+    (cents, assigned)
+  }
+
   def ivfTopK(spark: SparkSession, dir: String, nCentroids: Int = 16,
       nProbe: Int = 8, nQueries: Int = 100, k: Int = 3,
       rounds: Int = 1): DataFrame = {
-    // the unit-vector scan feeds the seed pass, the corpus assignment and
-    // the query side — cache it once (normalization is per-row sqrt work)
-    val e = unitEmbeddings(spark, dir).cache()
-    val cents = ivfCentroidsOf(e, nCentroids, rounds)
-    val assigned = assignNearest(e, cents)
-    val q = e.where(col("vec_id") < nQueries)
+    val (cents, assigned) = ivfStage(spark, dir, nCentroids, rounds)
+    val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val pw = Window.partitionBy("q_id")
       .orderBy(round(col("cdot"), 6).desc, col("cent_id"))
