@@ -20,6 +20,9 @@ object PlanProbe {
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (sys.env.contains("PROBE_EXPLAIN")) fn(spark, dir).explain("formatted")
+    // the raw executedPlan string ExchangeAuditSpec counts over
+    if (sys.env.contains("PROBE_SIMPLE"))
+      println(fn(spark, dir).queryExecution.executedPlan.toString)
     spark.stop()
   }
 }
