@@ -56,16 +56,37 @@ object Tables {
     spread(spark, apply(spark, dir, "embeddings"), "vec_id", s"$dir/embeddings.parquet")
 
   /** Events with `ts` normalized to a micro-precision TimestampType
-    * column regardless of the underlying parquet physical type (NANOS →
-    * integer-div by 1000; integer division keeps full precision — nanos
-    * since epoch overflow double's 2^53 exact-integer range). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+    * column regardless of the underlying parquet physical type. The
+    * encoding of an input we don't produce is NOT a constant: the test
+    * corpus has shipped as TIMESTAMP(NANOS) (surfaced as LongType under
+    * `nanosAsLong`), as INT64 micros `isAdjustedToUTC=0` (surfaced as
+    * TIMESTAMP_NTZ), and could ship as plain TIMESTAMP micros — so the
+    * loader dispatches on the surfaced type instead of assuming one.
+    * EventsEncodingSpec pins all three paths to identical `unix_micros`
+    * values. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(apply(spark, dir, "events"))
+
+  /** Normalize an events frame's `ts` column to TimestampType micros.
+    *   - LongType: nanos-as-long (legacy TIMESTAMP(NANOS) files read with
+    *     `spark.sql.legacy.parquet.nanosAsLong`) — integer-div by 1000;
+    *     integer division keeps full precision (nanos since epoch
+    *     overflow double's 2^53 exact-integer range).
+    *   - TimestampNTZType: INT64 micros with `isAdjustedToUTC=0` — cast
+    *     reinterprets the wall-clock in the session timezone, which is
+    *     pinned UTC by GraftSession/Verify/Bench, so the instant is
+    *     byte-stable and matches DuckDB's naive-timestamp `epoch_us`.
+    *   - TimestampType: already the target; pass through.
+    * Shared by the batch loader above and the streaming source
+    * ([[graft.streaming.EventsStreaming.readEvents]]) so both fronts
+    * absorb an encoding flip identically. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    val raw = apply(spark, dir, "events")
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => raw
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
 }

@@ -17,27 +17,26 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** Events schema as the parquet files surface it with nanos-as-long
-    * (Spark 4 cannot read TIMESTAMP(NANOS) natively — see
-    * graft.ops.Tables). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanoseconds since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** File-source stream of events with `ts` normalized to a
     * micro-precision timestamp. `maxFilesPerTrigger` (caller-set option)
-    * turns a directory of parquet files into a multi-batch stream. */
+    * turns a directory of parquet files into a multi-batch stream.
+    *
+    * A file stream needs an explicit schema, but the physical encoding of
+    * `ts` (nanos-as-long vs NTZ micros vs LTZ micros) is a property of
+    * files we don't produce — so probe it with a one-off batch read of
+    * the directory footer metadata, then normalize through the SAME
+    * dispatch as the batch loader ([[graft.ops.Tables.normalizeEventTs]]).
+    * Hard-coding one encoding here once turned an upstream re-encode into
+    * silent 1970-era timestamps; the probe makes both fronts absorb an
+    * encoding flip identically. */
   def readEvents(spark: SparkSession, srcDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
+    val physicalSchema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream
+      .schema(physicalSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.ops.Tables.normalizeEventTs(stream)
   }
 
   /** Tumbling 1-hour event-time windows with a 30-minute watermark:

@@ -73,9 +73,9 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // events carries TIMESTAMP(NANOS); surface as raw long like Tables
-    // does — the scaled copy round-trips as plain INT64, which
-    // Tables.events normalizes identically
+    // events.ts passes through untouched, so whatever encoding the source
+    // carries (nanos-as-long via this conf, NTZ micros, LTZ micros)
+    // round-trips and Tables.normalizeEventTs absorbs it on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")

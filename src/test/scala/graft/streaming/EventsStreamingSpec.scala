@@ -83,9 +83,18 @@ class EventsStreamingSpec extends AnyFunSuite {
     val dir = java.nio.file.Path.of(mkStreamDir(1))
     val sentinelTmp = Files.createTempDirectory("graft-sentinel")
     val maxTs = Tables.events(spark, sfDir).agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val sentinelUs = maxTs + 365L * 86400 * 1000000 // +1 year
+    // the sentinel file must carry ts in the SAME physical encoding as the
+    // copied events files — readEvents probes one schema for the whole dir
+    val sentinelTs = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => lit(sentinelUs * 1000) // nanos-as-long
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(lit(sentinelUs)).cast(org.apache.spark.sql.types.TimestampNTZType)
+      case _ => timestamp_micros(lit(sentinelUs))
+    }
     spark.range(1)
       .select(lit(-1L).as("event_id"),
-        lit((maxTs + 365L * 86400 * 1000000) * 1000).as("ts"), // nanos, +1 year
+        sentinelTs.as("ts"),
         lit(-1L).as("user_id"), lit("sentinel").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(sentinelTmp.toString)
