@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.ops.TextAnalysis
 
@@ -19,20 +18,18 @@ import graft.ops.TextAnalysis
   */
 object DocumentsStreaming {
 
-  val documentsSchema: StructType = StructType(Seq(
-    StructField("doc_id", LongType),
-    StructField("text", StringType),
-    StructField("lang", StringType),
-    StructField("source", StringType),
-    StructField("n_chars", LongType)))
-
   /** File-source stream of documents parquet. Documents carry no event
     * time, so ingest time is synthesized deterministically from doc_id
-    * (1 s apart) — a real crawl feed has true arrival timestamps here. */
+    * (1 s apart) — a real crawl feed has true arrival timestamps here.
+    *
+    * The stream's required schema is probed from the directory's own
+    * footers instead of hard-coded: the physical layout of inputs we
+    * don't produce is not a constant (the events source learned this
+    * the hard way — see [[EventsStreaming.readEvents]]). */
   def readDocuments(spark: SparkSession, srcDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(documentsSchema)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
