@@ -71,22 +71,39 @@ object Tables {
     *   - LongType: nanos-as-long (legacy TIMESTAMP(NANOS) files read with
     *     `spark.sql.legacy.parquet.nanosAsLong`) — integer-div by 1000;
     *     integer division keeps full precision (nanos since epoch
-    *     overflow double's 2^53 exact-integer range).
-    *   - TimestampNTZType: INT64 micros with `isAdjustedToUTC=0` — cast
-    *     reinterprets the wall-clock in the session timezone, which is
-    *     pinned UTC by GraftSession/Verify/Bench, so the instant is
-    *     byte-stable and matches DuckDB's naive-timestamp `epoch_us`.
+    *     overflow double's 2^53 exact-integer range). TZ-independent.
+    *   - TimestampNTZType: INT64 micros with `isAdjustedToUTC=0`. The
+    *     corpus contract is that the naive wall-clock IS the UTC instant
+    *     (DuckDB's `epoch_us` on the same files assumes exactly this), so
+    *     the conversion must not depend on the session timezone: a plain
+    *     cast reinterprets the wall-clock in the session zone, which in a
+    *     non-UTC user session would silently shift every instant by the
+    *     zone offset — the same corruption class the round-5 streaming
+    *     bug had. In UTC sessions (Verify/Bench/GraftSession pin it) the
+    *     cast alone is the instant-preserving fast path; elsewhere
+    *     `from_utc_timestamp` adds the session-zone offset back so the
+    *     instant equals the wall-clock-as-UTC reading.
     *   - TimestampType: already the target; pass through.
+    *   - anything else: fail LOUDLY at load time. A silent pass-through
+    *     here is how the round-5 encoding flip reached six queries as
+    *     per-query analysis errors; an unknown future encoding (INT96,
+    *     millis-as-int, string) should name itself in one place instead.
     * Shared by the batch loader above and the streaming source
     * ([[graft.streaming.EventsStreaming.readEvents]]) so both fronts
-    * absorb an encoding flip identically. */
+    * absorb an encoding flip identically. Pinned by EventsEncodingSpec,
+    * including a non-UTC-session case. */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
-      case _                => df
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        val ltz = col("ts").cast(TimestampType)
+        df.withColumn("ts", if (tz == "UTC") ltz else from_utc_timestamp(ltz, tz))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other — teach Tables.normalizeEventTs this encoding")
     }
   }
 }

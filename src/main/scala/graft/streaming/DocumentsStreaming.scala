@@ -22,14 +22,17 @@ object DocumentsStreaming {
     * time, so ingest time is synthesized deterministically from doc_id
     * (1 s apart) — a real crawl feed has true arrival timestamps here.
     *
-    * The stream's required schema is probed from the directory's own
-    * footers instead of hard-coded: the physical layout of inputs we
-    * don't produce is not a constant (the events source learned this
-    * the hard way — see [[EventsStreaming.readEvents]]). */
+    * The stream's required schema is by default probed from the
+    * directory's own footers instead of hard-coded: the physical layout
+    * of inputs we don't produce is not a constant (the events source
+    * learned this the hard way — see [[EventsStreaming.readEvents]]).
+    * The probe needs at least one file; for a landing directory that is
+    * empty at startup, pass `schema` explicitly. */
   def readDocuments(spark: SparkSession, srcDir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame =
+      maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     spark.readStream
-      .schema(spark.read.parquet(srcDir).schema)
+      .schema(schema.getOrElse(spark.read.parquet(srcDir).schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
       .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))

@@ -22,15 +22,22 @@ object EventsStreaming {
     *
     * A file stream needs an explicit schema, but the physical encoding of
     * `ts` (nanos-as-long vs NTZ micros vs LTZ micros) is a property of
-    * files we don't produce — so probe it with a one-off batch read of
-    * the directory footer metadata, then normalize through the SAME
-    * dispatch as the batch loader ([[graft.ops.Tables.normalizeEventTs]]).
-    * Hard-coding one encoding here once turned an upstream re-encode into
-    * silent 1970-era timestamps; the probe makes both fronts absorb an
-    * encoding flip identically. */
-  def readEvents(spark: SparkSession, srcDir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    * files we don't produce — so by default probe it with a one-off batch
+    * read of the directory footer metadata, then normalize through the
+    * SAME dispatch as the batch loader
+    * ([[graft.ops.Tables.normalizeEventTs]]). Hard-coding one encoding
+    * here once turned an upstream re-encode into silent 1970-era
+    * timestamps; the probe makes both fronts absorb an encoding flip
+    * identically.
+    *
+    * The probe needs at least one file present. A landing directory that
+    * is empty at startup (the stream-before-data production shape) can't
+    * be probed — pass `schema` explicitly for that case; `ts` still goes
+    * through the same normalization dispatch. */
+  def readEvents(spark: SparkSession, srcDir: String, maxFilesPerTrigger: Int = 1,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val physicalSchema = spark.read.parquet(srcDir).schema
+    val physicalSchema = schema.getOrElse(spark.read.parquet(srcDir).schema)
     val stream = spark.readStream
       .schema(physicalSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

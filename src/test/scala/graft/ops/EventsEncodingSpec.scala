@@ -70,6 +70,58 @@ class EventsEncodingSpec extends AnyFunSuite {
     }
   }
 
+  test("NTZ normalization is session-timezone independent") {
+    // the naive wall-clock IS the UTC instant (corpus contract; DuckDB's
+    // epoch_us assumes it) — a non-UTC session must read the same instants
+    val dir = writeFixture("ntz_micros")
+    val expected = readUs(dir) // UTC session (TestSpark pins it)
+    val tzKey = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      assert(readUs(dir) == expected, "instants shifted in a non-UTC session")
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      assert(readUs(dir) == expected, "instants shifted in a non-UTC session")
+    } finally spark.conf.set(tzKey, saved)
+  }
+
+  test("an unknown ts encoding fails loudly at load time") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-enc-unknown").toString
+    // ts as a string column: no normalization branch should accept this
+    instantsUs.zipWithIndex
+      .map { case (us, i) => (i.toLong, us.toString, i.toLong, "click", 1.0, null: String) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException](Tables.events(spark, dir))
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("an explicit schema lets the stream start on an empty landing dir") {
+    import org.apache.spark.sql.streaming.OutputMode
+    import org.apache.spark.sql.types._
+    val landing = Files.createTempDirectory("graft-enc-landing").toString
+    val ntzSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // empty dir: the probe would throw; the explicit schema must not
+    val stream = graft.streaming.EventsStreaming.readEvents(
+      spark, landing, schema = Some(ntzSchema))
+    assert(stream.schema("ts").dataType == TimestampType)
+    // data lands AFTER the stream is defined; the query then picks it up
+    val src = writeFixture("ntz_micros")
+    val part = Files.list(java.nio.file.Path.of(s"$src/events.parquet"))
+      .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+    Files.copy(part, java.nio.file.Path.of(landing, "events_1.parquet"))
+    graft.streaming.EventsStreaming.runToMemory(
+      stream.select(col("event_id"), unix_micros(col("ts")).as("us")),
+      "enc_landing", OutputMode.Append())
+    val got = spark.table("enc_landing")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == instantsUs.zipWithIndex.map { case (us, i) => (i.toLong, us) }.sorted)
+  }
+
   test("streaming source normalizes each encoding like the batch loader") {
     import org.apache.spark.sql.streaming.OutputMode
     for (enc <- Seq("nanos_long", "ntz_micros", "ltz_micros")) {
