@@ -147,33 +147,37 @@ class PlanSpec extends AnyFunSuite {
       s"q91 should shuffle once for the aggregate:\n${p.take(2000)}")
   }
 
-  test("q38 probe ladder stays inside a bounded expression budget") {
-    // round-4 regression guard: the flip-two probe ladder once expanded
-    // to ~296 string-surgery structs over an inlined 64-term sign
-    // expression — tens of thousands of expression nodes after projection
-    // collapse. The integer-bucket + XOR-mask form sits near 150 nodes;
-    // the budget leaves headroom for plan-shape drift but fails long
-    // before codegen is in danger again.
-    val df = SparkEntry.queries("q38_ann_lsh")(spark, dir)
-    val nExpr = df.queryExecution.optimizedPlan
-      .map(node => node.expressions.map(e => e.collect { case x => x }.size).sum).sum
-    assert(nExpr < 2000, s"q38 optimized plan carries $nExpr expression nodes — " +
-      "probe generation is inflating expressions again (keep probes as exploded data)")
-  }
+  for (q <- Seq("q38_ann_lsh", "q92_ann_lsh_scaled")) {
+    test(s"$q probe ladder stays inside a bounded expression budget") {
+      // round-4 regression guard: the flip-two probe ladder once expanded
+      // to ~296 string-surgery structs over an inlined 64-term sign
+      // expression — tens of thousands of expression nodes after projection
+      // collapse. The integer-bucket + XOR-mask form sits near 150 nodes
+      // REGARDLESS of bits/tables (masks are exploded data, q92's 79-mask
+      // ladder must cost the same plan as q38's 37); the budget leaves
+      // headroom for plan-shape drift but fails long before codegen is in
+      // danger again.
+      val df = SparkEntry.queries(q)(spark, dir)
+      val nExpr = df.queryExecution.optimizedPlan
+        .map(node => node.expressions.map(e => e.collect { case x => x }.size).sum).sum
+      assert(nExpr < 2000, s"$q optimized plan carries $nExpr expression nodes — " +
+        "probe generation is inflating expressions again (keep probes as exploded data)")
+    }
 
-  test("q38 whole-stage codegen compiles every method under the JIT limit") {
-    import org.apache.spark.sql.execution.debug._
-    val df = SparkEntry.queries("q38_ann_lsh")(spark, dir)
-    df.collect() // finalize the AQE plan so all codegen subtrees exist
-    val stats = codegenStringSeq(df.queryExecution.executedPlan)
-    assert(stats.nonEmpty, "expected at least one WholeStageCodegen subtree in q38")
-    stats.foreach { case (subtree, _, s) =>
-      // HotSpot never JIT-compiles methods over ~8 KiB bytecode
-      // (DontCompileHugeMethods); a subtree at that size runs interpreted
-      // and floods the code cache — the round-4 failure mechanism
-      assert(s.maxMethodCodeSize < 8000,
-        s"generated method of ${s.maxMethodCodeSize} bytes exceeds the JIT compile " +
-          s"limit in subtree:\n${subtree.linesIterator.take(5).mkString("\n")}")
+    test(s"$q whole-stage codegen compiles every method under the JIT limit") {
+      import org.apache.spark.sql.execution.debug._
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect() // finalize the AQE plan so all codegen subtrees exist
+      val stats = codegenStringSeq(df.queryExecution.executedPlan)
+      assert(stats.nonEmpty, s"expected at least one WholeStageCodegen subtree in $q")
+      stats.foreach { case (subtree, _, s) =>
+        // HotSpot never JIT-compiles methods over ~8 KiB bytecode
+        // (DontCompileHugeMethods); a subtree at that size runs interpreted
+        // and floods the code cache — the round-4 failure mechanism
+        assert(s.maxMethodCodeSize < 8000,
+          s"generated method of ${s.maxMethodCodeSize} bytes exceeds the JIT compile " +
+            s"limit in subtree:\n${subtree.linesIterator.take(5).mkString("\n")}")
+      }
     }
   }
 }
