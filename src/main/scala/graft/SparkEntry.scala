@@ -107,6 +107,7 @@ object SparkEntry {
     // cheaper at 100x, recall held) under the same hash gate as the
     // 8x8 default — the scale path is gated evidence, not just a claim
     "q92_ann_lsh_scaled" -> ((s, d) => Similarity.lshTopK(s, d, bits = 12, nTables = 5)),
+    "q93_pack_assignment" -> ((s, d) => Packing.packAssignment(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -662,6 +663,31 @@ object SparkEntry {
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
+    // q93: doc -> (shard, pack_seq, slot) assignment; same bucket ladder
+    // as q91, shard = doc_id % 4, rank/capacity arithmetic on exact
+    // small integers (floor over power-of-two quotients is exact in both
+    // engines)
+    "q93_pack_assignment" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN n_tok > 64 THEN 128 WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
+        |         WHEN n_tok <= 4 THEN 4 WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16
+        |         WHEN n_tok <= 32 THEN 32 ELSE 64 END AS bucket,
+        |    doc_id % 4 AS shard
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(shard AS BIGINT) AS shard,
+        |    row_number() OVER (PARTITION BY source, bucket, shard ORDER BY doc_id) - 1 AS rn
+        |  FROM b)
+        |SELECT doc_id, source, bucket, shard,
+        |  CASE WHEN bucket = 128 THEN rn
+        |       ELSE CAST(floor(rn * bucket / 128.0) AS BIGINT) END AS pack_seq,
+        |  CASE WHEN bucket = 128 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(rn % CAST(128 / bucket AS BIGINT) AS BIGINT) END AS slot
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q39_ann_ivf" -> (UnitVecCte + ivfCtes(nQueries = 100) + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3

@@ -58,4 +58,52 @@ object Packing {
         round(col("sum_tok") / (col("n_packs") * lit(window * 1.0)), 4).as("fill_ratio"))
       .orderBy("source", "bucket")
   }
+
+  /** The MATERIALIZED doc→sequence assignment behind [[lengthPacking]]'s
+    * economics — the relation a packing dataloader actually consumes:
+    * every doc gets (shard, pack_seq, slot) within its (source, bucket)
+    * group; a training sequence is the `window/bucket` docs sharing
+    * (source, bucket, shard, pack_seq), and bucket==window docs (longer
+    * than the context) each own their pack (slot 0) and span
+    * ceil(n_tok/window) sequences.
+    *
+    * Scale shape: assignment is sequential BY NATURE (slot i+1 depends on
+    * where slot i landed), so a naive global `row_number` per
+    * (source, bucket) would funnel each group — potentially billions of
+    * rows at corpus scale — through one reducer. Instead docs are
+    * SHARDED by `doc_id % shards` and packed independently per
+    * (source, bucket, shard): the sort partitions shrink by the shard
+    * count (raise `shards` with the corpus; each shard's packing is
+    * embarrassingly parallel), and the only cost is that each shard's
+    * LAST pack may run partial — at most `shards - 1` extra sequences
+    * per (source, bucket), a vanishing fraction of the corpus-scale pack
+    * count. Same closed-form capacity arithmetic as the economics
+    * report, so the two stay consistent by construction.
+    *
+    * Determinism: shard/pack/slot all derive from `doc_id` ordering and
+    * exact small-integer arithmetic — no hash functions (engine-specific)
+    * and no floating-point boundaries beyond exact power-of-two
+    * quotients. */
+  def packAssignment(spark: SparkSession, dir: String, window: Int = 128,
+      shards: Int = 4): DataFrame = {
+    require(Integer.bitCount(window) == 1, "window must be a power of two")
+    val nTok = TextAnalysis.nTokens(col("text"))
+    val ladder = Iterator.iterate(1L)(_ * 2).takeWhile(_ < window).toSeq
+    val bucket = ladder.foldLeft(when(nTok > ladder.last, window.toLong)) {
+      (acc, b) => acc.when(nTok <= b, b)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "bucket", "shard").orderBy("doc_id")
+    val capacity = lit(window) / col("bucket") // exact: bucket divides window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), nTok.as("n_tok"), bucket.as("bucket"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+      .select(col("doc_id"), col("source"), col("bucket"), col("shard"),
+        when(col("bucket") === window, col("rn"))
+          .otherwise(floor(col("rn") / capacity).cast("long")).as("pack_seq"),
+        when(col("bucket") === window, lit(0L))
+          .otherwise((col("rn") % capacity).cast("long")).as("slot"))
+      .orderBy("doc_id")
+  }
 }
