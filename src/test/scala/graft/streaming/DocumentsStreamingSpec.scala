@@ -25,6 +25,19 @@ class DocumentsStreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
+  test("an explicit schema lets the documents stream start on an empty landing dir") {
+    val landing = Files.createTempDirectory("graft-docstream-landing").toString
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    // empty dir: the footer probe would throw; the explicit schema must not
+    val stream = DocumentsStreaming.readDocuments(spark, landing, schema = Some(schema))
+    val src = java.nio.file.Path.of(s"$sfDir/documents.parquet")
+    Files.copy(src, java.nio.file.Path.of(landing, "documents_1.parquet"))
+    EventsStreaming.runToMemory(
+      stream.select("doc_id"), "docs_landing", OutputMode.Append())
+    assert(spark.table("docs_landing").count() ==
+      Tables.documents(spark, sfDir).count())
+  }
+
   test("stateless curation stream matches the batch quality gate row-for-row") {
     val dir = mkStreamDir(1)
     val stream = DocumentsStreaming.readDocuments(spark, dir)
