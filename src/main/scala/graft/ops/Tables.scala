@@ -6,10 +6,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * path (parquet, column pruning, filter pushdown) is uniform. */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The events table carries TIMESTAMP(NANOS) parquet columns, which
-    // Spark 4 rejects outright unless they are surfaced as raw longs.
+    // Historical events corpora carried TIMESTAMP(NANOS) columns, which
+    // Spark 4 rejects outright unless they are surfaced as raw longs
+    // (the current corpus is INT64 micros NTZ — see normalizeEventTs).
     // Setting this here (runtime SQLConf, no-op for non-nano files) keeps
-    // the library usable in sessions we don't build ourselves.
+    // the library usable on any vintage, in sessions we don't build
+    // ourselves.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/$name.parquet")
   }
