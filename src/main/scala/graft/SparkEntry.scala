@@ -103,9 +103,10 @@ object SparkEntry {
     "q89_quantization_error" -> Similarity.quantizationError _,
     "q90_template_prefixes" -> ((s, d) => TextAnalysis.templatePrefixes(s, d)),
     "q91_length_packing" -> ((s, d) => Packing.lengthPacking(s, d)),
-    // the documented LSH scale config (BASELINE.md knob table: 2.4x
-    // cheaper at 100x, recall held) under the same hash gate as the
-    // 8x8 default — the scale path is gated evidence, not just a claim
+    // the documented LSH scale config (BASELINE.md round-6 knob table:
+    // 11-17x cheaper at 100x warm, 3.8x cold incl. signature build,
+    // recall@3 1.000) under the same hash gate as the 8x8 default — the
+    // scale path is gated evidence, not just a claim
     "q92_ann_lsh_scaled" -> ((s, d) => Similarity.lshTopK(s, d, bits = 12, nTables = 5)),
     "q93_pack_assignment" -> ((s, d) => Packing.packAssignment(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
@@ -664,21 +665,24 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
     // q93: doc -> (shard, pack_seq, slot) assignment; same bucket ladder
-    // as q91, shard = doc_id % 4, rank/capacity arithmetic on exact
-    // small integers (floor over power-of-two quotients is exact in both
-    // engines)
+    // as q91 (with an explicit NULL guard so a NULL text row stays NULL
+    // in both engines instead of falling into the ELSE bucket), shard =
+    // doc_id % 4 (sign-following % in both engines), rank/capacity
+    // arithmetic on exact small integers (floor over power-of-two
+    // quotients is exact in both engines)
     "q93_pack_assignment" ->
       """WITH d AS (
         |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents),
         |b AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN n_tok > 64 THEN 128 WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
+        |  SELECT doc_id, source, n_tok,
+        |    CASE WHEN n_tok IS NULL THEN NULL
+        |         WHEN n_tok > 64 THEN 128 WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
         |         WHEN n_tok <= 4 THEN 4 WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16
         |         WHEN n_tok <= 32 THEN 32 ELSE 64 END AS bucket,
         |    doc_id % 4 AS shard
         |  FROM d),
         |r AS (
-        |  SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+        |  SELECT doc_id, source, n_tok, CAST(bucket AS BIGINT) AS bucket,
         |    CAST(shard AS BIGINT) AS shard,
         |    row_number() OVER (PARTITION BY source, bucket, shard ORDER BY doc_id) - 1 AS rn
         |  FROM b)
@@ -686,7 +690,8 @@ object SparkEntry {
         |  CASE WHEN bucket = 128 THEN rn
         |       ELSE CAST(floor(rn * bucket / 128.0) AS BIGINT) END AS pack_seq,
         |  CASE WHEN bucket = 128 THEN CAST(0 AS BIGINT)
-        |       ELSE CAST(rn % CAST(128 / bucket AS BIGINT) AS BIGINT) END AS slot
+        |       ELSE CAST(rn % CAST(128 / bucket AS BIGINT) AS BIGINT) END AS slot,
+        |  CAST(n_tok AS BIGINT) AS n_tok
         |FROM r ORDER BY doc_id""".stripMargin,
     "q39_ann_ivf" -> (UnitVecCte + ivfCtes(nQueries = 100) + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
@@ -1040,7 +1045,8 @@ object SparkEntry {
         |  SELECT source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents),
         |b AS (
         |  SELECT source, n_tok,
-        |    CASE WHEN n_tok > 64 THEN 128 WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
+        |    CASE WHEN n_tok IS NULL THEN NULL
+        |         WHEN n_tok > 64 THEN 128 WHEN n_tok <= 1 THEN 1 WHEN n_tok <= 2 THEN 2
         |         WHEN n_tok <= 4 THEN 4 WHEN n_tok <= 8 THEN 8 WHEN n_tok <= 16 THEN 16
         |         WHEN n_tok <= 32 THEN 32 ELSE 64 END AS bucket
         |  FROM d),

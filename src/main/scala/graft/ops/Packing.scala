@@ -97,13 +97,19 @@ object Packing {
     val capacity = lit(window) / col("bucket") // exact: bucket divides window
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), nTok.as("n_tok"), bucket.as("bucket"))
-      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+      // sign-following % (not pmod): matches the oracle's % so a corpus
+      // with negative ids would still shard identically cross-engine
+      .withColumn("shard", (col("doc_id") % shards.toLong).cast("long"))
       .withColumn("rn", row_number().over(w).cast("long") - 1)
       .select(col("doc_id"), col("source"), col("bucket"), col("shard"),
         when(col("bucket") === window, col("rn"))
           .otherwise(floor(col("rn") / capacity).cast("long")).as("pack_seq"),
         when(col("bucket") === window, lit(0L))
-          .otherwise((col("rn") % capacity).cast("long")).as("slot"))
+          .otherwise((col("rn") % capacity).cast("long")).as("slot"),
+        // n_tok keeps the relation self-contained: a dataloader laying
+        // out physical offsets needs ceil(n_tok/window) for long docs
+        // without re-tokenizing the corpus
+        col("n_tok"))
       .orderBy("doc_id")
   }
 }

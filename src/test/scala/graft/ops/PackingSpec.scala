@@ -21,12 +21,13 @@ class PackingSpec extends AnyFunSuite {
   private lazy val assign = Packing.packAssignment(spark, dir, window, shards).cache()
 
   test("no pack exceeds its bucket capacity and slots are dense from zero") {
-    val over = assign.where(col("bucket") < window)
+    val bad = assign.where(col("bucket") < window)
       .groupBy("source", "bucket", "shard", "pack_seq")
       .agg(count(lit(1)).as("n"), max("slot").as("max_slot"), min("slot").as("min_slot"))
       .where(col("n") > lit(window) / col("bucket") ||
         col("max_slot") =!= col("n") - 1 || col("min_slot") =!= 0)
-    assert(over.isEmpty, s"invalid packs:\n${over.limit(5).collect().mkString("\n")}")
+      .limit(5).collect()
+    assert(bad.isEmpty, s"invalid packs:\n${bad.mkString("\n")}")
   }
 
   test("long docs (bucket == window) each own their pack at slot 0") {
@@ -60,10 +61,18 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
-  test("the assignment window partitions by (source, bucket, shard), never one global sort") {
+  test("the assignment window shuffles on (source, bucket, shard) — the sharded keys") {
     val df = Packing.packAssignment(spark, dir, window, shards)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("hashpartitioning(source"), p.take(2000))
+    // the window's exchange must carry ALL THREE keys: dropping `shard`
+    // (or `bucket`) would re-concentrate each (source, bucket) group —
+    // potentially corpus-scale — into one sort partition. (The trailing
+    // orderBy(doc_id) adds a rangepartitioning for the gate's row-order
+    // contract; a dataloader consumer drops that sort, so it is not the
+    // subject here.)
+    val windowExchange = raw"hashpartitioning\(source[^)]*bucket[^)]*shard".r
+    assert(windowExchange.findFirstIn(p).isDefined,
+      s"window exchange missing one of (source, bucket, shard):\n${p.take(2000)}")
   }
 }
