@@ -93,7 +93,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GraftSession.ensureCheckpointDir(spark)
+    GraftSession.configure(spark)
     // SPARK_GRAFT_ONLY=q35,q59 restricts the run (iteration aid; the
     // driver never sets it, so the bench of record is always the full set)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

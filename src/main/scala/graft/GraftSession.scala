@@ -6,6 +6,24 @@ import org.apache.spark.sql.SparkSession
   * (Bench / Verify / test harness). */
 object GraftSession {
 
+  /** One-stop session post-configuration: everything the library needs a
+    * session to carry, applied ONCE at construction time. Per-query code
+    * (loaders, operators) never mutates session conf — a `spark.conf.set`
+    * hidden inside a loader is a global side effect a library caller
+    * can't see (it once lived in `Tables.apply`, where a caller reading
+    * nanos parquet THEY produced would silently get longs where they
+    * expected an error).
+    *
+    *  - `nanosAsLong`: historical events corpora carried TIMESTAMP(NANOS)
+    *    columns, which Spark 4 rejects outright unless surfaced as raw
+    *    longs; [[graft.ops.Tables.normalizeEventTs]] then dispatches on
+    *    the surfaced LongType. No-op for non-nano files.
+    *  - a reliable checkpoint dir (see [[ensureCheckpointDir]]). */
+  def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureCheckpointDir(spark)
+  }
+
   /** Ensure a RELIABLE checkpoint directory is configured: iterative ops
     * (Dedup.clusters' label propagation) truncate lineage per round, and
     * only reliable checkpoints survive executor loss on a cluster —

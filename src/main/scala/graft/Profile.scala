@@ -18,6 +18,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftSession.configure(spark)
     val fn = SparkEntry.queries(name)
     sys.env.get("GRAFT_WARM_DIR").foreach { wd =>
       val t0 = System.nanoTime()

@@ -14,7 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    GraftSession.ensureCheckpointDir(spark)
+    GraftSession.configure(spark)
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q38,q62 restricts the dump (local iteration aid,
     // mirrors Bench; the driver never sets it, so its gate is always full)

@@ -5,16 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Testdata table loader. Every operator reads through here so the scan
   * path (parquet, column pruning, filter pushdown) is uniform. */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Historical events corpora carried TIMESTAMP(NANOS) columns, which
-    // Spark 4 rejects outright unless they are surfaced as raw longs
-    // (the current corpus is INT64 micros NTZ — see normalizeEventTs).
-    // Setting this here (runtime SQLConf, no-op for non-nano files) keeps
-    // the library usable on any vintage, in sessions we don't build
-    // ourselves.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Pure loader — no session-conf mutation (that's a construction-time
+    * concern: [[graft.GraftSession.configure]] sets
+    * `spark.sql.legacy.parquet.nanosAsLong` so nano-vintage events files
+    * surface as raw longs for [[normalizeEventTs]]; a session without it
+    * gets Spark's own loud TIMESTAMP(NANOS) rejection, never a silent
+    * long where the caller expected an error). */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** Spread a scan across the cluster when the file layout under-splits
     * it (a single small parquet file = one task, which serializes any
@@ -81,10 +79,16 @@ object Tables {
     *     cast reinterprets the wall-clock in the session zone, which in a
     *     non-UTC user session would silently shift every instant by the
     *     zone offset — the same corruption class the round-5 streaming
-    *     bug had. In UTC sessions (Verify/Bench/GraftSession pin it) the
-    *     cast alone is the instant-preserving fast path; elsewhere
-    *     `from_utc_timestamp` adds the session-zone offset back so the
-    *     instant equals the wall-clock-as-UTC reading.
+    *     bug had. The epoch offset is therefore computed ZONE-FREE as
+    *     pure field arithmetic — days-since-epoch of the wall-clock date
+    *     plus the wall-clock time of day — which never consults a zone,
+    *     so wall-clocks inside a session zone's DST gap/overlap and
+    *     long-lived streams whose session zone changes after plan
+    *     definition both read exactly wall-clock-as-UTC. (The obvious
+    *     `timestampdiff(MICROSECOND, NTZ epoch, ts)` is NOT zone-free:
+    *     Spark resolves NTZ operands through the session zone, and the
+    *     DST-gap instant in EventsEncodingSpec catches it shifting by
+    *     the gap width in an America/New_York session.)
     *   - TimestampType: already the target; pass through.
     *   - anything else: fail LOUDLY at load time. A silent pass-through
     *     here is how the round-5 encoding flip reached six queries as
@@ -96,13 +100,18 @@ object Tables {
     * including a non-UTC-session case. */
   def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
-        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
-        val ltz = col("ts").cast(TimestampType)
-        df.withColumn("ts", if (tz == "UTC") ltz else from_utc_timestamp(ltz, tz))
+        // NTZ field extractions (date, hour, minute, fractional second)
+        // are wall-clock-local by definition; date_part('SECOND') is a
+        // DECIMAL(8,6), so ×1e6 is exact micros
+        df.withColumn("ts", timestamp_micros(
+          unix_date(col("ts").cast(DateType)).cast(LongType) * lit(86400000000L) +
+            hour(col("ts")).cast(LongType) * lit(3600000000L) +
+            minute(col("ts")).cast(LongType) * lit(60000000L) +
+            (expr("date_part('SECOND', ts)") * lit(1000000)).cast(LongType)))
       case TimestampType => df
       case other => throw new IllegalArgumentException(
         s"events.ts has unsupported type $other — teach Tables.normalizeEventTs this encoding")

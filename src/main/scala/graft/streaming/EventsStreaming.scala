@@ -33,10 +33,14 @@ object EventsStreaming {
     * The probe needs at least one file present. A landing directory that
     * is empty at startup (the stream-before-data production shape) can't
     * be probed — pass `schema` explicitly for that case; `ts` still goes
-    * through the same normalization dispatch. */
+    * through the same normalization dispatch.
+    *
+    * Nano-vintage files (true TIMESTAMP(NANOS)) additionally need
+    * `spark.sql.legacy.parquet.nanosAsLong` set at session construction
+    * ([[graft.GraftSession.configure]] does it) — a source builder
+    * mutating session conf would be a hidden global side effect. */
   def readEvents(spark: SparkSession, srcDir: String, maxFilesPerTrigger: Int = 1,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val physicalSchema = schema.getOrElse(spark.read.parquet(srcDir).schema)
     val stream = spark.readStream
       .schema(physicalSchema)

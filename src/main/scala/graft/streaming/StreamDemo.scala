@@ -26,6 +26,7 @@ object StreamDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.GraftSession.configure(spark)
     val mode = if (args.length > 1) args(1) else "hourly"
     val events = EventsStreaming.readEvents(spark, src)
     mode match {

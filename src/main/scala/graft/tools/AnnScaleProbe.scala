@@ -24,7 +24,7 @@ object AnnScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.GraftSession.ensureCheckpointDir(spark)
+    graft.GraftSession.configure(spark)
 
     val exact = Similarity.bruteForceTopK(spark, dir, nQueries, k)
       .select(col("q_id"), col("neighbor_id")).cache()

@@ -26,7 +26,7 @@ object CodegenAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.GraftSession.ensureCheckpointDir(spark)
+    graft.GraftSession.configure(spark)
     val prefixes = if (args.isEmpty) Seq("q38") else args.toSeq
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.exists(n.startsWith) }

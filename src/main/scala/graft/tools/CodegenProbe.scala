@@ -16,7 +16,7 @@ object CodegenProbe {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.GraftSession.ensureCheckpointDir(spark)
+    graft.GraftSession.configure(spark)
     import org.apache.spark.sql.execution.debug._
     for (q <- Seq("q38_ann_lsh", "q39_ann_ivf", "q92_ann_lsh_scaled", "q93_pack_assignment")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)

@@ -12,7 +12,7 @@ object PlanProbe {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.GraftSession.ensureCheckpointDir(spark)
+    graft.GraftSession.configure(spark)
     val fn = graft.SparkEntry.queries(name)
     for (i <- 1 to reps) {
       val t0 = System.nanoTime()

@@ -19,8 +19,9 @@ import graft.TestSpark
   *
   * The nanos fixture is a raw INT64 column: Spark cannot WRITE
   * TIMESTAMP(NANOS), but under `spark.sql.legacy.parquet.nanosAsLong`
-  * (set by [[Tables.apply]]) a true nanos file SURFACES as exactly this
-  * LongType shape, which is the branch being exercised.
+  * (construction-time conf — [[graft.GraftSession.configure]] for the
+  * mains, TestSpark's builder here) a true nanos file SURFACES as
+  * exactly this LongType shape, which is the branch being exercised.
   */
 class EventsEncodingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -28,6 +29,12 @@ class EventsEncodingSpec extends AnyFunSuite {
   private val instantsUs = Seq(
     1704067200000000L, // 2024-01-01 00:00:00 UTC
     1704070859123456L, // sub-second micros survive
+    // 2024-03-10 02:30:00 UTC: as an NTZ wall-clock this falls inside
+    // America/New_York's spring-forward DST GAP (02:00-03:00 doesn't
+    // exist there) — a cast-then-compensate normalization resolves the
+    // zone offset at the wall-clock and shifts such instants by the DST
+    // delta; the zone-free field-arithmetic path must not
+    1710037800000000L,
     1735689599999999L)
 
   private def writeFixture(encoding: String): String = {
