@@ -58,6 +58,9 @@ object SparkEntry {
     "q35_simhash_neardup" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q36_embedding_neardup" -> ((s, d) => Similarity.nearDup(s, d)),
     "q37_sim_topk" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // default path = ADAPTIVE sizing (Similarity.adaptiveLshConfig):
+    // (8,8) at gate scale — matching the static oracle SQL below — and
+    // (12,5) at the 100x corpus; AdaptiveLshSpec pins the plateau
     "q38_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
     "q39_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q40_multimodal_meta" -> Multimodal.mediaMeta _,
@@ -654,6 +657,9 @@ object SparkEntry {
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 10
         |ORDER BY q_id, rank""".stripMargin),
+    // 8x8 is what adaptiveLshConfig derives across the whole n <= 4096
+    // plateau (the gate corpus is 500 vectors; AdaptiveLshSpec pins the
+    // band), so this static SQL stays equal to the adaptive Spark path
     "q38_ann_lsh" -> (UnitVecCte + lshCtes(bits = 8, nTables = 8, nQueries = 200) + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3

@@ -112,6 +112,48 @@ object Similarity {
       else Nil)
   }
 
+  /** Memoized corpus row count per (session, dir) — the one scalar the
+    * adaptive LSH sizing needs. A parquet `count()` with zero projected
+    * columns is answered from footer row counts (no column IO), and a
+    * production index build knows its corpus size anyway; memoizing
+    * keeps repeated query builds in one session from re-running even
+    * that. */
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCountCache.computeIfAbsent((spark, dir),
+      _ => Tables(spark, dir, "embeddings").count()).longValue
+
+  /** Derive (bits, nTables) from corpus size, holding the expected
+    * bucket population ~constant: `bits = ceil(log2(n / 16))` clamped to
+    * [8, 12], `nTables = min(8, 64 / bits)` (tables use disjoint dim
+    * ranges of the 64-dim vectors, so the dim budget caps bits×tables).
+    *
+    * Why adaptive: bucket population per table is n / 2^bits, and
+    * candidate volume per query grows with it — a FIXED bits default
+    * that is right at 2k vectors leaves ~780-vector buckets at 200k
+    * (measured: the 8×8 default ran 29–62 s on the 100× corpus while
+    * the 12×5 config did the same queries in ~2.9 s at recall@3 1.000 —
+    * BASELINE.md round-6 A/B, gated as q92). Integer ceil-log2, no
+    * floating point, so the plateau edges are exact:
+    *   n ≤ 4096   → (8, 8)  — the sf0.01 oracle pin (500 vectors) sits
+    *                 mid-plateau with 8× headroom against corpus
+    *                 regeneration drift (AdaptiveLshSpec pins the band)
+    *   n = 200000 → (12, 5) — the measured q92 scale config
+    * Beyond the 12-bit clamp the dim budget is spent (13 bits → only 4
+    * disjoint tables); the next scale lever is overlapping-range tables
+    * or a deeper probe ladder, not wider buckets. */
+  private[graft] def adaptiveLshConfig(n: Long): (Int, Int) = {
+    val targetPop = 16L
+    val buckets = math.max(1L, (n + targetPop - 1) / targetPop)
+    val ceilLog2 =
+      if (buckets <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    val bits = math.max(8, math.min(12, ceilLog2))
+    (bits, math.min(8, 64 / bits))
+  }
+
   /** Session-scoped LSH signature stage — (vec_id, u, buckets) with
     * buckets(t) = table t's integer sign key — cached AND counted before
     * any consumer is planned. The materialization is the fix for the
@@ -141,10 +183,12 @@ object Similarity {
   /** Drop this session's resident similarity stages (LSH signatures,
     * IVF codebook + assignment) — see [[StageCache.release]]. Next use
     * rebuilds. */
-  def releaseStages(spark: SparkSession): Int =
+  def releaseStages(spark: SparkSession): Int = {
+    corpusCountCache.keySet.removeIf(_._1 eq spark)
     lshSigCache.release(_._1 eq spark) +
       ivfCentCache.release(_._1 eq spark) +
       ivfAssignCache.release(_._1 eq spark)
+  }
 
   /** Assign every vector of `e` (vec_id, u) to its nearest centroid of
     * `cents` (cent_id, cu): one broadcast join + one `max_by` hash
@@ -277,26 +321,34 @@ object Similarity {
     *
     * Recall ladder (measured at sf0.01, recall@3 vs exact): 1 table ×
     * 8 bits = 0.02; +flip-one = 0.12; 8 tables = 0.14; 8 tables +
-    * flip-one = 0.66; 8 tables + flip-two = see BASELINE.md (this is the
-    * shipped default). Probe count per table grows ~bits²/2 (37 at
-    * bits=8) but probes are metadata rows — candidate cost is governed by
-    * bucket population. As the corpus grows, widen `bits` (bucket
-    * population ∝ n/2^bits) and spend tables/probes to hold recall —
-    * probe count grows polynomially while bucket population shrinks
-    * exponentially. */
+    * flip-one = 0.66; 8 tables + flip-two = see BASELINE.md. Probe
+    * count per table grows ~bits²/2 (37 at bits=8) but probes are
+    * metadata rows — candidate cost is governed by bucket population.
+    *
+    * The DEFAULT (`bits`/`nTables` ≤ 0) derives the configuration from
+    * the corpus row count via [[adaptiveLshConfig]] — bucket population
+    * is held ~constant as the corpus grows, so the default path carries
+    * no scale cliff (a fixed 8-bit default left ~780-vector buckets at
+    * 200k vectors: 29–62 s per 100× run vs ~2.9 s adaptive, equal
+    * recall). Explicit values pin a config (q92 gates the 12×5 scale
+    * point; specs pin 8×8 for the recall ladder above). */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 200,
-      k: Int = 3, bits: Int = 8, nTables: Int = 8,
+      k: Int = 3, bits: Int = 0, nTables: Int = 0,
       maxFlips: Int = 2): DataFrame = {
-    require(bits * nTables <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
+    val (bitsEff, nTablesEff) =
+      if (bits > 0 && nTables > 0) (bits, nTables)
+      else if (bits > 0) (bits, math.min(8, 64 / bits))
+      else adaptiveLshConfig(corpusCount(spark, dir))
+    require(bitsEff * nTablesEff <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
     require(maxFlips >= 0 && maxFlips <= 2, "probe ladder supports hamming 0-2")
-    val sig = lshSigStage(spark, dir, bits, nTables)
+    val sig = lshSigStage(spark, dir, bitsEff, nTablesEff)
     val corpus = sig
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
     // probes are DATA, not expressions: explode the mask ladder (a 37-int
     // literal array at bits=8/flips=2) and XOR it onto the bucket key —
     // a constant-size plan regardless of bits/flips, vs the former
     // 296-struct string-surgery projection that blew up codegen
-    val masks = typedLit(probeMasks(bits, maxFlips))
+    val masks = typedLit(probeMasks(bitsEff, maxFlips))
     val probes = sig.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket0")))
       .select(col("q_id"), col("tbl"), col("bucket0"), explode(masks).as("mask"))
