@@ -112,6 +112,11 @@ object SparkEntry {
     // scale path is gated evidence, not just a claim
     "q92_ann_lsh_scaled" -> ((s, d) => Similarity.lshTopK(s, d, bits = 12, nTables = 5)),
     "q93_pack_assignment" -> ((s, d) => Packing.packAssignment(s, d)),
+    // the documented MinHash scale config (k=16, r=4: narrower bands cut
+    // false-positive candidates from j^2 to j^4 per band) under the same
+    // hash gate as the k=8/r=2 default — scale path as gated evidence,
+    // the q92 discipline applied to the dedup ladder
+    "q94_minhash_lsh_scaled" -> ((s, d) => Dedup.minhashLshScaled(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -126,20 +131,32 @@ object SparkEntry {
       |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
       |    ELSE [array_to_string(t, ' ')] END)) AS sh FROM tok)""".stripMargin
 
-  /** MinHash + LSH banding CTEs on top of [[ShinglesCte]] (k=8, b=4, r=2;
-    * mirrors Dedup.minhashSignatures/minhashLsh: per shingle, two seeded
-    * md5s sliced into 8 32-bit (8-hex) hashes; signature row per doc,
-    * band keys from adjacent signature pairs). */
-  private val MinhashCte = ShinglesCte + s""",
+  /** MinHash + LSH banding CTEs on top of [[ShinglesCte]], parameterized
+    * exactly like Dedup.minhashLshAt: per shingle, ceil(k/4) seeded md5s
+    * concatenated and sliced into k 32-bit (8-hex) hashes; signature row
+    * per doc; band keys = md5 over each band's r adjacent slices joined
+    * by '|'. */
+  private def minhashCtes(k: Int, r: Int): String = {
+    val digests = Seq("a", "b", "c", "d").take((k + 3) / 4)
+      .map(s => s"md5('$s|' || sh)").mkString(" || ")
+    val b = k / r
+    val bandKey = (i: Int) =>
+      s"md5(${(0 until r).map(j => s"m${r * i + j}").mkString(" || '|' || ")})"
+    ShinglesCte + s""",
       |sigs AS (SELECT doc_id,
-      |    ${(0 until 8).map(i => s"min(substring(md5('a|' || sh) || md5('b|' || sh), ${i * 8 + 1}, 8)) AS m$i").mkString(",\n      |    ")}
+      |    ${(0 until k).map(i => s"min(substring($digests, ${i * 8 + 1}, 8)) AS m$i").mkString(",\n      |    ")}
       |  FROM sh GROUP BY doc_id),
       |bands AS (SELECT doc_id, bnd AS band,
-      |    CASE bnd ${(0 until 4).map(i => s"WHEN $i THEN md5(m${2 * i} || '|' || m${2 * i + 1})").mkString(" ")} END AS band_key
-      |  FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS bnd)),
+      |    CASE bnd ${(0 until b).map(i => s"WHEN $i THEN ${bandKey(i)}").mkString(" ")} END AS band_key
+      |  FROM sigs CROSS JOIN (SELECT unnest(range($b)) AS bnd)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |         FROM bands a JOIN bands b USING (band, band_key)
       |         WHERE a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** The default dedup-ladder config (k=8, b=4, r=2) — shared by every
+    * pair-stage consumer (q32/q33/q43/q59/q67/...). */
+  private val MinhashCte = minhashCtes(k = 8, r = 2)
 
   /** Unit-vector CTEs for the embeddings table (mirrors
     * Similarity.unitVec: double precision, index-order sums). */
@@ -563,6 +580,16 @@ object SparkEntry {
     "q32_minhash_lsh" -> (MinhashCte + s"""
         |SELECT doc_a, doc_b,
         |  round((${(0 until 8).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")}) / 8.0, 3) AS est_jaccard
+        |FROM cand
+        |JOIN sigs x ON x.doc_id = doc_a
+        |JOIN sigs y ON y.doc_id = doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // same ladder at the scale banding config (k=16, r=4): four seeded
+    // digests, four slices per band key — all from the same minhashCtes
+    // generator, so Spark and oracle band keys agree by construction
+    "q94_minhash_lsh_scaled" -> (minhashCtes(k = 16, r = 4) + s"""
+        |SELECT doc_a, doc_b,
+        |  round((${(0 until 16).map(i => s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")}) / 16.0, 3) AS est_jaccard
         |FROM cand
         |JOIN sigs x ON x.doc_id = doc_a
         |JOIN sigs y ON y.doc_id = doc_b

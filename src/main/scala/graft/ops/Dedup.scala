@@ -79,29 +79,36 @@ object Dedup {
     minhashSignaturesOf(docShingles(spark, dir), k)
 
   private def minhashSignaturesOf(sh: DataFrame, k: Int): DataFrame = {
-    require(k <= 16, "two md5s yield 16 32-bit slices")
-    val h = concat(md5(concat(lit("a|"), col("sh"))), md5(concat(lit("b|"), col("sh"))))
+    // one md5 = 32 hex chars = FOUR 8-hex (32-bit) slices, so k slices
+    // need ceil(k/4) seeded digests (k=8 → the original 'a|'/'b|' pair;
+    // k=16 → four). An earlier revision claimed two md5s yield 16 slices
+    // — they yield 8; k>8 would have read past the digest into empty
+    // substrings and silently degenerate minima.
+    require(k >= 1 && k <= 16, "supported signature widths: 1-16 32-bit slices")
+    val nDigests = (k + 3) / 4
+    val h = concat(Seq("a", "b", "c", "d").take(nDigests)
+      .map(s => md5(concat(lit(s + "|"), col("sh")))): _*)
     val mins = (0 until k).map(i => min(substring(h, i * 8 + 1, 8)).as(s"m$i"))
     sh.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
   }
 
-  /** Session-scoped (doc_id, m0..m7) MinHash signature stage, the same
-    * pattern as [[simhashStage]]: q32's estimator and every pair-stage
-    * build share ONE tokenize→shingle→hash pass per (session, dir). The
-    * signature relation is |docs| rows of 8 short strings — cheap to keep
-    * resident; the expensive input (the shingle scan) is what sharing
-    * avoids. */
-  private val minhashCache = new StageCache[(SparkSession, String)]
+  /** Session-scoped (doc_id, m0..m{k-1}) MinHash signature stage, the
+    * same pattern as [[simhashStage]]: q32's estimator and every
+    * pair-stage build share ONE tokenize→shingle→hash pass per
+    * (session, dir, k). The signature relation is |docs| rows of k short
+    * strings — cheap to keep resident; the expensive input (the shingle
+    * scan) is what sharing avoids. */
+  private val minhashCache = new StageCache[(SparkSession, String, Int)]
 
   /** Visible for specs: number of times the signature stage was built. */
   private[ops] def minhashBuilds = minhashCache.builds
 
-  private def minhashStage(spark: SparkSession, dir: String,
+  private def minhashStage(spark: SparkSession, dir: String, k: Int,
       preShingles: Option[DataFrame]): DataFrame =
-    minhashCache.getOrBuild((spark, dir)) {
+    minhashCache.getOrBuild((spark, dir, k)) {
       val built = minhashSignaturesOf(
-        preShingles.getOrElse(docShingles(spark, dir)), k = 8).cache()
+        preShingles.getOrElse(docShingles(spark, dir)), k).cache()
       built.count()
       built
     }
@@ -132,9 +139,12 @@ object Dedup {
   private def lshCandidates(sigs: DataFrame, k: Int, r: Int,
       maxBandPopulation: Int): DataFrame = {
     val b = k / r
+    // band key = md5 over the band's r signature slices joined by '|'
+    // (concat_ws produces byte-identical input to the former explicit
+    // two-slice concat at r=2, so q32's oracle hashes are unchanged)
     val bandCols = (0 until b).map(i =>
       struct(lit(i).as("band"),
-        md5(concat(col(s"m${r * i}"), lit("|"), col(s"m${r * i + 1}"))).as("band_key")))
+        md5(concat_ws("|", (0 until r).map(j => col(s"m${r * i + j}")): _*)).as("band_key")))
     val bands = capBands(sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")),
@@ -154,9 +164,33 @@ object Dedup {
     * `maxBandPopulation` (default far above organic sf0.1 populations)
     * bounds the worst-case band — see [[capBands]]. */
   def minhashLsh(spark: SparkSession, dir: String,
-      maxBandPopulation: Int = 1000): DataFrame = {
-    val k = 8; val r = 2
-    val sigs = minhashStage(spark, dir, None) // session-cached signatures
+      maxBandPopulation: Int = 1000): DataFrame =
+    minhashLshAt(spark, dir, k = 8, r = 2, maxBandPopulation)
+
+  /** q94: the documented larger-corpus MinHash banding config, under the
+    * same oracle gate as the k=8/r=2 default — the scale path as gated
+    * evidence, exactly as q92 gates the ANN-LSH scale config.
+    *
+    * Why k=16/r=4 at scale: band count stays b=4, but each band key now
+    * agrees only when FOUR consecutive signature slices agree, so the
+    * per-band candidate collision probability for a pair with Jaccard j
+    * falls from j² to j⁴ — at j=0.5 that is 0.25 → 0.0625 per band, an
+    * exponential cut in false-positive candidates, which is what grows
+    * with corpus size. The trade is the detection threshold rising from
+    * (1/b)^(1/2) ≈ 0.5 to (1/b)^(1/4) ≈ 0.71: borderline pairs surface
+    * less often while true near-dups (j → 1) still collide with
+    * probability ≥ 1-(1-j⁴)⁴. Hashing cost doubles (four seeded digests
+    * per shingle instead of two) — linear, paid once per corpus, vs the
+    * candidate volume that the narrower bands cut. */
+  def minhashLshScaled(spark: SparkSession, dir: String,
+      maxBandPopulation: Int = 1000): DataFrame =
+    minhashLshAt(spark, dir, k = 16, r = 4, maxBandPopulation)
+
+  /** LSH banding at an explicit (k, r): session-cached signatures →
+    * banded candidates → per-pair MinHash-estimated Jaccard. */
+  private def minhashLshAt(spark: SparkSession, dir: String, k: Int, r: Int,
+      maxBandPopulation: Int): DataFrame = {
+    val sigs = minhashStage(spark, dir, k, None) // session-cached signatures
     val cand = lshCandidates(sigs, k, r, maxBandPopulation)
     val matches = (0 until k).map(i =>
       when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0)).reduce(_ + _)
@@ -210,7 +244,7 @@ object Dedup {
       // dominates their cost); each stage is one extra groupBy over rows
       // already in memory and stays resident for the session (|docs| rows
       // of a few short strings each)
-      val sigs = minhashStage(spark, dir, Some(sh))
+      val sigs = minhashStage(spark, dir, 8, Some(sh))
       val _ = simhashStage(spark, dir, Some(sh))
       val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val cand = lshCandidates(sigs, k, r, maxBandPopulation = 1000)
