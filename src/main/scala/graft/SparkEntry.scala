@@ -701,8 +701,9 @@ object SparkEntry {
     // as q91 (with an explicit NULL guard so a NULL text row stays NULL
     // in both engines instead of falling into the ELSE bucket), shard =
     // doc_id % 4 (sign-following % in both engines), rank/capacity
-    // arithmetic on exact small integers (floor over power-of-two
-    // quotients is exact in both engines)
+    // arithmetic in pure INTEGER division/modulo (DuckDB `//` ==
+    // Spark `div` on the non-negative operands here) — no floating-point
+    // dependency in the determinism argument
     "q93_pack_assignment" ->
       """WITH d AS (
         |  SELECT doc_id, source, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents),
@@ -721,9 +722,9 @@ object SparkEntry {
         |  FROM b)
         |SELECT doc_id, source, bucket, shard,
         |  CASE WHEN bucket = 128 THEN rn
-        |       ELSE CAST(floor(rn * bucket / 128.0) AS BIGINT) END AS pack_seq,
+        |       ELSE rn // (128 // bucket) END AS pack_seq,
         |  CASE WHEN bucket = 128 THEN CAST(0 AS BIGINT)
-        |       ELSE CAST(rn % CAST(128 / bucket AS BIGINT) AS BIGINT) END AS slot,
+        |       ELSE rn % (128 // bucket) END AS slot,
         |  CAST(n_tok AS BIGINT) AS n_tok
         |FROM r ORDER BY doc_id""".stripMargin,
     "q39_ann_ivf" -> (UnitVecCte + ivfCtes(nQueries = 100) + """

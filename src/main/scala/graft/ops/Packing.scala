@@ -81,9 +81,8 @@ object Packing {
     * report, so the two stay consistent by construction.
     *
     * Determinism: shard/pack/slot all derive from `doc_id` ordering and
-    * exact small-integer arithmetic — no hash functions (engine-specific)
-    * and no floating-point boundaries beyond exact power-of-two
-    * quotients. */
+    * pure integer division/modulo — no hash functions (engine-specific)
+    * and no floating-point arithmetic anywhere in the assignment. */
   def packAssignment(spark: SparkSession, dir: String, window: Int = 128,
       shards: Int = 4): DataFrame = {
     require(Integer.bitCount(window) == 1, "window must be a power of two")
@@ -94,7 +93,13 @@ object Packing {
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "bucket", "shard").orderBy("doc_id")
-    val capacity = lit(window) / col("bucket") // exact: bucket divides window
+    // integer `div`, not a double quotient: capacity is exact by
+    // construction (bucket divides the power-of-two window), and keeping
+    // the whole pack/slot derivation in integer arithmetic means the
+    // cross-engine determinism argument needs no floating-point-exactness
+    // clause at any scale (a double route is exact only while
+    // rn*bucket < 2^53)
+    val capacity = expr(s"${window.toLong} div bucket")
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), nTok.as("n_tok"), bucket.as("bucket"))
       // sign-following % (not pmod): matches the oracle's % so a corpus
@@ -103,9 +108,9 @@ object Packing {
       .withColumn("rn", row_number().over(w).cast("long") - 1)
       .select(col("doc_id"), col("source"), col("bucket"), col("shard"),
         when(col("bucket") === window, col("rn"))
-          .otherwise(floor(col("rn") / capacity).cast("long")).as("pack_seq"),
+          .otherwise(expr(s"rn div (${window.toLong} div bucket)")).as("pack_seq"),
         when(col("bucket") === window, lit(0L))
-          .otherwise((col("rn") % capacity).cast("long")).as("slot"),
+          .otherwise(col("rn") % capacity).as("slot"),
         // n_tok keeps the relation self-contained: a dataloader laying
         // out physical offsets needs ceil(n_tok/window) for long docs
         // without re-tokenizing the corpus

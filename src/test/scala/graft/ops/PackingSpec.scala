@@ -47,7 +47,10 @@ class PackingSpec extends AnyFunSuite {
   test("pack counts match the economics report within the sharding bound") {
     val actual = assign.where(col("bucket") < window)
       .groupBy("source", "bucket")
-      .agg(countDistinct(col("shard") * 1000000 + col("pack_seq")).as("actual_packs"))
+      // multi-column distinct, not an arithmetic composite key — a
+      // shard*C + pack_seq encoding silently collides once pack_seq
+      // reaches C at larger scale factors
+      .agg(countDistinct(col("shard"), col("pack_seq")).as("actual_packs"))
     val expected = Packing.lengthPacking(spark, dir, window)
       .where(col("bucket") < window)
       .select(col("source"), col("bucket"), col("n_packs"))
