@@ -13,7 +13,7 @@ import graft.core.{Converter, GraftConfig}
   *        [--format csv|json] [--sink parquet|orc|json]
   *        [--codec snappy|gzip|zstd|lz4|uncompressed]
   *        [--dir-output] [--no-multiline] [--multiline]
-  *        [--partition-by col1,col2]
+  *        [--partition-by col1,col2] [--json-sampling-ratio 0.01]
   */
 object Main {
   def main(args: Array[String]): Unit = {

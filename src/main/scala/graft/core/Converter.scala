@@ -167,19 +167,28 @@ object Converter {
     * flat), headers are normalized, and the reference lattice classifies
     * the sampled string values before the GoCast projection.
     *
-    * Scale note: Spark's JSON schema inference scans the input; for huge
-    * files set a sampling ratio upstream — the value lattice itself still
-    * only reads `sampleRows` rows driver-side. */
+    * Scale note: Spark's STRUCTURAL schema inference scans the input by
+    * default; `cfg.jsonSamplingRatio` < 1 makes it read a deterministic
+    * sample instead (`--json-sampling-ratio`), turning the inference
+    * pass O(sample) like the CSV path — the value lattice itself still
+    * only reads `sampleRows` rows driver-side. The ratio governs ONLY
+    * structural inference (which keys exist / nesting); a key that
+    * appears exclusively outside the sampled lines would be missed, the
+    * standard sampling trade. The data pass always reads everything. */
   def convertJsonFile(spark: SparkSession, input: String, cfg: GraftConfig): ConvertResult =
     finishConversion(spark, input, cfg) {
-      jsonConversionPlan(spark, input, cfg.sampleRows)
+      jsonConversionPlan(spark, input, cfg.sampleRows, cfg.jsonSamplingRatio)
     }
 
   /** Declarative JSON-lines conversion plan (shared by [[convertJsonFile]]
     * and the q68 driver-oracle query). */
-  def jsonConversionPlan(spark: SparkSession, input: String, sampleRows: Int): DataFrame = {
+  def jsonConversionPlan(spark: SparkSession, input: String, sampleRows: Int,
+      samplingRatio: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
-    val raw0 = spark.read.option("primitivesAsString", "true").json(input)
+    val raw0 = spark.read
+      .option("primitivesAsString", "true")
+      .option("samplingRatio", samplingRatio.toString)
+      .json(input)
     val flattened = raw0.select(raw0.schema.fields.map { f =>
       val c = col(s"`${f.name}`")
       f.dataType match {
@@ -196,6 +205,41 @@ object Converter {
     renamed.select(schema.headers.zip(schema.types).map { case (h, t) => castColumn(h, t) }: _*)
   }
 
+  /** Telemetry handle for specs: the row accumulator of the most recent
+    * tick-instrumented conversion in this JVM (accumulators are the
+    * cluster-correct way to observe executor-side counts driver-side). */
+  @volatile private[core] var lastTickRows: Option[org.apache.spark.util.LongAccumulator] = None
+
+  /** O18 parity: the reference emits a debug log line every `batch_size`
+    * rows while converting (converter/converter.go:365-367). Here the row
+    * loop is executor-side, so the tick is per TASK — every `batchSize`
+    * rows within a partition — and lands in that executor's stderr,
+    * which is where task progress is read on a cluster (in local mode it
+    * reaches the driver log, like the reference's). Documented
+    * deviation: counts are task-local, not one global row counter; a
+    * distributed scan has no cheap global "rows so far".
+    *
+    * Only applied at `--log-level debug` with `batchSize > 0`: the
+    * wrapper inserts a deserialize→map→serialize boundary into the
+    * otherwise fully codegen'd scan→cast→write plan — a cost
+    * observability should charge only when asked for (the reference
+    * likewise skips its per-row debug formatting at info level). */
+  private[core] def withProgressTicks(df: DataFrame, input: String,
+      batchSize: Int): DataFrame = {
+    val acc = df.sparkSession.sparkContext.longAccumulator(s"graft.rows($input)")
+    lastTickRows = Some(acc)
+    df.mapPartitions { it =>
+      var n = 0L
+      it.map { r =>
+        n += 1
+        acc.add(1L)
+        if (n % batchSize == 0)
+          System.err.println(s"[graft] debug: $input: processed $n rows (task-local)")
+        r
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
+  }
+
   /** Shared finish: run the plan, write (single-file or directory),
     * verify, clean partial output on failure, delete source only after a
     * verified write. */
@@ -207,7 +251,11 @@ object Converter {
       try fs.getFileStatus(new Path(input)).getLen
       catch { case e: Exception => return ConvertResult(input, out, 0, 0, Some(s"stat input: ${e.getMessage}")) }
     try {
-      val df = plan
+      val df0 = plan
+      val df =
+        if (cfg.logLevel.equalsIgnoreCase("debug") && cfg.batchSize > 0)
+          withProgressTicks(df0, input, cfg.batchSize)
+        else df0
       val outFs = Inference.fileSystem(spark, out)
       // partitionBy requires directory output; enforce here (not only in
       // CLI flag parsing) so a library caller constructing

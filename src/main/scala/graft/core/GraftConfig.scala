@@ -16,7 +16,12 @@ final case class GraftConfig(
     output: String = "",
     delimiter: String = ",",
     sampleRows: Int = 100,
-    batchSize: Int = 10000, // log cadence only — quirk Q3 (README claims row-group size; code disagrees)
+    /** Debug progress-tick cadence: a log line every `batchSize` rows
+      * per conversion task at `--log-level debug` (reference O18,
+      * converter.go:365-367). Quirk Q3: the reference README claims this
+      * sets the parquet row-group size; its code only uses it for the
+      * log cadence — we implement what the code does. */
+    batchSize: Int = 10000,
     deleteOriginal: Boolean = false,
     logLevel: String = "info",
     /** Source format: "csv" (reference parity) or "json" (JSON-lines
@@ -48,7 +53,14 @@ final case class GraftConfig(
     /** Comma-separated columns (post-normalization names) to partition
       * the output by (hive-style `col=value/` directories → partition
       * pruning downstream). Requires directory output. */
-    partitionBy: String = "") {
+    partitionBy: String = "",
+    /** Fraction of a JSON-lines input read for STRUCTURAL schema
+      * inference (which keys exist / nesting) — 1.0 scans the whole
+      * file; lower it for huge inputs to make the inference pass
+      * O(sample) like the CSV path. Deterministic (fixed-seed sample);
+      * the value-type lattice reads only `sampleRows` rows regardless.
+      * JSON format only. */
+    jsonSamplingRatio: Double = 1.0) {
 
   /** Parsed partition column list. */
   def partitionCols: Seq[String] =
@@ -64,7 +76,7 @@ object GraftConfig {
 
   private val KnownFlags = Set(
     "input", "output", "delimiter", "sample-rows", "batch-size", "config", "log-level",
-    "format", "codec", "sink", "partition-by")
+    "format", "codec", "sink", "partition-by", "json-sampling-ratio")
 
   private val KnownCodecs = Set("snappy", "gzip", "zstd", "lz4", "uncompressed")
 
@@ -182,6 +194,12 @@ object GraftConfig {
     flags.get("codec").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(codec = v))
     flags.get("sink").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(sink = v))
     flags.get("partition-by").filter(_.nonEmpty).foreach(v => cfg = cfg.copy(partitionBy = v))
+    flags.get("json-sampling-ratio").foreach { v =>
+      v.toDoubleOption match {
+        case Some(r) if r > 0.0 && r <= 1.0 => cfg = cfg.copy(jsonSamplingRatio = r)
+        case _ => return Left(s"--json-sampling-ratio must be in (0, 1], got: $v")
+      }
+    }
     if (keep) cfg = cfg.copy(deleteOriginal = false) // --keep only forces keep
     if (dirOutput || cfg.partitionCols.nonEmpty) cfg = cfg.copy(singleFile = false)
     if (noMultiline && forceMultiline) return Left("--multiline and --no-multiline conflict")

@@ -232,6 +232,28 @@ class ConverterSpec extends AnyFunSuite {
     assert(GraftConfig.load(Seq("--input", "/x", "--codec", "brotli9000")).isLeft)
   }
 
+  test("batch-size progress tick fires at debug level and counts every row (O18)") {
+    val dir = tmpDir()
+    val body = "a,b\n" + (1 to 25).map(i => s"$i,x$i").mkString("\n") + "\n"
+    // debug + batchSize: the tick wrapper instruments the plan; its
+    // accumulator sees every converted row (the assertable face of the
+    // per-batchSize stderr line, which lands in executor logs)
+    val in1 = writeCsv(dir, "tick.csv", body)
+    val r1 = Converter.convertFile(spark, in1,
+      cfg(dir).copy(logLevel = "debug", batchSize = 10))
+    assert(r1.ok, r1.error)
+    assert(Converter.lastTickRows.exists(_.value == 25L),
+      s"tick accumulator saw ${Converter.lastTickRows.map(_.value)} rows, expected 25")
+    assert(spark.read.parquet(r1.outputFile).count() == 25) // rows pass through untouched
+    // info level: no instrumentation — the codegen'd plan is not broken
+    // up for observability nobody asked for
+    Converter.lastTickRows = None
+    val in2 = writeCsv(dir, "notick.csv", body)
+    val r2 = Converter.convertFile(spark, in2, cfg(dir).copy(batchSize = 10))
+    assert(r2.ok, r2.error)
+    assert(Converter.lastTickRows.isEmpty, "tick wrapper ran at info level")
+  }
+
   test("config layering: defaults ← YAML ← flags with Q7 override rules") {
     val dir = tmpDir()
     val yaml = dir.resolve("c.yaml")

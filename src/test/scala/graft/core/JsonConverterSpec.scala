@@ -42,6 +42,30 @@ class JsonConverterSpec extends AnyFunSuite {
       r0.getString(r0.fieldIndex("meta")).contains("\"k\":\"1\"")))
   }
 
+  test("samplingRatio bounds structural inference without changing uniform-shape output") {
+    val dir = Files.createTempDirectory("graft-jsonsr")
+    val body = (1 to 400).map(i => s"""{"id": $i, "score": $i.5}""").mkString("\n") + "\n"
+    val in = write(dir, "big.json", body)
+    val full = Converter.convertJsonFile(spark, in,
+      GraftConfig(output = dir.resolve("o1").toString))
+    // uniform per-line structure: a 10% deterministic structural sample
+    // must land on the identical schema and full row set (the data pass
+    // always reads everything — only inference is sampled)
+    val sampled = Converter.convertJsonFile(spark, in,
+      GraftConfig(output = dir.resolve("o2").toString, jsonSamplingRatio = 0.1))
+    assert(full.ok && sampled.ok, (full.error, sampled.error))
+    val a = spark.read.parquet(full.outputFile)
+    val b = spark.read.parquet(sampled.outputFile)
+    assert(a.schema == b.schema)
+    assert(b.count() == 400)
+    // flag validation: out-of-range ratios rejected at config level
+    assert(GraftConfig.load(Seq("--input", "/x", "--json-sampling-ratio", "0")).isLeft)
+    assert(GraftConfig.load(Seq("--input", "/x", "--json-sampling-ratio", "1.5")).isLeft)
+    val Right(c) = GraftConfig.load(
+      Seq("--input", "/x", "--json-sampling-ratio", "0.25")): @unchecked
+    assert(c.jsonSamplingRatio == 0.25)
+  }
+
   test("directory batch with --format json globs *.json only") {
     val dir = Files.createTempDirectory("graft-jsonb")
     val batch = Files.createDirectory(dir.resolve("batch"))
