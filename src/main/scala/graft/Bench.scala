@@ -122,6 +122,11 @@ object Bench {
     val controls = scala.collection.mutable.ArrayBuffer[Double](controlOnce())
 
     val samples = scala.collection.mutable.LinkedHashMap[String, Vector[(Double, Double)]]()
+    // per-query operator telemetry beyond timings — currently the BSP
+    // round count of the label-propagation queries (q59/q67 consume it):
+    // the scale claim "iteration count stays flat as the corpus grows"
+    // should be readable from the bench artifact, not asserted prose
+    val extras = scala.collection.mutable.LinkedHashMap[String, String]()
     // per-query codegen telemetry: (code-cache delta bytes, generated
     // methods delta, max generated-method bytecode seen after the query)
     val codegen = scala.collection.mutable.LinkedHashMap[String, (Long, Long, Long)]()
@@ -144,9 +149,12 @@ object Bench {
       // (a stall window can swallow both)
       val cc0 = codeCacheUsed(); val (gm0, _) = codegenStats()
       val (gt0, gn0) = gcStats()
+      graft.ops.Dedup.lastPropagationRounds.set(-1)
       var runs = Vector(once(), once())
       if (runs.map(_._1).min > 2.0) runs = runs :+ once()
       samples(name) = runs
+      val rounds = graft.ops.Dedup.lastPropagationRounds.get
+      extras(name) = if (rounds >= 0) s""","rounds":$rounds""" else ""
       val (gm1, mm1) = codegenStats()
       codegen(name) = (codeCacheUsed() - cc0, gm1 - gm0, mm1)
       val (gt1, gn1) = gcStats()
@@ -181,7 +189,7 @@ object Bench {
       val (gt, gn) = gc(n)
       "\"" + n + "\":{\"wall\":[" + rs.map(r => r3(r._1)).mkString(",") +
         "],\"cpu\":[" + rs.map(r => r3(r._2)).mkString(",") +
-        s"""],"cc_delta":$cc,"gen_methods":$gm,"max_method_bytes":$mm,"gc_ms":$gt,"gc_n":$gn}"""
+        s"""],"cc_delta":$cc,"gen_methods":$gm,"max_method_bytes":$mm,"gc_ms":$gt,"gc_n":$gn${extras.getOrElse(n, "")}}"""
     }.mkString(","))
     ev.append("}}")
     try {

@@ -456,6 +456,14 @@ object Dedup {
       .where(col("n_members") >= 2)
       .orderBy("cluster_rep")
 
+  /** Propagation rounds the most recent [[clusterLabels]] run executed in
+    * this JVM (−1 before any run). Bench telemetry: the BSP loop's round
+    * count is bounded by component diameter, which near-dup graphs keep
+    * small — recording it per bench run is how "iteration count stays
+    * flat as the corpus grows" becomes checkable from the artifact
+    * instead of a claim. */
+  val lastPropagationRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   /** Per-doc min-label after propagation — the raw (doc_id, label)
     * assignment [[clusters]] histograms and [[canonical]] selects within. */
   private[ops] def clusterLabels(spark: SparkSession, dir: String, threshold: Double,
@@ -496,6 +504,7 @@ object Dedup {
       System.err.println(s"[graft] warn: label propagation stopped at maxIters=$maxIters " +
         s"with $changed labels still changing — clusters may be under-merged vs exact " +
         "transitive closure (raise maxIters)")
+    lastPropagationRounds.set(i)
     labels
   }
 
