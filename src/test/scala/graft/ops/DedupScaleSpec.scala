@@ -24,6 +24,25 @@ class DedupScaleSpec extends AnyFunSuite {
     assert(Dedup.capBands(bands, maxBandPopulation = 5).count() === 7)
   }
 
+  test("wide signatures (k>8) draw real slices from enough seeded digests") {
+    // regression pin for the digest-overrun bug: the builder once claimed
+    // two md5s yield 16 32-bit slices (they yield 8) — k>8 silently read
+    // past the 64-hex concat into empty substrings, so every m8..m15
+    // would have been a degenerate empty-string minimum
+    val sigs = Dedup.minhashSignatures(spark, dir, k = 16).limit(50).collect()
+    assert(sigs.nonEmpty)
+    for (row <- sigs; i <- 0 until 16) {
+      val m = row.getString(row.fieldIndex(s"m$i"))
+      assert(m != null && m.length == 8 && m.matches("[0-9a-f]{8}"),
+        s"m$i = '$m' is not an 8-hex slice")
+    }
+    // distinct digests per seed: the four seeded hash families must not
+    // collapse into one (seed prefix actually reaches the hash input)
+    val r0 = sigs.head
+    val slices = (0 until 16).map(i => r0.getString(r0.fieldIndex(s"m$i")))
+    assert(slices.distinct.size > 4, s"suspiciously repetitive slices: $slices")
+  }
+
   test("confirmedPairs builds the candidate pipeline once per (session, dir) and stays cached") {
     val before = Dedup.pairsBuilds.get()
     val first = Dedup.confirmedPairs(spark, dir)
