@@ -314,7 +314,7 @@ object Dedup {
     * WWW'07) and keeps expected bucket populations ~1 into the millions
     * of docs. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
-    simhashStage(spark, dir, None).orderBy("doc_id")
+    simhashStage(spark, dir, None).select("doc_id", "simhash").orderBy("doc_id")
 
   /** Session-scoped (doc_id, simhash) stage, same pattern as
     * [[confirmedPairs]]: q34 (fingerprints), q35 (near-dup pairs) and any
@@ -337,11 +337,21 @@ object Dedup {
     }
 
   /** The fingerprint computation over shingle rows (doc_id, sh) — no sort;
-    * [[simhash]] adds the presentation ORDER BY. */
+    * [[simhash]] adds the presentation ORDER BY.
+    *
+    * Emits the fingerprint TWICE from the same votes: the 64-char
+    * '0'/'1' string (the q34 output contract and the band-key source)
+    * and `simhash_long`, the same 64 bits packed into one long (bit i of
+    * the string = bit 64−i of the long; disjoint powers of two, so the
+    * sum is a bitwise OR). The long exists for pair scoring:
+    * `bit_count(a ^ b)` is one codegen'd instruction per candidate pair
+    * where the string form costs 64 per-char substring comparisons —
+    * at 100× (≈ millions of candidate pairs) that difference was ~80%
+    * of q35's runtime. (For the VOTE aggregation itself the one-byte
+    * substring compares still beat digest-parsing formulations —
+    * measured 3.5 s vs 2.3 s at sf0.1 — so only pair scoring moves to
+    * the packed form.) */
   private def simhashOf(sh: DataFrame): DataFrame = {
-    // one-byte substring compares per row beat the "parse the digest
-    // into ints and bit-twiddle" formulation (measured: conv()'s string
-    // number parsing costs more than it saves — 3.5s vs 2.3s at sf0.1)
     val votes = (1 to 32).flatMap { i =>
       val d = substring(col("h"), i, 1)
       Seq(
@@ -349,11 +359,13 @@ object Dedup {
         sum(when(d.between("4", "7") || d.between("c", "f"), 1).otherwise(-1)).as(s"v${2 * i}"))
     }
     val fp = concat((1 to 64).map(i => when(col(s"v$i") >= 0, "1").otherwise("0")): _*)
+    val fpLong = (1 to 64).map(i =>
+      when(col(s"v$i") >= 0, lit(1L << (64 - i))).otherwise(lit(0L))).reduce(_ + _)
     sh
       .select(col("doc_id"), md5(col("sh")).as("h"))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+      .select(col("doc_id"), fp.as("simhash"), fpLong.as("simhash_long"))
   }
 
   /** Degree distribution of the confirmed near-dup graph — the shape
@@ -563,13 +575,14 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("sha")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("shb")), Seq("doc_b"))
-    val hamming = (1 to 64).map(i =>
-      when(substring(col("sha"), i, 1) =!= substring(col("shb"), i, 1), 1).otherwise(0))
-      .reduce(_ + _)
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash_long").as("la")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash_long").as("lb")), Seq("doc_b"))
+    // hamming over the packed fingerprints: popcount of the XOR — one
+    // codegen'd op per pair (the former 64-substring comparison form was
+    // ~80% of this query's 100× runtime; values are identical, so the
+    // oracle's substring formulation still matches hash-exactly)
     cand
-      .withColumn("hamming", hamming.cast("long"))
+      .withColumn("hamming", bit_count(col("la").bitwiseXOR(col("lb"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
