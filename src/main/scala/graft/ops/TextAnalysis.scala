@@ -189,7 +189,12 @@ object TextAnalysis {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = words.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency DERIVES from tf (one row per (doc, term), so
+    // counting tf rows per term IS the distinct-doc count) — the former
+    // `words.distinct().groupBy(term)` formulation re-tokenized and
+    // re-exploded the whole corpus a second time; this way both branches
+    // consume the SAME (doc_id, term) exchange, which the engine reuses
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
