@@ -117,6 +117,10 @@ object SparkEntry {
     // hash gate as the k=8/r=2 default — scale path as gated evidence,
     // the q92 discipline applied to the dedup ladder
     "q94_minhash_lsh_scaled" -> ((s, d) => Dedup.minhashLshScaled(s, d)),
+    // the embedding rung's scale path: corpus-wide near-dup pairs via
+    // sign-LSH buckets (adaptive config like q38) — q36 is the bounded
+    // exact baseline, this is what runs over the full corpus
+    "q95_embedding_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -179,17 +183,24 @@ object SparkEntry {
     * ([[graft.ops.Similarity.probeMasks]]), so the probed bucket set is
     * identical by construction. Candidates dedup before exact scoring.
     * Emits `prefix`scored/`prefix`ranked on top of [[UnitVecCte]]. */
-  private def lshCtes(bits: Int, nTables: Int, nQueries: Int, prefix: String = ""): String = {
+  /** The shared sg/tb bucket CTEs: per-vector integer sign keys per
+    * table, exploded to (vec_id, tbl, bucket) rows — consumed by the
+    * top-k ladder ([[lshCtes]]) and the near-dup pair query (q95). */
+  private def lshBucketCtes(bits: Int, nTables: Int): String = {
     val buckets = (0 until nTables).map { t =>
       (1 to bits).map(i =>
         s"(CASE WHEN u[${t * bits + i}] >= 0 THEN ${1 << (bits - i)} ELSE 0 END)")
         .mkString(" + ")
     }.mkString("[", ",\n       ", "]")
-    val masks = graft.ops.Similarity.probeMasks(bits, maxFlips = 2).mkString(", ")
     s""", sg AS (SELECT vec_id, $buckets AS buckets FROM u),
        |tb AS (
        |  SELECT vec_id, tbl, buckets[tbl + 1] AS bucket
-       |  FROM sg, (SELECT unnest(range($nTables)) AS tbl)),
+       |  FROM sg, (SELECT unnest(range($nTables)) AS tbl))""".stripMargin
+  }
+
+  private def lshCtes(bits: Int, nTables: Int, nQueries: Int, prefix: String = ""): String = {
+    val masks = graft.ops.Similarity.probeMasks(bits, maxFlips = 2).mkString(", ")
+    lshBucketCtes(bits, nTables) + s""",
        |probe AS (
        |  SELECT vec_id AS q_id, tbl, xor(bucket, mask) AS bucket
        |  FROM tb, (SELECT unnest([$masks]) AS mask)
@@ -669,6 +680,21 @@ object SparkEntry {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE a.vec_id < 500 AND b.vec_id < 500
         |  AND round(list_sum([a.u[i] * b.u[i] for i in range(1, len(a.u) + 1)]), 4) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin),
+    // q95: same sg/tb bucket CTEs as q38 at the gate-scale adaptive
+    // config (8x8 — the same n<=4096 plateau argument as q38's oracle);
+    // no probes, no cap (gate-scale bucket populations sit far under the
+    // Spark side's 1000 cap, the q32 precedent)
+    "q95_embedding_neardup_lsh" -> (UnitVecCte + lshBucketCtes(bits = 8, nTables = 8) + s""",
+        |ncand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM tb a JOIN tb b USING (tbl, bucket)
+        |  WHERE a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, round(${cosSql("x.u", "y.u")}, 4) AS cos_sim
+        |FROM ncand
+        |JOIN u x ON x.vec_id = vec_a
+        |JOIN u y ON y.vec_id = vec_b
+        |WHERE round(${cosSql("x.u", "y.u")}, 4) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin),
     "q37_sim_topk" -> (UnitVecCte + """
         |, scored AS (

@@ -366,6 +366,57 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** q95: corpus-scale embedding near-dup PAIRS — the scale path of the
+    * bounded-exact [[nearDup]] (q36), completing the embedding rung of
+    * the dedup ladder the way q32/q94 complete the text rung: candidates
+    * are pairs sharing a sign-LSH bucket in ≥1 table (equi-join on
+    * (table, bucket), never all-pairs), scored with the exact cosine,
+    * kept at `cos >= threshold`. No probe ladder: near-dup targets
+    * high-cosine pairs, whose per-table same-bucket collision
+    * probability is already high — tables supply the recall that probes
+    * buy in the top-k setting. (bits, nTables) defaults to the same
+    * corpus-size derivation as [[lshTopK]] ([[adaptiveLshConfig]]), so
+    * bucket population — and with it candidate volume per vector —
+    * stays ~constant as the corpus grows. Hot buckets are population-
+    * capped via the SAME guard as the text ladder
+    * ([[Dedup.capBands]] — mass-duplicate embeddings would otherwise go
+    * quadratic in one bucket; capped vectors keep their other tables).
+    * The cap never binds at gate scale (≤ ~10-vector buckets at
+    * sf0.01), so the static oracle omits it, exactly as q32's does. */
+  def nearDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      bits: Int = 0, nTables: Int = 0,
+      maxBucketPopulation: Int = 1000): DataFrame = {
+    val (bitsEff, nTablesEff) =
+      if (bits > 0 && nTables > 0) (bits, nTables)
+      else if (bits > 0) (bits, math.min(8, 64 / bits))
+      else adaptiveLshConfig(corpusCount(spark, dir))
+    require(bitsEff * nTablesEff <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
+    val sig = lshSigStage(spark, dir, bitsEff, nTablesEff)
+    // unit vectors RIDE ON the bucket rows, so the self-join output is
+    // scored and threshold-filtered inside the join's own codegen stage
+    // and only the (tiny) survivor set reaches the distinct. The
+    // candidates-first formulation (distinct 24M bare pairs, then two
+    // joins to re-attach vectors, then score) shuffled every candidate
+    // THREE more times — measured 16 s vs ~6 s at the 100× corpus.
+    // Duplicate collisions (a pair sharing buckets in several tables)
+    // cost one extra dot each instead of a corpus-scale distinct; the
+    // cosine is deterministic per pair, so distinct-after-score dedupes
+    // to identical rows.
+    val buckets = Dedup.capBands(
+      sig.select(col("vec_id").as("doc_id"), col("u"),
+        posexplode(col("buckets")).as(Seq("band", "band_key"))),
+      maxBucketPopulation)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("vec_a"), col("b.doc_id").as("vec_b"),
+        round(dot(col("a.u"), col("b.u")), 4).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .distinct()
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Recall@k of each ANN path against the exact brute-force top-k on the
     * same query set — the quality metric that makes the ANN claims
     * falsifiable (and a deterministic aggregate, so it oracle-checks). */

@@ -60,7 +60,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH candidate joins are equi-joins, never cartesian") {
     for (q <- Seq("q32_minhash_lsh", "q35_simhash_neardup", "q38_ann_lsh",
-        "q94_minhash_lsh_scaled")) {
+        "q94_minhash_lsh_scaled", "q95_embedding_neardup_lsh")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$q uses a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join")
