@@ -169,13 +169,17 @@ object Similarity {
   /** Visible for specs: number of times the signature stage was built. */
   private[ops] def lshSigBuilds = lshSigCache.builds
 
+  /** (vec_id, u) → (vec_id, u, buckets): the signature projection shared
+    * by the session stage and the planted-duplicate recall spec. */
+  private[ops] def lshSignaturesOf(unit: DataFrame, bits: Int, nTables: Int): DataFrame = {
+    val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t * bits, bits))
+    unit.select(col("vec_id"), col("u"), array(bucketCols: _*).as("buckets"))
+  }
+
   private def lshSigStage(spark: SparkSession, dir: String,
       bits: Int, nTables: Int): DataFrame =
     lshSigCache.getOrBuild((spark, dir, bits, nTables)) {
-      val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t * bits, bits))
-      val built = unitEmbeddings(spark, dir)
-        .select(col("vec_id"), col("u"), array(bucketCols: _*).as("buckets"))
-        .cache()
+      val built = lshSignaturesOf(unitEmbeddings(spark, dir), bits, nTables).cache()
       built.count()
       built
     }
@@ -391,17 +395,25 @@ object Similarity {
       else if (bits > 0) (bits, math.min(8, 64 / bits))
       else adaptiveLshConfig(corpusCount(spark, dir))
     require(bitsEff * nTablesEff <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
-    val sig = lshSigStage(spark, dir, bitsEff, nTablesEff)
-    // unit vectors RIDE ON the bucket rows, so the self-join output is
-    // scored and threshold-filtered inside the join's own codegen stage
-    // and only the (tiny) survivor set reaches the distinct. The
-    // candidates-first formulation (distinct 24M bare pairs, then two
-    // joins to re-attach vectors, then score) shuffled every candidate
-    // THREE more times — measured 16 s vs ~6 s at the 100× corpus.
-    // Duplicate collisions (a pair sharing buckets in several tables)
-    // cost one extra dot each instead of a corpus-scale distinct; the
-    // cosine is deterministic per pair, so distinct-after-score dedupes
-    // to identical rows.
+    nearDupPairsOf(lshSigStage(spark, dir, bitsEff, nTablesEff),
+      threshold, maxBucketPopulation)
+  }
+
+  /** The pair pipeline over a signature relation (vec_id, u, buckets) —
+    * shared by [[nearDupLsh]] and the planted-duplicate recall spec.
+    *
+    * Unit vectors RIDE ON the bucket rows, so the self-join output is
+    * scored and threshold-filtered inside the join's own codegen stage
+    * and only the (tiny) survivor set reaches the distinct. The
+    * candidates-first formulation (distinct 24M bare pairs, then two
+    * joins to re-attach vectors, then score) shuffled every candidate
+    * THREE more times — measured 16 s vs ~10 s at the 100× corpus.
+    * Duplicate collisions (a pair sharing buckets in several tables)
+    * cost one extra dot each instead of a corpus-scale distinct; the
+    * cosine is deterministic per pair, so distinct-after-score dedupes
+    * to identical rows. */
+  private[ops] def nearDupPairsOf(sig: DataFrame, threshold: Double,
+      maxBucketPopulation: Int): DataFrame = {
     val buckets = Dedup.capBands(
       sig.select(col("vec_id").as("doc_id"), col("u"),
         posexplode(col("buckets")).as(Seq("band", "band_key"))),

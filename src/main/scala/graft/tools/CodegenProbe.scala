@@ -18,7 +18,8 @@ object CodegenProbe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftSession.configure(spark)
     import org.apache.spark.sql.execution.debug._
-    for (q <- Seq("q38_ann_lsh", "q39_ann_ivf", "q92_ann_lsh_scaled", "q93_pack_assignment")) {
+    for (q <- Seq("q38_ann_lsh", "q39_ann_ivf", "q92_ann_lsh_scaled", "q93_pack_assignment",
+        "q94_minhash_lsh_scaled", "q95_embedding_neardup_lsh")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.collect()
       val stats = codegenStringSeq(df.queryExecution.executedPlan)
