@@ -121,6 +121,14 @@ object SparkEntry {
     // sign-LSH buckets (adaptive config like q38) — q36 is the bounded
     // exact baseline, this is what runs over the full corpus
     "q95_embedding_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
+    // delta-vs-corpus near-dedup: today's batch (hash split) killed
+    // against the historical corpus through the shared confirmed-pair
+    // stage, then within-batch — the daily-ingest shape
+    "q96_incremental_dedup" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // corpus unigram-LM quality proxy (CCNet-style order-0 filter)
+    "q97_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
+    // temperature-based source mixing plan under a token budget
+    "q98_source_mixing" -> ((s, d) => Sampling.sourceMixing(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -696,6 +704,69 @@ object SparkEntry {
         |JOIN u y ON y.vec_id = vec_b
         |WHERE round(${cosSql("x.u", "y.u")}, 4) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin),
+    // incremental near-dedup: same confirmed-pair relation as q33
+    // (MinhashCte candidates + exact-Jaccard >= 0.5 verification), then
+    // the batch/corpus split and the two kill rules as plain joins
+    "q96_incremental_dedup" -> (MinhashCte + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |jacpairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b
+        |  WHERE round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) >= 0.5),
+        |sym AS (SELECT doc_a, doc_b FROM jacpairs
+        |        UNION SELECT doc_b, doc_a FROM jacpairs),
+        |d AS (SELECT doc_id, source,
+        |        (doc_id * 2654435761) % 100 < 30 AS incoming
+        |      FROM documents),
+        |inc AS (SELECT doc_id, source FROM d WHERE incoming),
+        |corpus_dup AS (
+        |  SELECT DISTINCT s.doc_a AS doc_id FROM sym s
+        |  WHERE s.doc_b IN (SELECT doc_id FROM d WHERE NOT incoming)),
+        |fresh AS (SELECT * FROM inc
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM corpus_dup)),
+        |batch_dup AS (
+        |  SELECT DISTINCT s.doc_a AS doc_id FROM sym s
+        |  WHERE s.doc_b < s.doc_a
+        |    AND s.doc_a IN (SELECT doc_id FROM fresh)
+        |    AND s.doc_b IN (SELECT doc_id FROM fresh)),
+        |kept AS (SELECT * FROM fresh
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM batch_dup)),
+        |ia AS (SELECT source, count(*) AS n_incoming FROM inc GROUP BY source),
+        |fa AS (SELECT source, count(*) AS n_fresh FROM fresh GROUP BY source),
+        |ka AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source)
+        |SELECT ia.source, n_incoming,
+        |  n_incoming - CAST(coalesce(n_fresh, 0) AS BIGINT) AS n_dup_corpus,
+        |  CAST(coalesce(n_fresh, 0) AS BIGINT) - CAST(coalesce(n_kept, 0) AS BIGINT) AS n_dup_batch,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM ia LEFT JOIN fa ON fa.source = ia.source
+        |LEFT JOIN ka ON ka.source = ia.source
+        |ORDER BY ia.source""".stripMargin),
+    "q97_unigram_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS term_count FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * ln(total * 1.0 / term_count)) / sum(tf), 4) AS nll
+        |FROM tf JOIN lm USING (term) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q98_source_mixing" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(pow(n_tokens, 0.5)) AS total_w FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |  round(pow(n_tokens, 0.5) / total_w, 6) AS mix_p,
+        |  round(1000000 * pow(n_tokens, 0.5) / total_w / n_tokens, 4) AS epochs
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
     "q37_sim_topk" -> (UnitVecCte + """
         |, scored AS (
         |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,

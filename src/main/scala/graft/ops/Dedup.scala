@@ -275,6 +275,62 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .orderBy("doc_a", "doc_b")
 
+  /** Incremental (delta-vs-corpus) near-dedup — the shape a production
+    * pipeline runs daily: dedup TODAY'S crawl against the historical
+    * corpus without re-deduping the corpus itself. The incoming batch is
+    * a deterministic hash split (Knuth bucket over doc_id, same rule as
+    * Sampling — reproducible on any engine/partitioning); "existing" is
+    * the rest.
+    *
+    * Kill rules, in order:
+    *   1. vs-corpus: an incoming doc with a confirmed near-dup edge
+    *      (exact shingle Jaccard ≥ `threshold` over LSH candidates —
+    *      the shared [[confirmedPairs]] stage) to ANY existing doc dies.
+    *   2. within-batch: a surviving doc with an edge to a SMALLER-id
+    *      surviving doc dies (deterministic, non-recursive — the
+    *      standard streaming-dedup tiebreak; full transitive clustering
+    *      is q59's job, not the delta path's).
+    *
+    * Output is the per-source accounting the ingest job logs:
+    * `n_incoming = n_dup_corpus + n_dup_batch + n_kept` by construction.
+    *
+    * Scale shape: the edge list is built once per session (candidate
+    * generation is the banded equi-join, never all-pairs); the batch/
+    * corpus membership tests are semi/anti joins, so no id-set ever
+    * lands on the driver. At 100 TB the `existing` side is the
+    * pre-materialized signature store — the delta batch is the only
+    * thing newly shingled, which is the entire point of the shape. */
+  def incrementalDedup(spark: SparkSession, dir: String, batchPct: Int = 30,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = confirmedPairs(spark, dir).where(col("jaccard") >= threshold)
+    val sym = pairs.select(col("doc_a"), col("doc_b"))
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      (pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"))
+    val incoming = docs.where(col("incoming")).select("doc_id", "source")
+    val existingIds = docs.where(!col("incoming")).select(col("doc_id").as("doc_b"))
+    val corpusDup = sym
+      .join(existingIds, Seq("doc_b"), "left_semi")
+      .select(col("doc_a").as("doc_id")).distinct()
+    val fresh = incoming.join(corpusDup, Seq("doc_id"), "left_anti")
+    val freshIds = fresh.select("doc_id")
+    val batchDup = sym
+      .where(col("doc_b") < col("doc_a"))
+      .join(freshIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(freshIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_a").as("doc_id")).distinct()
+    val kept = fresh.join(batchDup, Seq("doc_id"), "left_anti")
+    val ia = incoming.groupBy("source").agg(count(lit(1)).as("n_incoming"))
+    val fa = fresh.groupBy("source").agg(count(lit(1)).as("n_fresh"))
+    val ka = kept.groupBy("source").agg(count(lit(1)).as("n_kept"))
+    ia.join(fa, Seq("source"), "left").join(ka, Seq("source"), "left")
+      .select(col("source"), col("n_incoming"),
+        (col("n_incoming") - coalesce(col("n_fresh"), lit(0L))).as("n_dup_corpus"),
+        (coalesce(col("n_fresh"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_dup_batch"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Hybrid near-dup verdict: MinHash-LSH text candidates scored by BOTH
     * exact shingle Jaccard and embedding cosine (doc_id ↔ vec_id) — the
     * production pattern where surface-form and semantic signals must

@@ -33,4 +33,32 @@ object Sampling {
         round(col("n_sampled") / col("n_docs"), 4).as("frac"))
       .orderBy("lang")
   }
+
+  /** Temperature-based source mixing plan — the "how many epochs of each
+    * source under a token budget" table a pre-training run is configured
+    * from. Each source's sampling weight is `tokens^alpha` (alpha < 1
+    * up-weights small/curated sources relative to their raw size — the
+    * multilingual-sampling trick applied to source mixing); `mix_p` is
+    * the normalized mixture probability and `epochs` the implied
+    * pass-count over each source at `budgetTokens` total.
+    *
+    * Scale shape: the only corpus-sized work is ONE map-side-combined
+    * aggregate (source → doc/token counts, token counting via the byte
+    * kernel); the mixing math runs on the #sources-row result with a
+    * 1-row broadcast normalizer. Nothing downstream of the first
+    * aggregate scales with data size. */
+  def sourceMixing(spark: SparkSession, dir: String, alpha: Double = 0.5,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.nTokens(col("text"))).as("n_tokens"))
+    val norm = perSource.agg(sum(pow(col("n_tokens"), alpha)).as("total_w"))
+    perSource.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(pow(col("n_tokens"), lit(alpha)) / col("total_w"), 6).as("mix_p"),
+        round(lit(budgetTokens) * pow(col("n_tokens"), lit(alpha)) / col("total_w")
+          / col("n_tokens"), 4).as("epochs"))
+      .orderBy("source")
+  }
 }

@@ -208,6 +208,36 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Corpus unigram-LM quality proxy (the CCNet-style language-model
+    * filter, reduced to its order-0 core): score every document by the
+    * mean negative log-likelihood of its tokens under the corpus's own
+    * unigram MLE. Boilerplate-ish documents full of globally frequent
+    * tokens score LOW (predictable), lexically unusual documents score
+    * HIGH — the scalar a pre-training pipeline thresholds or buckets on
+    * before spending GPU time on a real LM.
+    *
+    * Scale shape: one (doc_id, term) explode feeds BOTH the term-count
+    * relation and the per-doc score (the tf exchange is reused, as in
+    * [[tfidfTop]]); the LM side is vocabulary-sized, joined back on
+    * `term` — a plain shuffle join that never widens beyond tf rows.
+    * The grand-total is a 1-row broadcast. No windows, no sorts over the
+    * corpus; deliberately NOT a percentile bucketing (head/middle/tail
+    * tertiles need a corpus-wide sort — a fixed threshold downstream
+    * does not). */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val lm = tf.groupBy("term").agg(sum("tf").as("term_count"))
+    val total = tf.agg(sum("tf").as("total"))
+    tf.join(lm, Seq("term")).crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        round(sum(col("tf") * log(col("total") / col("term_count"))) / sum("tf"), 4)
+          .as("nll"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 5-gram with a held-out eval set (here: `doc_id % 97 == 0` stands in
     * for the benchmark corpus). The standard pre-training contamination
