@@ -129,6 +129,9 @@ object SparkEntry {
     "q97_unigram_logprob" -> ((s, d) => TextAnalysis.unigramLogprob(s, d)),
     // temperature-based source mixing plan under a token budget
     "q98_source_mixing" -> ((s, d) => Sampling.sourceMixing(s, d)),
+    // q69's verdict via the large-eval-set scale plan: Bloom prefilter
+    // (codegen'd probe, ~1.2 bytes/gram) + exact confirm join
+    "q99_decontaminate_bloom" -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -314,6 +317,21 @@ object SparkEntry {
       |  UNION
       |  SELECT s.doc_a, r.label FROM sym s JOIN reach r ON r.doc_id = s.doc_b),
       |per_doc AS (SELECT doc_id, min(label) AS cluster_rep FROM reach GROUP BY doc_id)""".stripMargin
+
+  /** The word-5-gram decontamination verdict (q69 exact-broadcast plan
+    * AND q99 Bloom-prefiltered plan — one relation, two physical
+    * shapes). */
+  private val DecontaminateSql =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+      |                for i in range(1, len(t) - 3)]) AS gram
+      |      FROM tok WHERE len(t) >= 5),
+      |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
+      |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
+      |       count(DISTINCT ev.eval_id) AS n_eval_hits
+      |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB oracle for each query (same parquet tables, same column
     * names, same ordering). */
@@ -1029,17 +1047,13 @@ object SparkEntry {
     // q69: n-gram decontamination — eval set = doc_id % 97 == 0; a train
     // doc is contaminated iff it shares a distinct word 5-gram with any
     // eval doc. Counts are over distinct (gram) / (eval doc) matches.
-    "q69_decontaminate" ->
-      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
-        |                for i in range(1, len(t) - 3)]) AS gram
-        |      FROM tok WHERE len(t) >= 5),
-        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0),
-        |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
-        |SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared,
-        |       count(DISTINCT ev.eval_id) AS n_eval_hits
-        |FROM tr JOIN ev USING (gram) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q69_decontaminate" -> DecontaminateSql,
+    // q99 = q69's verdict through the Bloom-prefiltered plan; the filter
+    // admits no false negatives and the confirm join kills its false
+    // positives, so the ORACLE RELATION IS THE SAME — what differs (and
+    // what the gate can't see) is the plan shape, pinned by
+    // BloomDecontaminateSpec instead
+    "q99_decontaminate_bloom" -> DecontaminateSql,
     // q90: identical first-10-token prefixes; clusters of 2+
     "q90_template_prefixes" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents)

@@ -276,6 +276,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Decontamination's LARGE-eval-set scale path: same verdict relation
+    * as [[decontaminate]], different plan shape. q69 broadcasts the
+    * distinct eval-gram SET — exact, but the broadcast grows with the
+    * benchmark suite (tens of millions of grams × tens of bytes is
+    * gigabytes to every executor). Here the corpus scan is prefiltered by
+    * a Bloom filter over the eval grams (~1.2 bytes/gram at 1% FPP,
+    * 30-50× smaller than the set; built by ONE distributed aggregate,
+    * probed inside whole-stage codegen —
+    * [[graft.functions.BloomMightContain]]), and only the survivors —
+    * contaminated grams plus the FPP tail, a vanishing fraction of the
+    * corpus — reach the exact confirm join that removes false positives.
+    * That join is deliberately NOT hinted broadcast: the premise is an
+    * eval relation too big to ship, and the bloom has already shrunk the
+    * probe side to near-answer size, so an AQE-planned shuffle join is
+    * the honest shape. No false negatives exist by Bloom construction,
+    * so the result is value-identical to q69 (same DuckDB oracle;
+    * equivalence additionally pinned row-for-row by
+    * BloomDecontaminateSpec). */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = docGrams(Tables.documents(spark, dir))
+    val eval_ = grams.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    val train = grams.where(col("doc_id") % 97 =!= 0)
+    val evalGrams = eval_.select("gram").distinct()
+    // sizing pass + build pass, both over the (small) eval side only;
+    // bit-OR merges make the filter content order-independent, so the
+    // build is deterministic under any partitioning
+    val expected = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gram", expected, fpp)
+    train
+      .where(graft.functions.BloomFunctions.mightContain(col("gram"), bloom))
+      .join(eval_, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared"),
+        countDistinct("eval_id").as("n_eval_hits"))
+      .orderBy("doc_id")
+  }
+
   /** q90: template/boilerplate prefix clusters — groups of documents
     * opening with the same first `k` tokens (crawl boilerplate, license
     * headers, scraped templates open identically long before the bodies
