@@ -132,6 +132,13 @@ object SparkEntry {
     // q69's verdict via the large-eval-set scale plan: Bloom prefilter
     // (codegen'd probe, ~1.2 bytes/gram) + exact confirm join
     "q99_decontaminate_bloom" -> ((s, d) => TextAnalysis.decontaminateBloom(s, d)),
+    // leakage-safe train/val split: the unit of assignment is the
+    // near-dup CLUSTER, so no confirmed pair can straddle the boundary
+    "q100_cluster_split" -> ((s, d) => Curation.clusterSplit(s, d)),
+    // deterministic global training-export shuffle: one md5 drives both
+    // shard assignment and within-shard order; the checksum pins the
+    // exact permutation under the oracle hash
+    "q101_export_shuffle" -> ((s, d) => Sampling.exportShuffle(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -767,6 +774,33 @@ object SparkEntry {
         |FROM ia LEFT JOIN fa ON fa.source = ia.source
         |LEFT JOIN ka ON ka.source = ia.source
         |ORDER BY ia.source""".stripMargin),
+    // q100: q59's recursive-closure cluster relation, split by the same
+    // Knuth hash bucket the Spark side applies to the cluster label
+    "q100_cluster_split" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      ClusterCtes + """
+        |SELECT CASE WHEN (cluster_rep * 2654435761) % 100 < 90
+        |            THEN 'train' ELSE 'val' END AS split,
+        |  d.source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT cluster_rep) AS BIGINT) AS n_clusters,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        |FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY split, source""".stripMargin),
+    // q101: the salt-keyed md5 drives shard and order on both engines;
+    // one leading nibble = the 16-shard plateau the sf0.01 corpus pins
+    // (Sampling.shardNibbles: n <= 65536 -> 1 nibble)
+    "q101_export_shuffle" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |    md5('shuffle|' || doc_id) AS h FROM documents),
+        |s AS (SELECT *, CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT) AS shard
+        |      FROM k),
+        |p AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     "q97_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),

@@ -47,6 +47,45 @@ object Curation {
       .orderBy("lang", "source")
   }
 
+  /** Per-doc split assignment behind [[clusterSplit]] — exposed inside
+    * the package so the leakage spec can join it against the confirmed
+    * near-dup pairs and assert ZERO pairs straddle the boundary. */
+  private[ops] def clusterSplitAssign(spark: SparkSession, dir: String,
+      threshold: Double, trainPct: Int): DataFrame =
+    Dedup.clusterLabels(spark, dir, threshold, maxIters = 10)
+      .select(col("doc_id"), col("label"),
+        when(pmod(col("label") * lit(2654435761L), lit(100)) < trainPct, "train")
+          .otherwise("val").as("split"))
+
+  /** q100: leakage-safe train/validation split at near-dup-CLUSTER
+    * granularity. A doc-level hash split leaks: a near-duplicate pair
+    * lands one copy in train and one in val, and the eval measures
+    * memorization instead of generalization. The unit of assignment is
+    * therefore the transitive-closure cluster over the confirmed
+    * near-dup pairs ([[Dedup.clusterLabels]] — the SAME shared pair
+    * stage every dedup-ladder consumer reads): every member of a
+    * cluster inherits the cluster label's hash bucket, so no confirmed
+    * pair can ever straddle the boundary (pinned by ClusterSplitSpec,
+    * which also shows the naive doc-hash split DOES straddle pairs on
+    * the gate corpus — the operator is load-bearing, not decorative).
+    *
+    * Scale shape: clustering is the bounded BSP propagation q59 already
+    * measures at 100× (round count bounded by component diameter); the
+    * split itself is a pure hash of the label — no extra shuffle beyond
+    * one join to attach (source, n_chars) and the final accounting
+    * aggregate. Determinism: the same Knuth multiplicative hash bucket
+    * as every sampling operator here; exact int64 arithmetic, so the
+    * assignment is identical on any engine or partitioning. */
+  def clusterSplit(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      trainPct: Int = 90): DataFrame =
+    clusterSplitAssign(spark, dir, threshold, trainPct)
+      .join(Tables.documents(spark, dir).select("doc_id", "source", "n_chars"), Seq("doc_id"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("label").as("n_clusters"),
+        sum("n_chars").as("total_chars"))
+      .orderBy("split", "source")
+
   /** q79: delta-shard merge accounting — the upsert a rolling ingest runs
     * when a new crawl shard lands on an existing corpus. Shards are
     * simulated by doc_id (last 2 of every 10 ids = the delta); the merge

@@ -61,4 +61,61 @@ object Sampling {
           / col("n_tokens"), 4).as("epochs"))
       .orderBy("source")
   }
+
+  /** Shard-count derivation for [[exportShuffle]]: hex nibbles of the
+    * md5 used as the shard key, holding the expected shard population
+    * near `targetPop` — `nibbles = ceil(log16(n / targetPop))` clamped
+    * to [1, 8] (8 nibbles = 4 billion shards, far past any real
+    * corpus). The same population-constancy discipline as
+    * [[Similarity.adaptiveLshConfig]]: per-shard rows — and with them
+    * the within-shard ordering sort — stay bounded as the corpus grows.
+    * Integer ceil-log, so plateau edges are exact: n ≤ 4096 → 1 nibble
+    * (16 shards — the sf0.01 oracle pin, 500 docs, sits mid-plateau),
+    * n = 500 000 → 2 nibbles (256 shards, ~2 k rows each). */
+  private[ops] def shardNibbles(n: Long, targetPop: Long = 4096L): Int = {
+    var nibbles = 1
+    var capacity = 16L * targetPop
+    while (nibbles < 8 && n > capacity) { nibbles += 1; capacity *= 16 }
+    nibbles
+  }
+
+  /** q101: deterministic global training-export shuffle — the "write the
+    * curated corpus out in pseudo-random order across S shards" step
+    * that precedes tokenization (training wants documents decorrelated
+    * from crawl/source order; the exporter wants a reproducible
+    * permutation so a re-run ships byte-identical shards).
+    *
+    * The permutation is a pure function of the row key: order by
+    * `md5('shuffle|' || doc_id)` — an engine-independent, seed-free
+    * pseudo-random total order (the salt makes it independent of every
+    * other hash in the pipeline). The shard is the key's leading hex
+    * nibbles, so shard assignment and within-shard order come from ONE
+    * hash; `order_checksum = sum(pos * doc_id)` is position-sensitive,
+    * so the oracle hash pins the exact permutation, not just the
+    * membership (swap any two docs in a shard and the checksum moves —
+    * ExportShuffleSpec falsifies it with a different salt).
+    *
+    * Scale shape: one shuffle on `shard`, one within-shard sort — the
+    * physical plan of any sorted-shard write. Per-shard rows are held
+    * ~constant by [[shardNibbles]] as the corpus grows, so the sort
+    * stays distributed; nothing here is a global order-by. */
+  def exportShuffle(spark: SparkSession, dir: String, nibbles: Int = 0): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nib = if (nibbles > 0) nibbles else shardNibbles(docs.count())
+    val keyed = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(concat(lit("shuffle|"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, nib), 16, 10).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("h", "doc_id")
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("source").as("n_sources"),
+        sum("n_chars").as("total_chars"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy("shard")
+  }
 }
