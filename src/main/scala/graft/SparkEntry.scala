@@ -139,6 +139,15 @@ object SparkEntry {
     // shard assignment and within-shard order; the checksum pins the
     // exact permutation under the oracle hash
     "q101_export_shuffle" -> ((s, d) => Sampling.exportShuffle(s, d)),
+    // SemDeDup-style decision layer on the q95 pair relation: greedy
+    // lowest-id keeper rule, reported as the per-label pruning profile
+    "q102_semantic_keepers" -> ((s, d) => Similarity.semanticKeepers(s, d)),
+    // exact substring duplication at sub-document granularity (fixed-
+    // width window fingerprints, Lee et al. 2107.06499's index shape)
+    "q103_dup_spans" -> ((s, d) => TextAnalysis.dupSpans(s, d)),
+    // contamination severity per source: per-doc eval-gram hit fraction
+    // rolled up — the remediation read on top of q69's membership verdict
+    "q104_contamination_profile" -> ((s, d) => TextAnalysis.contaminationProfile(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -801,6 +810,68 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    // q102: q95's pair relation at the gate-scale adaptive config (8x8),
+    // pruned = distinct higher id of every confirmed pair (the greedy
+    // lowest-id keeper rule), profiled per embedding label
+    "q102_semantic_keepers" -> (UnitVecCte + lshBucketCtes(bits = 8, nTables = 8) + s""",
+        |ncand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM tb a JOIN tb b USING (tbl, bucket)
+        |  WHERE a.vec_id < b.vec_id),
+        |pruned AS (
+        |  SELECT DISTINCT vec_b AS vec_id FROM ncand
+        |  JOIN u x ON x.vec_id = vec_a
+        |  JOIN u y ON y.vec_id = vec_b
+        |  WHERE round(${cosSql("x.u", "y.u")}, 4) >= 0.4)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        |  CAST(count(*) - sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM embeddings e LEFT JOIN pruned p ON p.vec_id = e.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q103: winnowed fingerprints (k=20-char md5 k-grams, min per sliding
+    // window of w=8 hashes — Schleimer et al. 2003), mirrored as DuckDB
+    // list comprehensions; lexicographic min on lowercase-hex md5 orders
+    // identically on both engines
+    "q103_dup_spans" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 27),
+        |h AS (SELECT doc_id, source,
+        |        [md5(substring(text, p, 20)) for p in range(1, length(text) - 18)] AS hs
+        |      FROM d),
+        |s AS (SELECT doc_id, source,
+        |        list_distinct([list_min(hs[p:p+7]) for p in range(1, len(hs) - 6)]) AS sel
+        |      FROM h),
+        |sel AS (SELECT doc_id, source, unnest(sel) AS fp FROM s),
+        |sd AS (SELECT fp, count(DISTINCT doc_id) AS n_span_docs FROM sel GROUP BY fp),
+        |pd AS (
+        |  SELECT doc_id, source, count(*) AS n_fps,
+        |    sum(CASE WHEN n_span_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM sel JOIN sd USING (fp) GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dup,
+        |  CAST(sum(n_fps) AS BIGINT) AS total_fps,
+        |  CAST(sum(n_dup) AS BIGINT) AS dup_fps,
+        |  round(sum(n_dup) * 1.0 / sum(n_fps), 4) AS dup_fp_frac
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    // q104: q69's gram relation, severity-profiled per source
+    "q104_contamination_profile" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+        |                for i in range(1, len(t) - 3)]) AS gram
+        |      FROM tok WHERE len(t) >= 5),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |pd AS (
+        |  SELECT g.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        |  FROM g LEFT JOIN ev ON ev.gram = g.gram
+        |  WHERE g.doc_id % 97 <> 0
+        |  GROUP BY g.doc_id)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+        |  round(sum(n_hits) * 1.0 / sum(n_grams), 4) AS gram_hit_frac,
+        |  round(max(n_hits * 1.0 / n_grams), 4) AS max_doc_frac
+        |FROM pd JOIN documents d USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q97_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),

@@ -389,7 +389,15 @@ object Similarity {
     * sf0.01), so the static oracle omits it, exactly as q32's does. */
   def nearDupLsh(spark: SparkSession, dir: String, threshold: Double = 0.4,
       bits: Int = 0, nTables: Int = 0,
-      maxBucketPopulation: Int = 1000): DataFrame = {
+      maxBucketPopulation: Int = 1000): DataFrame =
+    nearDupPairsStage(spark, dir, threshold, bits, nTables, maxBucketPopulation)
+      .orderBy("vec_a", "vec_b")
+
+  /** The unordered confirmed-pair stage behind [[nearDupLsh]] — shared
+    * with [[semanticKeepers]], whose aggregate doesn't want the output
+    * sort in its lineage. */
+  private def nearDupPairsStage(spark: SparkSession, dir: String, threshold: Double,
+      bits: Int, nTables: Int, maxBucketPopulation: Int): DataFrame = {
     val (bitsEff, nTablesEff) =
       if (bits > 0 && nTables > 0) (bits, nTables)
       else if (bits > 0) (bits, math.min(8, 64 / bits))
@@ -426,7 +434,46 @@ object Similarity {
         round(dot(col("a.u"), col("b.u")), 4).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .distinct()
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** q102: semantic-dedup pruning profile — the DECISION layer on top of
+    * the q95 pair relation, per the SemDeDup recipe (Abbas et al. 2023,
+    * arXiv:2303.09540: embed, group into buckets, drop all but one of
+    * every high-cosine group). The keep rule here is the greedy
+    * lowest-id rule: a vector is PRUNED iff some confirmed partner with
+    * a smaller vec_id exists — since confirmed pairs are stored with
+    * vec_a < vec_b, the pruned set is exactly `distinct vec_b`, one
+    * projection + distinct over the pair relation, no second pass.
+    * Deliberately NOT the transitive rule (q67's canonical keepers): the
+    * greedy rule needs no connected-components iteration and is what a
+    * single-pass bucketed dedup ships at scale; on a chain a~b, b~c,
+    * a!~c it prunes BOTH b and c (conservative — may prune a vector
+    * whose only lower partner was itself pruned), which is the
+    * documented SemDeDup behavior of keeping one exemplar per bucket
+    * rather than per component.
+    *
+    * Output is the per-label pruning profile (what fraction of each
+    * semantic class the dedup removes — the read that decides whether a
+    * threshold is eating a class), compact enough to oracle-check while
+    * still covering pair generation + decision + accounting end-to-end.
+    * Scale shape: everything upstream is q95's bucketed equi-join; the
+    * decision layer adds one distinct on the (tiny) pair set and one
+    * left semi-style join back to the corpus — no new corpus shuffle
+    * beyond the label aggregate. */
+  def semanticKeepers(spark: SparkSession, dir: String, threshold: Double = 0.4,
+      bits: Int = 0, nTables: Int = 0,
+      maxBucketPopulation: Int = 1000): DataFrame = {
+    val pruned = nearDupPairsStage(spark, dir, threshold, bits, nTables, maxBucketPopulation)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("pruned", lit(1L))
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(pruned, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("pruned"), lit(0L))).as("n_pruned"),
+        (count(lit(1)) - sum(coalesce(col("pruned"), lit(0L)))).as("n_kept"))
+      .orderBy("label")
   }
 
   /** Recall@k of each ANN path against the exact brute-force top-k on the

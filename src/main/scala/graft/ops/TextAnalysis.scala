@@ -315,6 +315,99 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q104: per-source contamination profile — the severity layer on top
+    * of q69's membership verdict. q69/q99 answer "WHICH train docs share
+    * any 5-gram with the eval split"; a curation decision also needs HOW
+    * MUCH of each doc is contaminated and WHERE it concentrates, because
+    * the remediation differs (drop a source wholesale vs filter a few
+    * docs vs ignore background collision noise). Per train doc:
+    * fraction of its distinct 5-grams hitting the eval-gram set; rolled
+    * up per source as doc counts, the corpus-weighted gram-hit fraction,
+    * and the worst single doc. Same eval-gram broadcast shape as q69
+    * (the corpus side never shuffles for the join); per-source rollup is
+    * one hash aggregate. Determinism: the fractions divide exact longs
+    * (per-doc counts), and max over per-doc ratios is order-free. */
+  def contaminationProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = docGrams(docs)
+    val evalGrams = grams.where(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    val perDoc = grams.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+    perDoc.join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        round(sum("n_hits") * lit(1.0) / sum("n_grams"), 4).as("gram_hit_frac"),
+        round(max(col("n_hits") * lit(1.0) / col("n_grams")), 4).as("max_doc_frac"))
+      .orderBy("source")
+  }
+
+  /** q103: duplicated-span profile — EXACT substring duplication at
+    * sub-document granularity via WINNOWED fingerprints. The whole-text
+    * rungs (q30/q31) and near-dup rungs (q32+/q34+) miss partial
+    * copies — a quoted paragraph, a license block pasted mid-file; this
+    * rung catches them (the detection read of Lee et al. 2022,
+    * arXiv:2107.06499's "deduplicate exact substrings").
+    *
+    * Fingerprint selection is winnowing (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003, the MOSS algorithm): hash EVERY `k`-char substring,
+    * then per sliding window of `w` consecutive hashes keep the minimum.
+    * The point of the min-selection is ALIGNMENT INDEPENDENCE — a naive
+    * "every k-th window" stride misses a duplicated paragraph whose
+    * copies start at offsets differing by a non-multiple of the stride
+    * (the two copies' windows never line up), while winnowing guarantees
+    * any shared run of >= k+w-1 chars yields a shared fingerprint at ANY
+    * pair of alignments, selecting only ~2/(w+1) of positions for the
+    * global index. A doc's fingerprint is duplicated iff some other doc
+    * selected it too; rolled up per source as fingerprint totals, the
+    * duplicated fraction, and how many docs carry any duplicated span.
+    *
+    * Scale shape: hashing + min-selection run entirely INSIDE a per-row
+    * array projection (sequence → transform(md5) → sliding array_min →
+    * array_distinct) — no corpus-wide shuffle, no per-position explode,
+    * no window-function sort; only the winnowed survivors (~2/(w+1) of
+    * positions, distinct per doc) are exploded into the two global hash
+    * aggregates (count docs per fingerprint, join back, roll up). md5 is
+    * the engine-neutral oracle hash; it is an opaque join key, so a
+    * 64-bit hash slots in without changing the plan. */
+  def dupSpans(spark: SparkSession, dir: String, k: Int = 20,
+      w: Int = 8): DataFrame =
+    dupSpansOf(Tables.documents(spark, dir), k, w)
+
+  /** The q103 pipeline over any (doc_id, source, text) relation — split
+    * out so the planted-span spec can drive it with known duplication
+    * (including copies at stride-hostile alignments). */
+  private[graft] def dupSpansOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    // per-row: all k-gram hashes, then the winnowed distinct selection
+    val hashes = transform(
+      sequence(lit(1), length(col("text")) - k + 1),
+      p => md5(col("text").substr(p, lit(k))))
+    val selected = array_distinct(transform(
+      sequence(lit(1), size(col("hs")) - (w - 1)),
+      p => array_min(slice(col("hs"), p, lit(w)))))
+    val sel = docs
+      .where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"), col("source"), hashes.as("hs"))
+      .select(col("doc_id"), col("source"), explode(selected).as("fp"))
+    val spanDocs = sel.groupBy("fp").agg(countDistinct("doc_id").as("n_span_docs"))
+    val perDoc = sel.join(spanDocs, Seq("fp"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("n_span_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
+        sum("n_fps").as("total_fps"),
+        sum("n_dup").as("dup_fps"),
+        round(sum("n_dup") * lit(1.0) / sum("n_fps"), 4).as("dup_fp_frac"))
+      .orderBy("source")
+  }
+
   /** q90: template/boilerplate prefix clusters — groups of documents
     * opening with the same first `k` tokens (crawl boilerplate, license
     * headers, scraped templates open identically long before the bodies

@@ -60,11 +60,34 @@ class PlanSpec extends AnyFunSuite {
 
   test("LSH candidate joins are equi-joins, never cartesian") {
     for (q <- Seq("q32_minhash_lsh", "q35_simhash_neardup", "q38_ann_lsh",
-        "q94_minhash_lsh_scaled", "q95_embedding_neardup_lsh")) {
+        "q94_minhash_lsh_scaled", "q95_embedding_neardup_lsh",
+        "q102_semantic_keepers")) {
       val p = plan(SparkEntry.queries(q)(spark, dir))
       assert(!p.contains("CartesianProduct"), s"$q uses a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q uses a nested-loop join")
     }
+  }
+
+  test("q103 winnowing runs inside a projection; fingerprint joins are equi-joins") {
+    val p = plan(SparkEntry.queries("q103_dup_spans")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"q103 uses a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q103 uses a nested-loop join")
+    // the k-gram hash + min-selection must NOT be a per-position explode
+    // followed by a window sort — that shape shuffles len(text) rows per
+    // doc; the array-expression formulation keeps selection per-row
+    assert(!p.contains("Window"), "q103 winnowing fell back to a window function")
+    // the only Generate nodes are the explode of the (winnowed, distinct)
+    // selection — once per branch of the fingerprint self-join — never a
+    // per-position explode of the raw k-gram hash array ("(N) Generate"
+    // detail headers appear once per Generate node in formatted mode)
+    val generates = p.linesIterator.count(_.matches("""\(\d+\) Generate.*"""))
+    assert(generates <= 2, s"q103 explodes more than the winnowed selection:\n${p.take(2000)}")
+  }
+
+  test("q104 broadcasts the eval grams; corpus side never shuffles for the join") {
+    val p = plan(SparkEntry.queries("q104_contamination_profile")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
   test("IVF corpus assignment is a hash aggregate, never a corpus-wide window sort") {
