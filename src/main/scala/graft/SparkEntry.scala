@@ -828,15 +828,22 @@ object SparkEntry {
         |  CAST(count(*) - sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM embeddings e LEFT JOIN pruned p ON p.vec_id = e.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
-    // q103: winnowed fingerprints (k=20-char md5 k-grams, min per sliding
-    // window of w=8 hashes — Schleimer et al. 2003), mirrored as DuckDB
-    // list comprehensions; lexicographic min on lowercase-hex md5 orders
-    // identically on both engines
+    // q103: winnowed fingerprints (k=20 code-point k-grams, min per
+    // sliding window of w=8 hashes — Schleimer et al. 2003). The hash is
+    // the Winnow kernel's Karp-Rabin sum mod 2^61-1, recomputed here
+    // term-by-term in HUGEINT with the SAME power table the kernel
+    // generates (Winnow.powerTable — the probeMasks discipline), so both
+    // engines produce identical int64 fingerprints
     "q103_dup_spans" ->
-      """WITH d AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 27),
-        |h AS (SELECT doc_id, source,
-        |        [md5(substring(text, p, 20)) for p in range(1, length(text) - 18)] AS hs
+      s"""WITH d AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 27),
+        |c AS (SELECT doc_id, source,
+        |        [unicode(text[i]) for i in range(1, length(text) + 1)] AS cps
         |      FROM d),
+        |h AS (SELECT doc_id, source,
+        |        [CAST(list_sum([cps[p + j]::HUGEINT * pw[j + 1] for j in range(0, 20)])
+        |              % 2305843009213693951 AS BIGINT)
+        |         for p in range(1, len(cps) - 18)] AS hs
+        |      FROM c, (SELECT [${graft.core.Winnow.powerTable(20).mkString(", ")}]::HUGEINT[] AS pw)),
         |s AS (SELECT doc_id, source,
         |        list_distinct([list_min(hs[p:p+7]) for p in range(1, len(hs) - 6)]) AS sel
         |      FROM h),

@@ -368,13 +368,16 @@ object TextAnalysis {
     * duplicated fraction, and how many docs carry any duplicated span.
     *
     * Scale shape: hashing + min-selection run entirely INSIDE a per-row
-    * array projection (sequence → transform(md5) → sliding array_min →
-    * array_distinct) — no corpus-wide shuffle, no per-position explode,
-    * no window-function sort; only the winnowed survivors (~2/(w+1) of
-    * positions, distinct per doc) are exploded into the two global hash
-    * aggregates (count docs per fingerprint, join back, roll up). md5 is
-    * the engine-neutral oracle hash; it is an opaque join key, so a
-    * 64-bit hash slots in without changing the plan. */
+    * projection — the codegen'd [[graft.functions.WinnowFingerprints]]
+    * kernel (O(n) rolling Karp-Rabin hash + monotonic-deque sliding min;
+    * cross-engine arithmetic contract in [[graft.core.Winnow]]) — no
+    * corpus-wide shuffle, no per-position explode, no window-function
+    * sort; only the winnowed survivors (~2/(w+1) of positions, distinct
+    * per doc) are exploded into the two global hash aggregates (count
+    * docs per fingerprint, join back, roll up). The expression-HOF
+    * formulation (per-position md5 + array_min over slices) measured
+    * 241 s at the 100× corpus; the kernel is the classical linear
+    * form. */
   def dupSpans(spark: SparkSession, dir: String, k: Int = 20,
       w: Int = 8): DataFrame =
     dupSpansOf(Tables.documents(spark, dir), k, w)
@@ -383,28 +386,35 @@ object TextAnalysis {
     * out so the planted-span spec can drive it with known duplication
     * (including copies at stride-hostile alignments). */
   private[graft] def dupSpansOf(docs: DataFrame, k: Int, w: Int): DataFrame = {
-    // per-row: all k-gram hashes, then the winnowed distinct selection
-    val hashes = transform(
-      sequence(lit(1), length(col("text")) - k + 1),
-      p => md5(col("text").substr(p, lit(k))))
-    val selected = array_distinct(transform(
-      sequence(lit(1), size(col("hs")) - (w - 1)),
-      p => array_min(slice(col("hs"), p, lit(w)))))
-    val sel = docs
-      .where(length(col("text")) >= k + w - 1)
-      .select(col("doc_id"), col("source"), hashes.as("hs"))
-      .select(col("doc_id"), col("source"), explode(selected).as("fp"))
-    val spanDocs = sel.groupBy("fp").agg(countDistinct("doc_id").as("n_span_docs"))
-    val perDoc = sel.join(spanDocs, Seq("fp"))
+    val fpsCol = graft.functions.TextFunctions.winnowFingerprints(col("text"), k, w)
+    val base = docs.where(length(col("text")) >= k + w - 1)
+    // per-source totals straight off the kernel's array length — no
+    // explode, no shuffle beyond the 20-group source aggregate
+    val totals = base
+      .select(col("source"), size(fpsCol).cast("long").as("n_fps"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_fps").as("total_fps"))
+    val sel = base.select(col("doc_id"), col("source"), explode(fpsCol).as("fp"))
+    // the kernel emits DISTINCT fps per doc, so plain count(*) per fp IS
+    // the doc count — a countDistinct here re-proves that invariant with
+    // an Expand + double aggregation that measured 12 s of the 100× cost
+    val dupFps = sel.groupBy("fp").agg(count(lit(1)).as("n_span_docs"))
+      .where(col("n_span_docs") >= 2)
+      .select("fp")
+    // only confirmed-duplicate fingerprints flow into the join-back (a
+    // vanishing fraction of the 30M-row fingerprint relation at 100×)
+    val dupPerDoc = sel.join(dupFps, Seq("fp"))
       .groupBy("doc_id", "source")
-      .agg(count(lit(1)).as("n_fps"),
-        sum(when(col("n_span_docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
-    perDoc.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_dup") > 0, 1L).otherwise(0L)).as("docs_with_dup"),
-        sum("n_fps").as("total_fps"),
-        sum("n_dup").as("dup_fps"),
-        round(sum("n_dup") * lit(1.0) / sum("n_fps"), 4).as("dup_fp_frac"))
+      .agg(count(lit(1)).as("n_dup"))
+    val dupBySource = dupPerDoc.groupBy("source")
+      .agg(count(lit(1)).as("docs_with_dup"), sum("n_dup").as("dup_fps"))
+    totals.join(dupBySource, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("docs_with_dup"), lit(0L)).as("docs_with_dup"),
+        col("total_fps"),
+        coalesce(col("dup_fps"), lit(0L)).as("dup_fps"),
+        round(coalesce(col("dup_fps"), lit(0L)) * lit(1.0) / col("total_fps"), 4)
+          .as("dup_fp_frac"))
       .orderBy("source")
   }
 
