@@ -148,6 +148,9 @@ object SparkEntry {
     // contamination severity per source: per-doc eval-gram hit fraction
     // rolled up — the remediation read on top of q69's membership verdict
     "q104_contamination_profile" -> ((s, d) => TextAnalysis.contaminationProfile(s, d)),
+    // which doc pairs share exact spans (winnowed-fingerprint self-join)
+    // — the asymmetric-containment case the whole-doc rungs miss
+    "q105_dup_span_pairs" -> ((s, d) => TextAnalysis.dupSpanPairs(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -200,6 +203,26 @@ object SparkEntry {
   /** Index-order cosine between two unit-vector columns (DuckDB). */
   private def cosSql(a: String, b: String): String =
     s"list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)])"
+
+  /** Winnowed-fingerprint CTE chain (mirrors [[graft.core.Winnow]]'s
+    * arithmetic term-by-term: k=20 code-point k-grams, Karp-Rabin sum
+    * mod 2^61-1 in HUGEINT with the kernel-generated power table — the
+    * probeMasks discipline — then min per sliding window of w=8, distinct
+    * per doc). Ends in `sel(doc_id, source, fp)`; shared by q103/q105. */
+  private val WinnowCtes =
+    s"""WITH d AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 27),
+       |c AS (SELECT doc_id, source,
+       |        [unicode(text[i]) for i in range(1, length(text) + 1)] AS cps
+       |      FROM d),
+       |h AS (SELECT doc_id, source,
+       |        [CAST(list_sum([cps[p + j]::HUGEINT * pw[j + 1] for j in range(0, 20)])
+       |              % 2305843009213693951 AS BIGINT)
+       |         for p in range(1, len(cps) - 18)] AS hs
+       |      FROM c, (SELECT [${graft.core.Winnow.powerTable(20).mkString(", ")}]::HUGEINT[] AS pw)),
+       |s AS (SELECT doc_id, source,
+       |        list_distinct([list_min(hs[p:p+7]) for p in range(1, len(hs) - 6)]) AS sel
+       |      FROM h),
+       |sel AS (SELECT doc_id, source, unnest(sel) AS fp FROM s)""".stripMargin
 
   /** Multi-table sign-LSH chain with multi-probe (mirrors
     * Similarity.lshTopK): `nTables` tables, table t keyed by the sign
@@ -829,25 +852,9 @@ object SparkEntry {
         |FROM embeddings e LEFT JOIN pruned p ON p.vec_id = e.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin),
     // q103: winnowed fingerprints (k=20 code-point k-grams, min per
-    // sliding window of w=8 hashes — Schleimer et al. 2003). The hash is
-    // the Winnow kernel's Karp-Rabin sum mod 2^61-1, recomputed here
-    // term-by-term in HUGEINT with the SAME power table the kernel
-    // generates (Winnow.powerTable — the probeMasks discipline), so both
-    // engines produce identical int64 fingerprints
-    "q103_dup_spans" ->
-      s"""WITH d AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 27),
-        |c AS (SELECT doc_id, source,
-        |        [unicode(text[i]) for i in range(1, length(text) + 1)] AS cps
-        |      FROM d),
-        |h AS (SELECT doc_id, source,
-        |        [CAST(list_sum([cps[p + j]::HUGEINT * pw[j + 1] for j in range(0, 20)])
-        |              % 2305843009213693951 AS BIGINT)
-        |         for p in range(1, len(cps) - 18)] AS hs
-        |      FROM c, (SELECT [${graft.core.Winnow.powerTable(20).mkString(", ")}]::HUGEINT[] AS pw)),
-        |s AS (SELECT doc_id, source,
-        |        list_distinct([list_min(hs[p:p+7]) for p in range(1, len(hs) - 6)]) AS sel
-        |      FROM h),
-        |sel AS (SELECT doc_id, source, unnest(sel) AS fp FROM s),
+    // sliding window of w=8 hashes — Schleimer et al. 2003), via the
+    // shared WinnowCtes chain
+    "q103_dup_spans" -> (WinnowCtes + """,
         |sd AS (SELECT fp, count(DISTINCT doc_id) AS n_span_docs FROM sel GROUP BY fp),
         |pd AS (
         |  SELECT doc_id, source, count(*) AS n_fps,
@@ -858,7 +865,18 @@ object SparkEntry {
         |  CAST(sum(n_fps) AS BIGINT) AS total_fps,
         |  CAST(sum(n_dup) AS BIGINT) AS dup_fps,
         |  round(sum(n_dup) * 1.0 / sum(n_fps), 4) AS dup_fp_frac
-        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin),
+    // q105: pair enumeration over the same winnowed relation; eligibility
+    // (shared by >= 2 docs) mirrors the Spark side — the population cap
+    // never binds at gate scale, so the oracle omits it (q32/q95
+    // precedent)
+    "q105_dup_span_pairs" -> (WinnowCtes + """,
+        |el AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
+        |e AS (SELECT doc_id, fp FROM sel JOIN el USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared_fps
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
     // q104: q69's gram relation, severity-profiled per source
     "q104_contamination_profile" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

@@ -301,6 +301,15 @@ object Similarity {
       nProbe: Int = 8, nQueries: Int = 100, k: Int = 3,
       rounds: Int = 1): DataFrame = {
     val (cents, assigned) = ivfStage(spark, dir, nCentroids, rounds)
+    ivfProbe(cents, assigned, nProbe, nQueries, k)
+  }
+
+  /** The IVF probe pipeline over a (codebook, inverted file) pair —
+    * shared by the session-stage path ([[ivfTopK]]) and the persisted
+    * index path ([[ivfTopKFromIndex]]), so both answer identically by
+    * construction. */
+  private def ivfProbe(cents: DataFrame, assigned: DataFrame,
+      nProbe: Int, nQueries: Int, k: Int): DataFrame = {
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val pw = Window.partitionBy("q_id")
@@ -315,6 +324,36 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), dot(col("qu"), col("u")).as("cos"))
     rankTopK(scored, k)
   }
+
+  /** Persist the trained IVF index — codebook + inverted file — as
+    * parquet: the build-once / query-many lifecycle. At 100 TB the
+    * expensive stages are Lloyd training and the full-corpus assignment;
+    * a query service should load the bounded artifact instead of
+    * retraining per session. Doubles round-trip parquet bit-exactly, so
+    * [[ivfTopKFromIndex]] over a saved index answers IDENTICALLY to
+    * [[ivfTopK]] over the live session stage (pinned by
+    * IvfIndexPersistenceSpec). The inverted file is written partitioned
+    * by centroid id, so a probe of nProbe lists prunes to nProbe
+    * directories at scan time (partition pruning carries the "cost ∝
+    * corpus/nCentroids × nProbe" argument onto storage). */
+  def saveIvfIndex(spark: SparkSession, dir: String, outDir: String,
+      nCentroids: Int = 16, rounds: Int = 1): Unit = {
+    val (cents, assigned) = ivfStage(spark, dir, nCentroids, rounds)
+    cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+    assigned.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$outDir/assignments")
+  }
+
+  /** Answer ANN queries from a persisted [[saveIvfIndex]] artifact. */
+  def ivfTopKFromIndex(spark: SparkSession, indexDir: String,
+      nProbe: Int = 8, nQueries: Int = 100, k: Int = 3): DataFrame =
+    ivfProbe(
+      spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/assignments")
+        // the partition-discovery column comes back int-typed; restore
+        // the live stage's long so both paths run the identical plan
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"), col("u")),
+      nProbe, nQueries, k)
 
   /** ANN via multi-table sign-LSH with multi-probe: `nTables` hash
     * tables, table t keyed by the sign bits of dims [t*bits+1, t*bits+bits];

@@ -418,6 +418,42 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q105: duplicated-span PAIR relation — WHICH document pairs share
+    * exact spans, and how many winnowed fingerprints they share. q103
+    * answers "how much sub-document duplication does each source carry";
+    * this is its remediation read (Lee et al. 2107.06499: the pair list
+    * drives which copy of a duplicated passage gets cut), and it catches
+    * the asymmetric-containment case the whole-doc rungs miss by
+    * construction: a short doc quoted inside a long one has near-zero
+    * shingle Jaccard (q32/q33 blind) and distant cosine (q95 blind) but
+    * shares every fingerprint of the quoted run.
+    *
+    * Shape: the same winnowed fingerprint relation as q103; fingerprints
+    * are ELIGIBLE when shared by 2..maxFpPopulation docs (the upper
+    * bound is the capBands discipline — a boilerplate fingerprint shared
+    * by 10k docs would contribute ~10^8 pairs; capped fps still count in
+    * q103's profile, they just don't enumerate pairs); eligible
+    * fingerprints self-join on the fp key (equi-join, never all-pairs)
+    * and pairs aggregate to a shared-fingerprint count. The cap never
+    * binds at gate scale, so the static oracle omits it (the q32/q95
+    * precedent). */
+  def dupSpanPairs(spark: SparkSession, dir: String, k: Int = 20,
+      w: Int = 8, maxFpPopulation: Int = 100): DataFrame = {
+    val sel = Tables.documents(spark, dir)
+      .where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnowFingerprints(col("text"), k, w)).as("fp"))
+    val eligible = sel.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2 && col("n") <= maxFpPopulation)
+      .select("fp")
+    val e = sel.join(eligible, Seq("fp"))
+    e.as("a").join(e.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q90: template/boilerplate prefix clusters — groups of documents
     * opening with the same first `k` tokens (crawl boilerplate, license
     * headers, scraped templates open identically long before the bodies
