@@ -59,6 +59,27 @@ object DocumentsStreaming {
     TextAnalysis.docGrams(docs)
       .join(broadcast(evalGrams), Seq("gram"), "left_semi")
 
+  /** Streaming duplicated-span hits vs a STATIC reference fingerprint
+    * index: arriving documents whose winnowed k-gram fingerprints (the
+    * SAME codegen'd kernel q103/q105 use batch-side —
+    * [[graft.functions.TextFunctions.winnowFingerprints]], so stream and
+    * batch can never disagree on what counts as a shared span) collide
+    * with the reference corpus emit one (doc_id, fp) row per collision.
+    * The ingest-time answer to "is this crawl shard re-serving passages
+    * we already hold" — stream-static LEFT SEMI against the broadcast
+    * index, STATELESS, pure append: a map-side lookup per micro-batch,
+    * no watermark, no state store (the contaminationHits discipline).
+    * The reference index is the batch artifact (winnowed fps of the
+    * accumulated corpus — ~2/(w+1) of positions, int64 each); per-doc
+    * aggregation is the downstream consumer's batch concern. */
+  def spanDupHits(docs: DataFrame, refFps: DataFrame,
+      k: Int = 20, w: Int = 8): DataFrame =
+    docs
+      .where(length(col("text")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.winnowFingerprints(col("text"), k, w)).as("fp"))
+      .join(broadcast(refFps), Seq("fp"), "left_semi")
+
   /** Watermark-bounded streaming dedup on the normalization fingerprint:
     * a duplicate arriving within the watermark window of its original is
     * dropped; state for expired fingerprints is evicted. Unbounded

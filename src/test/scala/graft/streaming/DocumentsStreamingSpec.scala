@@ -116,6 +116,32 @@ class DocumentsStreamingSpec extends AnyFunSuite {
     assert(q72n === batchIds.size)
   }
 
+  test("stream-static span-dup hits flag exactly the batch winnow overlap") {
+    import graft.functions.TextFunctions
+    val dir = mkStreamDir(1)
+    // static reference index: winnowed fps of the eval-holdout slice —
+    // built by the SAME kernel the streaming stage applies to arrivals
+    val refDocs = Tables.documents(spark, sfDir).where(col("doc_id") % 7 === 0)
+    val refFps = refDocs
+      .where(length(col("text")) >= 27)
+      .select(explode(TextFunctions.winnowFingerprints(col("text"), 20, 8)).as("fp"))
+      .distinct()
+    val stream = DocumentsStreaming.readDocuments(spark, dir)
+      .where(col("doc_id") % 7 =!= 0)
+    EventsStreaming.runToMemory(
+      DocumentsStreaming.spanDupHits(stream, refFps), "span_stream", OutputMode.Append())
+    val streamed = spark.table("span_stream")
+      .select("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Tables.documents(spark, sfDir)
+      .where(col("doc_id") % 7 =!= 0 && length(col("text")) >= 27)
+      .select(col("doc_id"), explode(TextFunctions.winnowFingerprints(col("text"), 20, 8)).as("fp"))
+      .join(refFps, Seq("fp"), "left_semi")
+      .select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "fixture produced no span overlap — weaken the split")
+    assert(streamed === batch)
+  }
+
   test("watermarked fingerprint dedup drops cross-batch duplicates with bounded state") {
     val dir = mkStreamDir(2) // same corpus twice, two micro-batches
     val stream = DocumentsStreaming.readDocuments(spark, dir, maxFilesPerTrigger = 1)
