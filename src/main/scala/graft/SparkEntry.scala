@@ -151,6 +151,15 @@ object SparkEntry {
     // which doc pairs share exact spans (winnowed-fingerprint self-join)
     // — the asymmetric-containment case the whole-doc rungs miss
     "q105_dup_span_pairs" -> ((s, d) => TextAnalysis.dupSpanPairs(s, d)),
+    // vocabulary freq-of-freq (Zipf) profile: integer bit-length buckets
+    // — the tokenizer/vocab-sizing read
+    "q106_vocab_zipf" -> ((s, d) => TextAnalysis.vocabZipf(s, d)),
+    // per-label embedding outlier profile: cosine to the label centroid
+    // — the actionable filter on top of q78's tightness diagnostic
+    "q107_embedding_outliers" -> ((s, d) => Similarity.embeddingOutliers(s, d)),
+    // candidate-pair Jaccard histogram off the shared pair stage — the
+    // curve read before picking a dedup threshold
+    "q108_jaccard_sensitivity" -> ((s, d) => Dedup.jaccardSensitivity(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -897,6 +906,53 @@ object SparkEntry {
         |  round(max(n_hits * 1.0 / n_grams), 4) AS max_doc_frac
         |FROM pd JOIN documents d USING (doc_id)
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q106_vocab_zipf" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |tc AS (SELECT term, count(*) AS cnt FROM w GROUP BY term)
+        |SELECT CAST(length(bin(cnt)) AS BIGINT) AS freq_bucket,
+        |  count(*) AS n_terms, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |  CAST(min(cnt) AS BIGINT) AS min_count, CAST(max(cnt) AS BIGINT) AS max_count
+        |FROM tc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q107: centroid components are means of 1e6-scaled LONG sums (the
+    // q78 discipline); cosines fold in index order on both engines
+    "q107_embedding_outliers" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding::DOUBLE[] AS v
+        |           FROM embeddings
+        |           WHERE list_sum([x * x for x in embedding::DOUBLE[]]) > 0),
+        |px AS (SELECT label, u.pos AS pos, u.x AS x FROM e,
+        |       unnest([{'pos': i, 'x': v[i]} for i in range(1, len(v) + 1)]) AS t(u)),
+        |sv AS (SELECT label, pos, sum(CAST(round(x * 1e6) AS BIGINT)) AS sv, count(*) AS n
+        |       FROM px GROUP BY 1, 2),
+        |cent AS (SELECT label, list(sv / n / 1e6 ORDER BY pos) AS cv FROM sv GROUP BY 1),
+        |sc AS (SELECT e.label,
+        |         list_sum([v[i] * cv[i] for i in range(1, len(v) + 1)]) /
+        |         (sqrt(list_sum([x * x for x in v])) * sqrt(list_sum([c * c for c in cv]))) AS cos
+        |       FROM e JOIN cent USING (label))
+        |SELECT label, count(*) AS n_vecs,
+        |  round(sum(CAST(round(cos * 1e6) AS BIGINT)) / count(*) / 1e6, 4) AS avg_cos,
+        |  round(min(cos), 4) AS min_cos,
+        |  CAST(sum(CASE WHEN cos < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q108: bucket = comparison ladder (floor(10*j) without the floating
+    // multiply-floor edge); jaccard relation identical to q33's oracle
+    "q108_jaccard_sensitivity" -> (MinhashCte + s""",
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |jac AS (
+        |  SELECT round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b)
+        |SELECT CAST((${(1 to 10).map(i => s"(CASE WHEN jaccard >= ${i / 10.0} THEN 1 ELSE 0 END)").mkString(" + ")}) AS BIGINT) AS bucket,
+        |  count(*) AS n_pairs,
+        |  round(min(jaccard), 4) AS min_jaccard,
+        |  round(max(jaccard), 4) AS max_jaccard
+        |FROM jac GROUP BY 1 ORDER BY bucket""".stripMargin),
     "q97_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),

@@ -267,6 +267,28 @@ object Dedup {
       pairs
   }
 
+  /** q108: near-dup threshold sensitivity — the candidate-pair Jaccard
+    * distribution as a histogram (bucket b = number of thresholds in
+    * {0.1..1.0} the pair passes, i.e. floor(10·j) computed by comparison
+    * ladder, NEVER by floating multiply-floor — 0.3 * 10 is
+    * 2.999999... in doubles and the two engines must agree at every
+    * bucket edge). The curve an operator reads before PICKING the dedup
+    * threshold: how many pairs each 0.05-0.1 of threshold buys, where
+    * the false-positive knee sits. Served from the shared
+    * [[confirmedPairs]] stage — zero marginal corpus work; the histogram
+    * is one aggregate over the resident pair set. */
+  def jaccardSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (1 to 10)
+      .map(i => when(col("jaccard") >= i / 10.0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    confirmedPairs(spark, dir)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min("jaccard"), 4).as("min_jaccard"),
+        round(max("jaccard"), 4).as("max_jaccard"))
+      .orderBy("bucket")
+  }
+
   /** Exact n-gram Jaccard, computed only for LSH candidate pairs
     * (candidate-filtered verification — the scalable two-phase shape).
     * Served from the shared [[confirmedPairs]] stage. */

@@ -535,6 +535,48 @@ object Similarity {
       .orderBy("method")
   }
 
+  /** q107: embedding outlier profile — per label, how far its members
+    * stray from the label centroid (cosine to the centroid direction):
+    * vector count, mean and minimum cosine, and how many point AWAY
+    * (cos < 0). The actionable filter read on top of q78's tightness
+    * diagnostic: mislabeled or garbage embeddings sit in the cold tail,
+    * and a curation pass drops or re-labels them. Determinism recipe as
+    * q78/q39: centroid components are means of 1e6-scaled LONG sums
+    * (exact under any partitioning); per-vector cosine is the codegen'd
+    * index-order [[graft.functions.DotProduct]] against the (broadcast,
+    * per-label-identical) centroid; the mean cosine crosses the
+    * unordered SUM as 1e6-scaled longs. One corpus shuffle (the
+    * per-(label, dim) component sums); the scoring pass is a broadcast
+    * join + hash aggregate. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddingsSpread(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      // guard: a zero vector has no direction; none exist in this corpus
+      // (min |v| ~ 1) but a library shouldn't NaN on one
+      .where(aggregate(col("v"), lit(0.0), (a, x) => a + x * x) > 0)
+    val sv = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x") * 1e6).cast("long")).as("sv"), count(lit(1)).as("n"))
+    val cent = sv
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("sv") / col("n") / lit(1e6)).as("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), p => p.getField("m")).as("cv"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("label"),
+        (dot(col("v"), col("cv")) /
+          (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("cv"), col("cv"))))).as("cos"))
+    scored
+      .select(col("label"), col("cos"), round(col("cos") * 1e6).cast("long").as("cos6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum("cos6") / count(lit(1)) / 1e6, 4).as("avg_cos"),
+        round(min("cos"), 4).as("min_cos"),
+        sum(when(col("cos") < 0, 1L).otherwise(0L)).as("n_neg"))
+      .orderBy("label")
+  }
+
   /** q89: int8 quantization loss — per label, the mean and max absolute
     * reconstruction error of symmetric max-abs int8 quantization (the
     * standard ANN-index compression). The read that decides whether an

@@ -454,6 +454,25 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q106: vocabulary frequency-of-frequency (Zipf) profile — term
+    * counts bucketed by power of two (`bucket = floor(log2(count)) + 1`,
+    * computed as `length(bin(count))` so both engines bucket by INTEGER
+    * bit-length, never by floating log2 at a power-of-two edge). The
+    * read behind tokenizer/vocab sizing: how heavy is the head, how long
+    * is the hapax tail, where does coverage saturate. Scale shape: one
+    * token explode → one map-side-combined term aggregate (the shuffle
+    * carries distinct terms, not occurrences) → a ~20-row bucket
+    * aggregate. */
+  def vocabZipf(spark: SparkSession, dir: String): DataFrame = {
+    val tc = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    tc.groupBy(length(bin(col("cnt"))).cast("long").as("freq_bucket"))
+      .agg(count(lit(1)).as("n_terms"), sum("cnt").as("n_occurrences"),
+        min("cnt").as("min_count"), max("cnt").as("max_count"))
+      .orderBy("freq_bucket")
+  }
+
   /** q90: template/boilerplate prefix clusters — groups of documents
     * opening with the same first `k` tokens (crawl boilerplate, license
     * headers, scraped templates open identically long before the bodies
