@@ -160,6 +160,9 @@ object SparkEntry {
     // candidate-pair Jaccard histogram off the shared pair stage — the
     // curve read before picking a dedup threshold
     "q108_jaccard_sensitivity" -> ((s, d) => Dedup.jaccardSensitivity(s, d)),
+    // cumulative dedup-funnel accounting: raw -> exact -> normalized ->
+    // near-dup cluster, docs+tokens per rung — the ladder's ROI curve
+    "q109_dedup_funnel" -> ((s, d) => Dedup.dedupFunnel(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -953,6 +956,32 @@ object SparkEntry {
         |  round(min(jaccard), 4) AS min_jaccard,
         |  round(max(jaccard), 4) AS max_jaccard
         |FROM jac GROUP BY 1 ORDER BY bucket""".stripMargin),
+    // q109: cumulative survivor rungs; rung 3's cluster reps come from
+    // the same recursive-reach relation as q59/q100
+    "q109_dedup_funnel" -> (MinhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + ",\n" +
+      ClusterCtes + """,
+        |dd AS (SELECT doc_id, text,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+        |       FROM documents),
+        |s1 AS (SELECT min(doc_id) AS doc_id FROM dd GROUP BY text),
+        |s2 AS (SELECT min(doc_id) AS doc_id FROM dd
+        |       WHERE doc_id IN (SELECT doc_id FROM s1)
+        |       GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))),
+        |s3 AS (SELECT min(doc_id) AS doc_id FROM per_doc
+        |       WHERE doc_id IN (SELECT doc_id FROM s2)
+        |       GROUP BY cluster_rep),
+        |fun AS (
+        |  SELECT '0_raw' AS rung, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM dd
+        |  UNION ALL
+        |  SELECT '1_exact', count(*), CAST(sum(n_tok) AS BIGINT) FROM dd WHERE doc_id IN (SELECT doc_id FROM s1)
+        |  UNION ALL
+        |  SELECT '2_normalized', count(*), CAST(sum(n_tok) AS BIGINT) FROM dd WHERE doc_id IN (SELECT doc_id FROM s2)
+        |  UNION ALL
+        |  SELECT '3_neardup', count(*), CAST(sum(n_tok) AS BIGINT) FROM dd WHERE doc_id IN (SELECT doc_id FROM s3)),
+        |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS raw_tokens FROM dd)
+        |SELECT rung, n_docs, n_tokens,
+        |  round(n_tokens * 1.0 / raw_tokens, 4) AS token_frac
+        |FROM fun CROSS JOIN tot ORDER BY rung""".stripMargin),
     "q97_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),

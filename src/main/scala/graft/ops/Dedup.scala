@@ -289,6 +289,50 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** q109: dedup-funnel accounting — what each rung of the ladder BUYS,
+    * as cumulative survivor counts and token totals: raw → exact
+    * (min-id per raw text) → normalized (min surviving id per
+    * casing/punct/ws-insensitive fingerprint) → near-dup (min surviving
+    * member per transitive MinHash cluster). The ROI curve an operator
+    * reads to decide how deep to run the ladder on a new corpus — rung
+    * N's marginal token reduction is its entire justification at 100 TB,
+    * where the near-dup rung costs real compute and the exact rung is
+    * almost free.
+    *
+    * Each rung keeps the minimum doc_id among the PREVIOUS rung's
+    * survivors of its group (survivor sets are `left_semi` joins — id
+    * sets stay distributed, nothing collects). Cluster labels come from
+    * the shared [[clusterLabels]] propagation over the resident pair
+    * stage; token counts are the codegen'd count_tokens kernel. The
+    * four rung summaries are single-row aggregates unioned, with
+    * fractions against the raw totals via a 1-row cross join (the
+    * q76/Audit literal-relation shape). */
+  def dedupFunnel(spark: SparkSession, dir: String, threshold: Double = 0.5,
+      maxIters: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.nTokens(col("text")).as("n_tok"))
+    val s1 = docs.groupBy("text").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val s2 = docs.join(s1, Seq("doc_id"), "left_semi")
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val s3 = clusterLabels(spark, dir, threshold, maxIters)
+      .join(s2, Seq("doc_id"), "left_semi")
+      .groupBy("label").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val rungs = Seq("0_raw" -> docs.select("doc_id"),
+      "1_exact" -> s1, "2_normalized" -> s2, "3_neardup" -> s3)
+    val perRung = rungs.map { case (name, ids) =>
+      docs.join(ids, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .select(lit(name).as("rung"), col("n_docs"), col("n_tokens"))
+    }.reduce(_ unionAll _)
+    val raw = docs.agg(sum("n_tok").as("raw_tokens"))
+    perRung.crossJoin(raw)
+      .select(col("rung"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("raw_tokens"), 4).as("token_frac"))
+      .orderBy("rung")
+  }
+
   /** Exact n-gram Jaccard, computed only for LSH candidate pairs
     * (candidate-filtered verification — the scalable two-phase shape).
     * Served from the shared [[confirmedPairs]] stage. */
