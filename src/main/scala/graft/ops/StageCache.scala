@@ -64,5 +64,6 @@ private[graft] final class StageCache[K] {
   * dataset returns executor storage memory to the pool. */
 object StageRegistry {
   def releaseSession(spark: SparkSession): Int =
-    Dedup.releaseStages(spark) + Similarity.releaseStages(spark)
+    Dedup.releaseStages(spark) + Similarity.releaseStages(spark) +
+      TextAnalysis.releaseStages(spark)
 }
