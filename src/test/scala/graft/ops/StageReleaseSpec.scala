@@ -34,4 +34,18 @@ class StageReleaseSpec extends AnyFunSuite {
     assert(StageRegistry.releaseSession(spark) >= 2)
     assert(StageRegistry.releaseSession(spark) === 0)
   }
+
+  test("the span family shares ONE winnow stage build, released via the registry") {
+    TextAnalysis.releaseStages(spark)
+    val b0 = TextAnalysis.winnowBuilds.get()
+    TextAnalysis.dupSpans(spark, dir).count()
+    TextAnalysis.dupSpanPairs(spark, dir).count()
+    assert(TextAnalysis.winnowBuilds.get() === b0 + 1,
+      "q103 + q105 should serve from one winnow stage build")
+    assert(StageRegistry.releaseSession(spark) >= 1)
+    TextAnalysis.dupSpans(spark, dir).count()
+    assert(TextAnalysis.winnowBuilds.get() === b0 + 2,
+      "winnow stage should rebuild after release")
+    TextAnalysis.releaseStages(spark)
+  }
 }
