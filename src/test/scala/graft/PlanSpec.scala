@@ -171,6 +171,22 @@ class PlanSpec extends AnyFunSuite {
       s"q91 should shuffle once for the aggregate:\n${p.take(2000)}")
   }
 
+  test("q103 whole-stage codegen compiles every method under the JIT limit") {
+    // the winnow kernel is a static call inside the generated projection
+    // (defineCodeGen) — it must not push any generated method over the
+    // JIT compile limit the way the round-4 probe ladder did
+    import org.apache.spark.sql.execution.debug._
+    val df = SparkEntry.queries("q103_dup_spans")(spark, dir)
+    df.collect()
+    val stats = codegenStringSeq(df.queryExecution.executedPlan)
+    assert(stats.nonEmpty, "expected at least one WholeStageCodegen subtree in q103")
+    stats.foreach { case (subtree, _, s) =>
+      assert(s.maxMethodCodeSize < 8000,
+        s"generated method of ${s.maxMethodCodeSize} bytes exceeds the JIT compile " +
+          s"limit in subtree:\n${subtree.linesIterator.take(5).mkString("\n")}")
+    }
+  }
+
   for (q <- Seq("q38_ann_lsh", "q92_ann_lsh_scaled")) {
     test(s"$q probe ladder stays inside a bounded expression budget") {
       // round-4 regression guard: the flip-two probe ladder once expanded
