@@ -354,7 +354,7 @@ object Converter {
     * file via the official append API and carry the first part's
     * key-value metadata (Spark stores its schema JSON there — losing it
     * would change timestamp/nullability round-trip semantics). */
-  private def mergeParquetParts(conf: org.apache.hadoop.conf.Configuration,
+  private[core] def mergeParquetParts(conf: org.apache.hadoop.conf.Configuration,
       parts: Seq[Path], merged: Path): Unit = {
     import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetWriter}
     import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
