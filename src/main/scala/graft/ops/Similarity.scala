@@ -548,8 +548,14 @@ object Similarity {
     * unordered SUM as 1e6-scaled longs. One corpus shuffle (the
     * per-(label, dim) component sums); the scoring pass is a broadcast
     * join + hash aggregate. */
-  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddingsSpread(spark, dir)
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame =
+    embeddingOutliersOf(Tables.embeddingsSpread(spark, dir))
+
+  /** The q107 pipeline over any (vec_id, label, embedding) relation —
+    * split out so the planted-outlier spec can drive it with a vector
+    * known to point away from its label. */
+  private[graft] def embeddingOutliersOf(emb: DataFrame): DataFrame = {
+    val e = emb
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       // guard: a zero vector has no direction; none exist in this corpus

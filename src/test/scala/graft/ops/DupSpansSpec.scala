@@ -69,6 +69,25 @@ class DupSpansSpec extends AnyFunSuite {
     assert(prof.map(_.getAs[Long]("n_vecs")).sum == corpus)
   }
 
+  test("q107 catches a planted away-pointing outlier and only it") {
+    import spark.implicits._
+    // label 0: nine vectors clustered near +e1 (small deterministic jitter
+    // on e2), one planted at -e1 — the centroid points at +e1, so exactly
+    // the planted vector has negative cosine
+    val rows = (0L until 9L).map { i =>
+      (i, Array(1.0f, 0.01f * i, 0f, 0f), 0)
+    } :+ ((9L, Array(-1.0f, 0f, 0f, 0f), 0))
+    val out = Similarity.embeddingOutliersOf(
+        rows.toDF("vec_id", "embedding", "label"))
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_vecs") == 10L)
+    assert(r.getAs[Long]("n_neg") == 1L, s"expected exactly the planted outlier: $r")
+    assert(r.getAs[Double]("min_cos") < -0.9, s"planted outlier should sit near -1: $r")
+    assert(r.getAs[Double]("avg_cos") > 0.5)
+  }
+
   test("q104 contamination verdicts agree with q69's membership relation") {
     val q69Docs = TextAnalysis.decontaminate(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
