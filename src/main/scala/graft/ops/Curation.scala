@@ -18,7 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  /** The curated training corpus (full doc rows): quality gate →
+    * normalized dedup → eval holdout → decontamination — q72's keeper
+    * rules BEFORE its accounting aggregate. Shared by [[curate]] and the
+    * materializing exporter ([[Export.writeTrainingShards]]), so the
+    * shipped shards can never drift from the accounted corpus. */
+  private[ops] def keeperDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     // 1. quality gate (same score as q23)
     val quality = docs.where(TextAnalysis.qualityScore >= 0.5)
@@ -35,9 +40,13 @@ object Curation {
     //    over the FULL corpus — contamination doesn't care about quality)
     //    is dropped
     val contaminated = TextAnalysis.decontaminate(spark, dir).select("doc_id")
-    val clean = deduped
+    deduped
       .where(col("doc_id") % 97 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val clean = keeperDocs(spark, dir)
     // 4. what's left: the training corpus, accounted per (lang, source)
     clean.groupBy("lang", "source")
       .agg(
