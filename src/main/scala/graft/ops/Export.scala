@@ -56,4 +56,36 @@ object Export {
     manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
     manifest
   }
+
+  /** Re-derive the manifest from the SHIPPED shards and diff it against
+    * the stored `_manifest` — the receiving side's integrity check
+    * before tokenization (did every shard arrive, whole and in order?).
+    * Positions are recomputed from the files' physical row order via a
+    * per-shard window, so a truncated, reordered, or re-written shard
+    * moves its `order_checksum` even when counts still match. Returns
+    * one row per discrepancy; an empty result is a clean artifact. */
+  def verifyShards(spark: SparkSession, outDir: String): DataFrame = {
+    val stored = spark.read.parquet(s"$outDir/_manifest")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("order")
+    val recomputed = spark.read.parquet(outDir)
+      .select(col("shard"), col("doc_id"), col("n_tok"), col("n_chars"),
+        monotonically_increasing_id().as("order"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        sum("n_chars").as("total_chars"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+    stored.as("m").join(recomputed.as("s"), Seq("shard"), "full_outer")
+      .where(coalesce(col("m.n_docs") =!= col("s.n_docs"), lit(true)) ||
+        coalesce(col("m.n_tokens") =!= col("s.n_tokens"), lit(true)) ||
+        coalesce(col("m.total_chars") =!= col("s.total_chars"), lit(true)) ||
+        coalesce(col("m.order_checksum") =!= col("s.order_checksum"), lit(true)))
+      .select(col("shard"),
+        col("m.n_docs").as("manifest_docs"), col("s.n_docs").as("shipped_docs"),
+        col("m.order_checksum").as("manifest_checksum"),
+        col("s.order_checksum").as("shipped_checksum"))
+      .orderBy("shard")
+  }
 }

@@ -50,5 +50,18 @@ class ExportSpec extends AnyFunSuite {
     // the manifest rides inside the output dir but is invisible to readers
     assert(new java.io.File(s"$out1/_manifest").exists)
     assert(!shipped.columns.contains("order_checksum"))
+
+    // receiver-side integrity: a clean artifact verifies empty...
+    assert(Export.verifyShards(spark, out1).collect().isEmpty)
+    // ...and a missing shard surfaces as a discrepancy row
+    val victim = s"$out2/shard=${shards.head}"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(victim))
+    val bad = Export.verifyShards(spark, out2).collect()
+    assert(bad.exists(r => r.getAs[Long]("shard") == shards.head && r.isNullAt(2)),
+      s"missing shard not flagged: ${bad.mkString(", ")}")
   }
 }
