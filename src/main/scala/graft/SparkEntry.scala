@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Multimodal, Packing, Relational, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Multimodal, Packing, Relational, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -163,6 +163,9 @@ object SparkEntry {
     // cumulative dedup-funnel accounting: raw -> exact -> normalized ->
     // near-dup cluster, docs+tokens per rung — the ladder's ROI curve
     "q109_dedup_funnel" -> ((s, d) => Dedup.dedupFunnel(s, d)),
+    // BM25 top-k retrieval: broadcast query terms prune the corpus before
+    // any shuffle; integer-scaled weights; salted two-phase top-k
+    "q110_bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -982,6 +985,35 @@ object SparkEntry {
         |SELECT rung, n_docs, n_tokens,
         |  round(n_tokens * 1.0 / raw_tokens, 4) AS token_frac
         |FROM fun CROSS JOIN tot ORDER BY rung""".stripMargin),
+    // q110: per-term weights mirror Retrieval.bm25TopK token for token
+    // (same literals, same association) and cross the unordered SUM as
+    // 1e6-scaled longs; rank tiebreak is total (sm desc, doc_id)
+    "q110_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |    (1, 'spark table scan'), (2, 'window agg group'),
+        |    (3, 'customer query fast'), (4, 'vector stream merge')),
+        |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |         unnest(regexp_extract_all(qtext, '\S+')) AS term FROM q),
+        |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl FROM documents),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+        |       FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+        |scored AS (
+        |  SELECT query_id, tf.doc_id,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6, 0) AS BIGINT) AS sm
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+        |agg AS (SELECT query_id, doc_id, sum(sm) AS sm FROM scored GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, sm,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
+        |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q97_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
