@@ -166,6 +166,9 @@ object SparkEntry {
     // BM25 top-k retrieval: broadcast query terms prune the corpus before
     // any shuffle; integer-scaled weights; salted two-phase top-k
     "q110_bm25_topk" -> ((s, d) => Retrieval.bm25TopK(s, d)),
+    // dominant principal direction of the embedding cloud — anisotropy
+    // diagnostic; both power-iteration mat-vecs are exact integer sums
+    "q111_principal_direction" -> Similarity.principalDirection _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -985,6 +988,24 @@ object SparkEntry {
         |SELECT rung, n_docs, n_tokens,
         |  round(n_tokens * 1.0 / raw_tokens, 4) AS token_frac
         |FROM fun CROSS JOIN tot ORDER BY rung""".stripMargin),
+    // q111: mirrors Similarity.principalDirection — 1e4-quantized
+    // components, integer-rounded mean, two integer power-iteration
+    // rounds with the same rescale constants; only the final
+    // loading normalization is a (deterministic) double division
+    "q111_principal_direction" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |px AS (SELECT vec_id, u.pos AS pos, CAST(round(u.x * 1e4) AS BIGINT) AS q FROM e,
+        |       unnest([{'pos': CAST(i AS BIGINT), 'x': v[i]} for i in range(1, len(v) + 1)]) AS t(u)),
+        |m AS (SELECT pos, CAST(round(sum(q) * 1.0 / count(*)) AS BIGINT) AS m FROM px GROUP BY pos),
+        |c AS (SELECT vec_id, pos, q - m AS c FROM px JOIN m USING (pos)),
+        |d1 AS (SELECT vec_id, sum(c) AS d FROM c GROUP BY vec_id),
+        |v1 AS (SELECT pos, sum(c * d) AS v1 FROM c JOIN d1 USING (vec_id) GROUP BY pos),
+        |vq AS (SELECT pos, CAST(round(v1 * 1.0e4 / (SELECT max(abs(v1)) FROM v1)) AS BIGINT) AS vq FROM v1),
+        |d2 AS (SELECT vec_id, CAST(round(sum(c * vq) * 1.0 / 1e6) AS BIGINT) AS d
+        |       FROM c JOIN vq USING (pos) GROUP BY vec_id),
+        |v2 AS (SELECT pos, sum(c * d) AS v2 FROM c JOIN d2 USING (vec_id) GROUP BY pos)
+        |SELECT pos, round(v2 * 1.0 / (SELECT max(abs(v2)) FROM v2), 4) AS loading
+        |FROM v2 ORDER BY pos""".stripMargin,
     // q110: per-term weights mirror Retrieval.bm25TopK token for token
     // (same literals, same association) and cross the unordered SUM as
     // 1e6-scaled longs; rank tiebreak is total (sm desc, doc_id)

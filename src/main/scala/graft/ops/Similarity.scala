@@ -644,4 +644,59 @@ object Similarity {
           .as("centroid_norm"))
       .orderBy("label")
   }
+
+  /** q111: dominant principal direction of the (centered) embedding
+    * cloud via two integer power-iteration rounds — the drift/anisotropy
+    * diagnostic an embedding pipeline reads before trusting cosine
+    * thresholds (a corpus whose variance collapses onto one axis makes
+    * every cosine look high). Output: one row per dimension with the
+    * loading normalized to max |loading| = 1.
+    *
+    * Determinism recipe (the q78/q107 discipline, taken all the way):
+    * components quantize to 1e4-scaled LONGS up front, the mean vector
+    * rounds to integers, and BOTH power-iteration mat-vec products are
+    * pure integer arithmetic — every corpus-crossing SUM is exact under
+    * any partitioning, so Spark and the DuckDB oracle agree bit-for-bit
+    * with no FP-summation-order caveat. The inter-round rescale divides
+    * the iterate to ≤1e4 and the row dot by 1e6, keeping every product
+    * inside int64 up to ~1e8 rows × 64 dims (beyond that, split the
+    * per-dim sum into a two-level shard/global aggregation).
+    *
+    * Plan shape: four passes of scan→posexplode→hash-aggregate on ≤64
+    * (or vec_id) keys — map-side combined, no window, no cartesian; the
+    * 64-row mean/iterate relations broadcast back into the corpus scans.
+    */
+  def principalDirection(spark: SparkSession, dir: String): DataFrame =
+    principalDirectionOf(Tables.embeddingsSpread(spark, dir))
+
+  /** The q111 pipeline over any (vec_id, embedding) relation — split out
+    * so the planted-anisotropy spec can drive it with a cloud whose
+    * dominant axis is known by construction. */
+  private[graft] def principalDirectionOf(emb: DataFrame): DataFrame = {
+    val px = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
+        round(col("x").cast("double") * lit(1e4), 0).cast("long").as("q"))
+    val m = px.groupBy("pos")
+      .agg(round(sum(col("q")) * lit(1.0) / count(lit(1)), 0).cast("long").as("m"))
+    val c = px.join(broadcast(m), "pos")
+      .select(col("vec_id"), col("pos"), (col("q") - col("m")).as("c"))
+    // round 1: v0 = ones → d_i = Σ_j c_ij ; v1_j = Σ_i d_i c_ij
+    val d1 = c.groupBy("vec_id").agg(sum(col("c")).as("d"))
+    val v1 = c.join(d1, "vec_id")
+      .groupBy("pos").agg(sum(col("c") * col("d")).as("v1"))
+    val vq = v1
+      .crossJoin(broadcast(v1.agg(max(abs(col("v1"))).as("mx"))))
+      .select(col("pos"),
+        round(col("v1") * lit(1.0e4) / col("mx"), 0).cast("long").as("vq"))
+    // round 2: d2_i = (Σ_j c_ij vq_j) / 1e6 (rounded) ; v2_j = Σ_i d2_i c_ij
+    val d2 = c.join(broadcast(vq), "pos")
+      .groupBy("vec_id")
+      .agg(round(sum(col("c") * col("vq")) * lit(1.0) / lit(1e6), 0).cast("long").as("d"))
+    val v2 = c.join(d2, "vec_id")
+      .groupBy("pos").agg(sum(col("c") * col("d")).as("v2"))
+    v2.crossJoin(broadcast(v2.agg(max(abs(col("v2"))).as("mx"))))
+      .select(col("pos"), round(col("v2") * lit(1.0) / col("mx"), 4).as("loading"))
+      .orderBy("pos")
+  }
 }
