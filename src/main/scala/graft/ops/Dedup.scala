@@ -133,11 +133,11 @@ object Dedup {
     bands.join(broadcast(hot), Seq("band", "band_key"), "left_anti")
   }
 
-  /** LSH candidate pairs from cached signature rows: band → cap → self
-    * equi-join on (band, band_key) → distinct. Shared by [[minhashLsh]]
-    * and [[confirmedPairs]] so both key generation paths stay identical. */
-  private def lshCandidates(sigs: DataFrame, k: Int, r: Int,
-      maxBandPopulation: Int): DataFrame = {
+  /** (doc_id, band, band_key) rows from signature rows — the banding
+    * construction shared by [[lshCandidates]] and [[bandIndex]] so the
+    * batch pair path and the streaming ingest gate can never key
+    * differently. */
+  private[graft] def bandsOf(sigs: DataFrame, k: Int, r: Int): DataFrame = {
     val b = k / r
     // band key = md5 over the band's r signature slices joined by '|'
     // (concat_ws produces byte-identical input to the former explicit
@@ -145,10 +145,57 @@ object Dedup {
     val bandCols = (0 until b).map(i =>
       struct(lit(i).as("band"),
         md5(concat_ws("|", (0 until r).map(j => col(s"m${r * i + j}")): _*)).as("band_key")))
-    val bands = capBands(sigs
+    sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key")),
-      maxBandPopulation)
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Static LSH band-key index of the corpus — the distinct
+    * (band, band_key) relation an INGEST gate probes ("does this
+    * incoming doc share a band bucket with anything we already hold",
+    * [[graft.streaming.DocumentsStreaming.nearDupCandidates]]). Built
+    * from the session signature stage, so it costs one banding pass over
+    * resident rows; the index is ≤ b·|docs| short rows and broadcasts. */
+  def bandIndex(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2): DataFrame =
+    bandsOf(minhashStage(spark, dir, k, None), k, r)
+      .select("band", "band_key").distinct()
+
+  /** Per-ROW MinHash band keys of a text column — the stateless twin of
+    * the batch signature stage, for streams (no groupBy, so no state
+    * store: shingle → seeded-md5 → k array-min slices → banded keys, all
+    * array HOFs inside one row). Digest seeds, slice layout, and band-key
+    * construction are the SAME as [[minhashSignaturesOf]]/[[bandsOf]];
+    * BandKeyParitySpec pins byte-equality of the keys on the corpus.
+    *
+    * Built in STAGES by the caller (materialize the digest array column
+    * before slicing): an expression inlined into a higher-order-function
+    * lambda re-evaluates per reference (no CSE across the lambda
+    * boundary — the docShingles lesson), so the k slice-minima must read
+    * a bound digest-array column, not recompute k×nDigests md5s. */
+  private[graft] def rowDigests(text: Column, k: Int = 8): Column = {
+    require(k >= 1 && k <= 16, "supported signature widths: 1-16 32-bit slices")
+    val nDigests = (k + 3) / 4
+    transform(shingles(TextAnalysis.tokens(text)), s =>
+      concat(Seq("a", "b", "c", "d").take(nDigests)
+        .map(p => md5(concat(lit(p + "|"), s))): _*))
+  }
+
+  /** Band-key struct array from a bound digest-array column (see
+    * [[rowDigests]]): array of (band, band_key) structs, `k/r` entries. */
+  private[graft] def rowBandKeys(digests: Column, k: Int = 8, r: Int = 2): Column = {
+    val mins = (0 until k).map(i =>
+      array_min(transform(digests, h => substring(h, i * 8 + 1, 8))))
+    array((0 until k / r).map(i =>
+      struct(lit(i).as("band"),
+        md5(concat_ws("|", (i * r until i * r + r).map(mins): _*)).as("band_key"))): _*)
+  }
+
+  /** LSH candidate pairs from cached signature rows: band → cap → self
+    * equi-join on (band, band_key) → distinct. Shared by [[minhashLsh]]
+    * and [[confirmedPairs]] so both key generation paths stay identical. */
+  private def lshCandidates(sigs: DataFrame, k: Int, r: Int,
+      maxBandPopulation: Int): DataFrame = {
+    val bands = capBands(bandsOf(sigs, k, r), maxBandPopulation)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
@@ -258,7 +305,10 @@ object Dedup {
         .join(counts.as("cb"), col("cb.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
           round(col("n_inter") * lit(1.0) /
-            (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")), 4).as("jaccard"))
+            (col("ca.n_sh") + col("cb.n_sh") - col("n_inter")), 4).as("jaccard"),
+          // kept alongside jaccard so asymmetric measures (containment,
+          // q112) are a projection over the shared stage, not a rebuild
+          col("n_inter"), col("ca.n_sh").as("n_a"), col("cb.n_sh").as("n_b"))
         .cache()
       pairs.count() // materialize fully before dropping the parents
       sh.unpersist(blocking = false)
@@ -339,7 +389,34 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     confirmedPairs(spark, dir)
       .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+
+  /** q112: asymmetric shingle containment — |A∩B| / min(|A|, |B|), the
+    * quote/subset detector. Jaccard under-scores a short doc embedded
+    * verbatim inside a much longer one (the union is dominated by the
+    * container), so a Jaccard-thresholded dedup pass keeps both; the
+    * containment read surfaces exactly those pairs. Reported with the
+    * contained doc first (tie on equal set sizes → lower-keyed side),
+    * alongside jaccard so the reader sees which pairs the symmetric
+    * measure would have missed.
+    *
+    * Served entirely from the shared [[confirmedPairs]] stage (the
+    * intersection/set-size columns ride along in the cached pair set) —
+    * zero marginal corpus work, so the candidate generation remains the
+    * banded LSH equi-join and nothing here scales with pair count. */
+  def containmentPairs(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val small = col("n_a") <= col("n_b")
+    confirmedPairs(spark, dir)
+      .select(
+        when(small, col("doc_a")).otherwise(col("doc_b")).as("doc_small"),
+        when(small, col("doc_b")).otherwise(col("doc_a")).as("doc_big"),
+        round(col("n_inter") * lit(1.0) / least(col("n_a"), col("n_b")), 4)
+          .as("containment"),
+        col("jaccard"))
+      .where(col("containment") >= threshold)
+      .orderBy("doc_small", "doc_big")
+  }
 
   /** Incremental (delta-vs-corpus) near-dedup — the shape a production
     * pipeline runs daily: dedup TODAY'S crawl against the historical

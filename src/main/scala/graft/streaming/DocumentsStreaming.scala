@@ -80,6 +80,30 @@ object DocumentsStreaming {
         explode(graft.functions.TextFunctions.winnowFingerprints(col("text"), k, w)).as("fp"))
       .join(broadcast(refFps), Seq("fp"), "left_semi")
 
+  /** Streaming NEAR-dup candidate hits vs a static corpus — the ingest
+    * twin of q96's incremental dedup, one rung up from
+    * [[dedupedByFingerprint]] (exact) and [[spanDupHits]] (verbatim
+    * spans): an arriving document whose MinHash band keys collide with
+    * the accumulated corpus's band index emits one
+    * (doc_id, band, band_key) row per collision — the "probably a
+    * near-dup of something we hold, route to the batch verifier" signal.
+    *
+    * The signature is computed PER ROW with array higher-order functions
+    * (no groupBy → no state store → pure append mode at source
+    * parallelism); digests are materialized as a bound column before the
+    * k slice-minima read them ([[graft.ops.Dedup.rowDigests]] — the
+    * HOF-CSE discipline), and the banding is byte-identical to the batch
+    * pair stage ([[graft.ops.Dedup.bandIndex]] builds the static side
+    * from the same construction). Collisions are candidates, not
+    * verdicts: banding has false positives by design; the batch
+    * Jaccard verification stays downstream, exactly as in q32/q33. */
+  def nearDupCandidates(docs: DataFrame, bandIndex: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), graft.ops.Dedup.rowDigests(col("text")).as("hs"))
+      .select(col("doc_id"), explode(graft.ops.Dedup.rowBandKeys(col("hs"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .join(broadcast(bandIndex), Seq("band", "band_key"), "left_semi")
+
   /** Watermark-bounded streaming dedup on the normalization fingerprint:
     * a duplicate arriving within the watermark window of its original is
     * dropped; state for expired fingerprints is evicted. Unbounded
