@@ -169,6 +169,9 @@ object SparkEntry {
     // dominant principal direction of the embedding cloud — anisotropy
     // diagnostic; both power-iteration mat-vecs are exact integer sums
     "q111_principal_direction" -> Similarity.principalDirection _,
+    // asymmetric containment (quote/subset detector) off the shared
+    // pair stage — pairs a Jaccard-thresholded dedup would miss
+    "q112_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -988,23 +991,55 @@ object SparkEntry {
         |SELECT rung, n_docs, n_tokens,
         |  round(n_tokens * 1.0 / raw_tokens, 4) AS token_frac
         |FROM fun CROSS JOIN tot ORDER BY rung""".stripMargin),
-    // q111: mirrors Similarity.principalDirection — 1e4-quantized
-    // components, integer-rounded mean, two integer power-iteration
-    // rounds with the same rescale constants; only the final
-    // loading normalization is a (deterministic) double division
+    // q112: containment off the same candidate relation as q33; the
+    // contained side is the smaller distinct-shingle set (tie → doc_a)
+    "q112_containment_pairs" -> (MinhashCte + """,
+        |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT doc_a, doc_b, count(*) AS n_inter
+        |  FROM cand
+        |  JOIN sh wa ON wa.doc_id = doc_a
+        |  JOIN sh wb ON wb.doc_id = doc_b AND wa.sh = wb.sh
+        |  GROUP BY doc_a, doc_b),
+        |m AS (
+        |  SELECT CASE WHEN ca.n_sh <= cb.n_sh THEN doc_a ELSE doc_b END AS doc_small,
+        |    CASE WHEN ca.n_sh <= cb.n_sh THEN doc_b ELSE doc_a END AS doc_big,
+        |    round(n_inter * 1.0 / least(ca.n_sh, cb.n_sh), 4) AS containment,
+        |    round(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+        |  FROM inter
+        |  JOIN counts ca ON ca.doc_id = doc_a
+        |  JOIN counts cb ON cb.doc_id = doc_b)
+        |SELECT doc_small, doc_big, containment, jaccard
+        |FROM m WHERE containment >= 0.8
+        |ORDER BY doc_small, doc_big""".stripMargin),
+    // q111: mirrors Similarity.principalDirection — ONE corpus pass
+    // aggregates the flattened integer moment vector (1e4-quantized
+    // ΣqqT row-major, Σq, n), then both power-iteration rounds run on
+    // the 4161-cell relation via the exact centering identity; the
+    // comprehension ranges are len(q)-derived because a literal range
+    // inside a lateral unnest fails to bind the outer column (DuckDB
+    // 1.0 quirk)
     "q111_principal_direction" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |px AS (SELECT vec_id, u.pos AS pos, CAST(round(u.x * 1e4) AS BIGINT) AS q FROM e,
-        |       unnest([{'pos': CAST(i AS BIGINT), 'x': v[i]} for i in range(1, len(v) + 1)]) AS t(u)),
-        |m AS (SELECT pos, CAST(round(sum(q) * 1.0 / count(*)) AS BIGINT) AS m FROM px GROUP BY pos),
-        |c AS (SELECT vec_id, pos, q - m AS c FROM px JOIN m USING (pos)),
-        |d1 AS (SELECT vec_id, sum(c) AS d FROM c GROUP BY vec_id),
-        |v1 AS (SELECT pos, sum(c * d) AS v1 FROM c JOIN d1 USING (vec_id) GROUP BY pos),
-        |vq AS (SELECT pos, CAST(round(v1 * 1.0e4 / (SELECT max(abs(v1)) FROM v1)) AS BIGINT) AS vq FROM v1),
-        |d2 AS (SELECT vec_id, CAST(round(sum(c * vq) * 1.0 / 1e6) AS BIGINT) AS d
-        |       FROM c JOIN vq USING (pos) GROUP BY vec_id),
-        |v2 AS (SELECT pos, sum(c * d) AS v2 FROM c JOIN d2 USING (vec_id) GROUP BY pos)
-        |SELECT pos, round(v2 * 1.0 / (SELECT max(abs(v2)) FROM v2), 4) AS loading
+      """WITH e AS (SELECT [CAST(round(x * 1e4) AS BIGINT) for x in embedding::DOUBLE[]] AS q FROM embeddings),
+        |mom AS (
+        |  SELECT u.i AS idx, sum(u.v) AS s FROM e, unnest(
+        |    [{'i': i, 'v': q[i // len(q) + 1] * q[i % len(q) + 1]} for i in range(0, len(q) * len(q))]
+        |    || [{'i': len(q) * len(q) + i, 'v': q[i + 1]} for i in range(0, len(q))]
+        |    || [{'i': len(q) * len(q) + len(q), 'v': 1}]) AS t(u)
+        |  GROUP BY u.i),
+        |n AS (SELECT s AS n FROM mom WHERE idx = 4160),
+        |m AS (SELECT idx - 4096 AS j, CAST(round(s * 1.0 / n) AS BIGINT) AS m, s
+        |      FROM mom CROSS JOIN n WHERE idx BETWEEN 4096 AND 4159),
+        |g AS (SELECT idx // 64 AS j, idx % 64 AS k, s AS g FROM mom WHERE idx < 4096),
+        |gc AS (SELECT g.j, g.k,
+        |         g.g - mj.m * mk.s - mj.s * mk.m + (SELECT n FROM n) * mj.m * mk.m AS gc
+        |       FROM g JOIN m mj ON mj.j = g.j JOIN m mk ON mk.j = g.k),
+        |v1 AS (SELECT j, sum(gc) AS v1 FROM gc GROUP BY j),
+        |vq AS (SELECT j AS k, CAST(round(v1 * 1.0e4 / (SELECT max(abs(v1)) FROM v1)) AS BIGINT) AS vq FROM v1),
+        |v2 AS (SELECT gc.j, sum(CAST(round(gc.gc * 1.0 * vq / 1e6) AS BIGINT)) AS v2
+        |       FROM gc JOIN vq ON vq.k = gc.k GROUP BY gc.j)
+        |SELECT CAST(j + 1 AS BIGINT) AS pos,
+        |  round(v2 * 1.0 / (SELECT max(abs(v2)) FROM v2), 4) AS loading
         |FROM v2 ORDER BY pos""".stripMargin,
     // q110: per-term weights mirror Retrieval.bm25TopK token for token
     // (same literals, same association) and cross the unordered SUM as

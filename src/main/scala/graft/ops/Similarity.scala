@@ -191,7 +191,8 @@ object Similarity {
     corpusCountCache.keySet.removeIf(_._1 eq spark)
     lshSigCache.release(_._1 eq spark) +
       ivfCentCache.release(_._1 eq spark) +
-      ivfAssignCache.release(_._1 eq spark)
+      ivfAssignCache.release(_._1 eq spark) +
+      releaseMomentsStages(spark)
   }
 
   /** Assign every vector of `e` (vec_id, u) to its nearest centroid of
@@ -662,41 +663,84 @@ object Similarity {
     * inside int64 up to ~1e8 rows × 64 dims (beyond that, split the
     * per-dim sum into a two-level shard/global aggregation).
     *
-    * Plan shape: four passes of scan→posexplode→hash-aggregate on ≤64
-    * (or vec_id) keys — map-side combined, no window, no cartesian; the
-    * 64-row mean/iterate relations broadcast back into the corpus scans.
+    * Plan shape — the d² ≪ n structure is the whole design: ONE corpus
+    * pass aggregates the flattened moment vector (ΣqqT row-major, Σq,
+    * n — dim²+dim+1 = 4161 cells) into a session-cached stage, and both
+    * power-iteration rounds run on that 4161-row relation via the exact
+    * centering identity Σ(q−m)(q−m)T = G − m·ST − S·mT + n·m·mT. The
+    * corpus is scanned once per session, never joined on vec_id, never
+    * windowed; everything after the moments shuffle is work on ≤4161
+    * rows. (A first cut that centered via a per-(vec_id, pos) join
+    * recomputed the centering per pass — 46 executed shuffles;
+    * ExchangeAuditSpec's census caught it. The moments stage follows
+    * the MinHash/IVF StageCache discipline instead.)
     */
   def principalDirection(spark: SparkSession, dir: String): DataFrame =
-    principalDirectionOf(Tables.embeddingsSpread(spark, dir))
+    directionFromMoments(
+      momentsCache.getOrBuild((spark, dir)) {
+        val built = momentsOf(Tables.embeddingsSpread(spark, dir)).cache()
+        built.count()
+        built
+      }, dim = 64)
 
-  /** The q111 pipeline over any (vec_id, embedding) relation — split out
-    * so the planted-anisotropy spec can drive it with a cloud whose
-    * dominant axis is known by construction. */
-  private[graft] def principalDirectionOf(emb: DataFrame): DataFrame = {
-    val px = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-      .select(col("vec_id"), (col("pos0") + 1).cast("long").as("pos"),
-        round(col("x").cast("double") * lit(1e4), 0).cast("long").as("q"))
-    val m = px.groupBy("pos")
-      .agg(round(sum(col("q")) * lit(1.0) / count(lit(1)), 0).cast("long").as("m"))
-    val c = px.join(broadcast(m), "pos")
-      .select(col("vec_id"), col("pos"), (col("q") - col("m")).as("c"))
-    // round 1: v0 = ones → d_i = Σ_j c_ij ; v1_j = Σ_i d_i c_ij
-    val d1 = c.groupBy("vec_id").agg(sum(col("c")).as("d"))
-    val v1 = c.join(d1, "vec_id")
-      .groupBy("pos").agg(sum(col("c") * col("d")).as("v1"))
-    val vq = v1
-      .crossJoin(broadcast(v1.agg(max(abs(col("v1"))).as("mx"))))
-      .select(col("pos"),
+  /** The q111 pipeline over any (vec_id, embedding) relation, uncached —
+    * split out so the planted-anisotropy spec can drive it with a cloud
+    * whose dominant axis is known by construction. */
+  private[graft] def principalDirectionOf(emb: DataFrame, dim: Int): DataFrame =
+    directionFromMoments(momentsOf(emb), dim)
+
+  private val momentsCache = new StageCache[(SparkSession, String)]
+  private[ops] def momentsBuilds = momentsCache.builds
+  private[ops] def releaseMomentsStages(spark: SparkSession): Int =
+    momentsCache.release(_._1 eq spark)
+
+  /** Flattened moment relation (idx, s) of the 1e4-quantized component
+    * arrays: idx < dim² → (ΣqqT)[idx/dim][idx%dim]; dim² ≤ idx <
+    * dim²+dim → (Σq)[idx−dim²]; idx = dim²+dim → n. All integer, so the
+    * sums are exact under any partitioning; per-row the cell array is
+    * built from the BOUND `q` column (HOF-CSE discipline) and the
+    * aggregation map-side combines onto dim²+dim+1 keys. */
+  private def momentsOf(emb: DataFrame): DataFrame = {
+    val e = emb.select(
+      transform(col("embedding"), x => round(x.cast("double") * lit(1e4), 0).cast("long"))
+        .as("q"))
+    val cells = concat(
+      flatten(transform(col("q"), a => transform(col("q"), b => a * b))),
+      col("q"),
+      array(lit(1L)))
+    e.select(posexplode(cells).as(Seq("idx", "v")))
+      .groupBy(col("idx").cast("long").as("idx"))
+      .agg(sum(col("v")).as("s"))
+  }
+
+  /** Both power-iteration rounds over the (tiny) moment relation. */
+  private def directionFromMoments(mom: DataFrame, dim: Int): DataFrame = {
+    val d2 = dim * dim
+    val n1 = broadcast(mom.where(col("idx") === d2 + dim).select(col("s").as("n")))
+    val m = mom.where(col("idx") >= d2 && col("idx") < d2 + dim)
+      .crossJoin(n1)
+      .select((col("idx") - d2).as("j"),
+        round(col("s") * lit(1.0) / col("n"), 0).cast("long").as("m"), col("s"))
+    val g = mom.where(col("idx") < d2)
+      .select((col("idx") / dim).cast("long").as("j"),
+        (col("idx") % dim).as("k"), col("s").as("g"))
+    val gc = g
+      .join(broadcast(m.select(col("j"), col("m").as("mj"), col("s").as("sj"))), "j")
+      .join(broadcast(m.select(col("j").as("k"), col("m").as("mk"), col("s").as("sk"))), "k")
+      .crossJoin(n1)
+      .select(col("j"), col("k"),
+        (col("g") - col("mj") * col("sk") - col("sj") * col("mk") +
+          col("n") * col("mj") * col("mk")).as("gc"))
+    val v1 = gc.groupBy("j").agg(sum(col("gc")).as("v1"))
+    val vq = v1.crossJoin(broadcast(v1.agg(max(abs(col("v1"))).as("mx"))))
+      .select(col("j").as("k"),
         round(col("v1") * lit(1.0e4) / col("mx"), 0).cast("long").as("vq"))
-    // round 2: d2_i = (Σ_j c_ij vq_j) / 1e6 (rounded) ; v2_j = Σ_i d2_i c_ij
-    val d2 = c.join(broadcast(vq), "pos")
-      .groupBy("vec_id")
-      .agg(round(sum(col("c") * col("vq")) * lit(1.0) / lit(1e6), 0).cast("long").as("d"))
-    val v2 = c.join(d2, "vec_id")
-      .groupBy("pos").agg(sum(col("c") * col("d")).as("v2"))
+    val v2 = gc.join(broadcast(vq), "k")
+      .groupBy("j")
+      .agg(sum(round(col("gc") * lit(1.0) * col("vq") / lit(1e6), 0).cast("long")).as("v2"))
     v2.crossJoin(broadcast(v2.agg(max(abs(col("v2"))).as("mx"))))
-      .select(col("pos"), round(col("v2") * lit(1.0) / col("mx"), 4).as("loading"))
+      .select((col("j") + 1).cast("long").as("pos"),
+        round(col("v2") * lit(1.0) / col("mx"), 4).as("loading"))
       .orderBy("pos")
   }
 }

@@ -30,7 +30,7 @@ class PrincipalDirectionSpec extends AnyFunSuite {
 
   test("peak loading lands on the planted axis with |loading| = 1") {
     import spark.implicits._
-    val out = Similarity.principalDirectionOf(plantedCloud())
+    val out = Similarity.principalDirectionOf(plantedCloud(), dim = 16)
       .as[(Long, Double)].collect().toMap
     assert(out.size == 16)
     val peak = out.maxBy { case (_, l) => math.abs(l) }
