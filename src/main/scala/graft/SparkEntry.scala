@@ -172,6 +172,8 @@ object SparkEntry {
     // asymmetric containment (quote/subset detector) off the shared
     // pair stage — pairs a Jaccard-thresholded dedup would miss
     "q112_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    // bigram-LM NLL — order-sensitive quality score above q97's unigram
+    "q113_bigram_logprob" -> TextAnalysis.bigramLogprob _,
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1070,6 +1072,24 @@ object SparkEntry {
         |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
         |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q113: mirrors TextAnalysis.bigramLogprob — Laplace-smoothed
+    // bigram conditional, identical literals/association, per-doc mean
+    // over 1e6-scaled long terms
+    "q113_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |bg AS (SELECT doc_id, u.w1, u.w2 FROM tok,
+        |       unnest([{'w1': t[i], 'w2': t[i + 1]} for i in range(1, len(t))]) AS s(u)
+        |       WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM
+        |      (SELECT DISTINCT unnest(t) AS term FROM tok)),
+        |terms AS (SELECT doc_id,
+        |    CAST(round(-ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT) AS t6
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(t6) * 1.0 / count(*) / 1e6, 4) AS nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q97_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),

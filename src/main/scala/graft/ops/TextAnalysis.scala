@@ -238,6 +238,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q113: bigram-LM negative log-likelihood per document — the
+    * next-order quality score above q97's unigram NLL (a doc of common
+    * words in IMPLAUSIBLE order scores ordinary under a unigram LM but
+    * high here; template/boilerplate text with rigid word order scores
+    * low). Laplace-smoothed conditional: P(w₂|w₁) = (c(w₁w₂)+1) /
+    * (c(w₁·)+V), nll = mean −ln P over the doc's bigram positions; docs
+    * with fewer than two tokens have no bigram positions and are
+    * excluded (mirrored by the oracle).
+    *
+    * Scale shape: bigram counts are one hash-aggregate over exploded
+    * adjacent pairs (map-side combined); the per-position score join is
+    * an equi-join on (w1, w2) then (w1) — cost ∝ corpus positions, the
+    * same two-shuffle shape as tf-idf. Cross-engine determinism: counts
+    * and vocab size are integers, the per-position −ln term is written
+    * with identical literals/association in both engines, and the
+    * per-doc mean crosses the unordered SUM as 1e6-scaled longs. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    bigramLogprobOf(Tables.documents(spark, dir))
+
+  /** The q113 pipeline over any (doc_id, text) relation — split out so
+    * the planted-order spec can drive it with constructed word order. */
+  private[graft] def bigramLogprobOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    val bg = toks
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(1), size(col("t")) - 1),
+        i => struct(element_at(col("t"), i).as("w1"),
+          element_at(col("t"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = toks
+      .select(explode(col("t")).as("term")).distinct()
+      .agg(count(lit(1)).as("v"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6), 0)
+          .cast("long").as("t6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("t6")) * lit(1.0) / count(lit(1)) / lit(1e6), 4).as("nll"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 5-gram with a held-out eval set (here: `doc_id % 97 == 0` stands in
     * for the benchmark corpus). The standard pre-training contamination
