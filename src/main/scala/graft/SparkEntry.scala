@@ -174,6 +174,9 @@ object SparkEntry {
     "q112_containment_pairs" -> ((s, d) => Dedup.containmentPairs(s, d)),
     // bigram-LM NLL — order-sensitive quality score above q97's unigram
     "q113_bigram_logprob" -> TextAnalysis.bigramLogprob _,
+    // stacked quality-gate accounting per source (q109's funnel, on the
+    // quality axis): surface score -> unigram LM -> bigram LM
+    "q114_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1072,6 +1075,51 @@ object SparkEntry {
         |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
         |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q114: composes the q23 quality expression with the q97/q113 LM
+    // relations; missing LM rows (no tokens / no bigram positions)
+    // COALESCE to +inf so they fail the rung in both engines
+    "q114_quality_funnel" ->
+      """WITH qual AS (SELECT doc_id, source,
+        |    round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |        + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|of|to|and|is|in)\b')) * 10.0 /
+        |            greatest(len(regexp_extract_all(text, '\S+')), 1), 1.0)
+        |        + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |            greatest(length(text), 1)), 4) AS quality
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |utf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+        |lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS term_count FROM utf GROUP BY term),
+        |utot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM utf),
+        |uni AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    round(sum(tf * ln(total * 1.0 / term_count)) / sum(tf), 4) AS u_nll
+        |  FROM utf JOIN lm USING (term) CROSS JOIN utot GROUP BY doc_id),
+        |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |bg AS (SELECT doc_id, u.w1, u.w2 FROM tok,
+        |       unnest([{'w1': t[i], 'w2': t[i + 1]} for i in range(1, len(t))]) AS s(u)
+        |       WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM (SELECT DISTINCT unnest(t) AS term FROM tok)),
+        |bterms AS (SELECT doc_id,
+        |    CAST(round(-ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT) AS t6
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+        |bi AS (SELECT doc_id, round(sum(t6) * 1.0 / count(*) / 1e6, 4) AS b_nll
+        |  FROM bterms GROUP BY doc_id),
+        |scored AS (
+        |  SELECT qual.doc_id, source, COALESCE(uni.n_tokens, 0) AS n_tokens,
+        |    quality >= 0.5 AS g1,
+        |    quality >= 0.5 AND COALESCE(u_nll, 1e9) <= 3.45 AS g2,
+        |    quality >= 0.5 AND COALESCE(u_nll, 1e9) <= 3.45
+        |      AND COALESCE(b_nll, 1e9) <= 3.45 AS g3
+        |  FROM qual LEFT JOIN uni ON uni.doc_id = qual.doc_id
+        |  LEFT JOIN bi ON bi.doc_id = qual.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_quality,
+        |  CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_unigram,
+        |  CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bigram,
+        |  round(sum(CASE WHEN g3 THEN n_tokens ELSE 0 END) * 1.0 /
+        |    greatest(sum(n_tokens), 1), 4) AS token_frac
+        |FROM scored GROUP BY source ORDER BY source""".stripMargin,
     // q113: mirrors TextAnalysis.bigramLogprob — Laplace-smoothed
     // bigram conditional, identical literals/association, per-doc mean
     // over 1e6-scaled long terms

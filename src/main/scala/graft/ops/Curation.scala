@@ -105,6 +105,56 @@ object Curation {
     * One fingerprint group-by carrying two conditional flags is the
     * whole merge — the same single-shuffle shape `MERGE INTO` compiles
     * to on key-matched upserts, and it scales as exact dedup does. */
+  /** q114: quality-ensemble funnel — per-source accounting of how many
+    * docs (and what token share) survive each rung of the stacked
+    * quality gates a curation pass actually runs:
+    *   rung 1  surface quality (q23's score ≥ 0.5)
+    *   rung 2  + unigram-LM NLL ≤ `tUnigram` (q97 — rare-word soup)
+    *   rung 3  + bigram-LM NLL ≤ `tBigram`  (q113 — implausible order)
+    * The read an operator does before shipping thresholds: which rung
+    * costs which source how many tokens (q109's funnel is the dedup
+    * twin of this for the dedup ladder).
+    *
+    * Composite honesty: this IS three corpus passes (quality is a
+    * per-row projection; each LM pass is the q97/q113 two-shuffle
+    * shape) joined on doc_id — the id-joins are equi-joins and the
+    * accounting is one |sources|-row aggregate. Docs with no bigram
+    * positions (< 2 tokens) fail rung 3 by definition (COALESCE to +∞
+    * in both engines). Thresholds are ABSOLUTE nats-per-token values,
+    * not corpus percentiles — percentile gates would make each source's
+    * verdict depend on approximate global quantiles (engine-divergent
+    * and re-shuffling); the defaults sit in the sf0.01 distribution's
+    * discriminative band. */
+  def qualityFunnel(spark: SparkSession, dir: String,
+      tUnigram: Double = 3.45, tBigram: Double = 3.45): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore)
+      .select(col("doc_id"), col("source"), col("quality"))
+    val uni = TextAnalysis.unigramLogprob(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("nll").as("u_nll"))
+    val bi = TextAnalysis.bigramLogprob(spark, dir)
+      .select(col("doc_id"), col("nll").as("b_nll"))
+    val scored = base
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (col("quality") >= lit(0.5)).as("g1"),
+        (col("quality") >= lit(0.5) &&
+          coalesce(col("u_nll"), lit(1e9)) <= lit(tUnigram)).as("g2"),
+        (col("quality") >= lit(0.5) &&
+          coalesce(col("u_nll"), lit(1e9)) <= lit(tUnigram) &&
+          coalesce(col("b_nll"), lit(1e9)) <= lit(tBigram)).as("g3"))
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("g1"), 1L).otherwise(0L)).as("n_pass_quality"),
+        sum(when(col("g2"), 1L).otherwise(0L)).as("n_pass_unigram"),
+        sum(when(col("g3"), 1L).otherwise(0L)).as("n_pass_bigram"),
+        round(sum(when(col("g3"), col("n_tokens")).otherwise(0L)) * lit(1.0) /
+          greatest(sum(col("n_tokens")), lit(1L)), 4).as("token_frac"))
+      .orderBy("source")
+  }
+
   def deltaMerge(spark: SparkSession, dir: String): DataFrame = {
     val flagged = Tables.documents(spark, dir)
       .select(TextAnalysis.fingerprint(col("text")).as("fp"),
