@@ -248,12 +248,15 @@ object TextAnalysis {
     * excluded (mirrored by the oracle).
     *
     * Scale shape: bigram counts are one hash-aggregate over exploded
-    * adjacent pairs (map-side combined); the per-position score join is
-    * an equi-join on (w1, w2) then (w1) — cost ∝ corpus positions, the
-    * same two-shuffle shape as tf-idf. Cross-engine determinism: counts
-    * and vocab size are integers, the per-position −ln term is written
-    * with identical literals/association in both engines, and the
-    * per-doc mean crosses the unordered SUM as 1e6-scaled longs. */
+    * adjacent pairs (map-side combined); the context counts c(w₁·) are
+    * a SECOND aggregation over the (already |distinct bigrams|-sized)
+    * c₂ relation, not the corpus; the score is computed once per
+    * DISTINCT bigram and joined back to positions in a single (w1, w2)
+    * equi-join — so only one join touches corpus-position-sized data.
+    * Cross-engine determinism: counts and vocab size are integers, the
+    * per-position −ln term is written with identical literals/
+    * association in both engines, and the per-doc mean crosses the
+    * unordered SUM as 1e6-scaled longs. */
   def bigramLogprob(spark: SparkSession, dir: String): DataFrame =
     bigramLogprobOf(Tables.documents(spark, dir))
 
@@ -267,15 +270,22 @@ object TextAnalysis {
         i => struct(element_at(col("t"), i).as("w1"),
           element_at(col("t"), i + 1).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // corpus positions aggregate once, onto the (w1, w2) vocab key —
+    // the narrowest key with full collapse; context counts roll up from
+    // it. (A per-(doc, w1, w2) first-stage aggregate — the q97 tf shape
+    // — measured 28% SLOWER at 100×: this corpus repeats few bigrams
+    // within a doc, so the wider key bought no collapse and cost an
+    // extra corpus-sized shuffle.)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vocab = toks
       .select(explode(col("t")).as("term")).distinct()
       .agg(count(lit(1)).as("v"))
-    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(vocab))
-      .select(col("doc_id"),
+    val score = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
         round(-log((col("c2") + lit(1.0)) / (col("c1") + col("v"))) * lit(1e6), 0)
           .cast("long").as("t6"))
+    bg.join(score, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("t6")) * lit(1.0) / count(lit(1)) / lit(1e6), 4).as("nll"))
