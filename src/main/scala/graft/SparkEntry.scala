@@ -177,6 +177,9 @@ object SparkEntry {
     // stacked quality-gate accounting per source (q109's funnel, on the
     // quality axis): surface score -> unigram LM -> bigram LM
     "q114_quality_funnel" -> ((s, d) => Curation.qualityFunnel(s, d)),
+    // first BPE merge round: char-pair counts over the word vocab —
+    // corpus aggregates once to the vocab, pairs explode only words
+    "q115_bpe_first_merges" -> ((s, d) => TextAnalysis.bpeFirstMerges(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1075,6 +1078,18 @@ object SparkEntry {
         |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
         |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q115: mirrors TextAnalysis.bpeFirstMerges — word-frequency-
+    // weighted adjacent char pairs; rank tiebreak (n desc, a, b) total
+    "q115_bpe_first_merges" ->
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM w GROUP BY w),
+        |pairs AS (SELECT u.a AS a, u.b AS b, wc FROM wc,
+        |    unnest([{'a': w[i], 'b': w[i + 1]} for i in range(1, len(w))]) AS t(u)
+        |    WHERE len(w) >= 2),
+        |pc AS (SELECT a, b, CAST(sum(wc) AS BIGINT) AS n FROM pairs GROUP BY a, b),
+        |ranked AS (SELECT a, b, n,
+        |    CAST(row_number() OVER (ORDER BY n DESC, a, b) AS BIGINT) AS rank FROM pc)
+        |SELECT a, b, n, rank FROM ranked WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // q114: composes the q23 quality expression with the q97/q113 LM
     // relations; missing LM rows (no tokens / no bigram positions)
     // COALESCE to +inf so they fail the rung in both engines

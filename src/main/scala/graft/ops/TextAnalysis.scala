@@ -292,6 +292,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** q115: the first BPE merge round — adjacent character-pair counts
+    * over the word vocabulary, weighted by word frequency, top-k merge
+    * candidates. The opening move of byte-pair tokenizer training, and
+    * the diagnostic for "does this corpus's character bigram structure
+    * match the tokenizer we plan to reuse".
+    *
+    * Scale shape (the classic BPE-training trick): the corpus
+    * aggregates ONCE onto the word vocabulary (map-side combined);
+    * pair extraction then explodes only distinct words — for a 100 TB
+    * corpus the word vocab is millions of rows, not trillions of
+    * positions. The top-k ranking window runs over the pair vocabulary,
+    * which is bounded by alphabet² — constant-size at any corpus scale,
+    * so the single-partition rank is not a reducer funnel. */
+  def bpeFirstMerges(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    bpeFirstMergesOf(Tables.documents(spark, dir), topK)
+
+  /** The q115 pipeline over any (doc_id, text) relation — split out so
+    * the planted-pair spec can drive it with a known dominant merge. */
+  private[graft] def bpeFirstMergesOf(docs: DataFrame, topK: Int): DataFrame = {
+    val wc = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val pairs = wc
+      .where(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => struct(col("w").substr(i, lit(1)).as("a"),
+          col("w").substr(i + 1, lit(1)).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("wc"))
+    val pc = pairs.groupBy("a", "b").agg(sum(col("wc")).as("n"))
+    pc.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("a"), col("b"))).cast("long"))
+      .where(col("rank") <= topK)
+      .orderBy("rank")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 5-gram with a held-out eval set (here: `doc_id % 97 == 0` stands in
     * for the benchmark corpus). The standard pre-training contamination
