@@ -65,5 +65,5 @@ private[graft] final class StageCache[K] {
 object StageRegistry {
   def releaseSession(spark: SparkSession): Int =
     Dedup.releaseStages(spark) + Similarity.releaseStages(spark) +
-      TextAnalysis.releaseStages(spark)
+      TextAnalysis.releaseStages(spark) + Retrieval.releaseStages(spark)
 }

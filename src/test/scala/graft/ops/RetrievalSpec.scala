@@ -52,6 +52,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bnlj <= 1, s"$bnlj nested-loop joins in BM25 plan:\n${p.take(1500)}")
   }
 
+  test("indexed mode equals the pruned default and shares one postings build") {
+    val indexed = Retrieval.bm25TopK(spark, dir, indexed = true)
+    assert(result.except(indexed).isEmpty && indexed.except(result).isEmpty,
+      "indexed and pruned modes diverge")
+    val before = Retrieval.postingsBuilds.get()
+    Retrieval.bm25TopK(spark, dir,
+      queries = Seq(1 -> "table scan", 2 -> "stream merge"), topK = 3,
+      indexed = true).count()
+    assert(Retrieval.postingsBuilds.get() == before,
+      "a second indexed batch rebuilt the postings stage")
+  }
+
   test("every retrieved doc contains at least one query term") {
     import spark.implicits._
     val qt = Retrieval.DefaultQueries.toDF("query_id", "qtext")
