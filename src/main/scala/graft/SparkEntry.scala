@@ -180,6 +180,9 @@ object SparkEntry {
     // first BPE merge round: char-pair counts over the word vocab —
     // corpus aggregates once to the vocab, pairs explode only words
     "q115_bpe_first_merges" -> ((s, d) => TextAnalysis.bpeFirstMerges(s, d)),
+    // frame-level payload dup pairs: per-frame content hashes, distinct
+    // per payload, hot-frame cap, self equi-join on the hash
+    "q116_frame_dups" -> ((s, d) => Multimodal.frameDups(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1078,6 +1081,18 @@ object SparkEntry {
         |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
         |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q116: mirrors Multimodal.frameDups — 100-char frame slices,
+    // md5 frame hashes, distinct per payload, cap never binds at this
+    // SF (as q32's band cap), pairs sharing >= 3 frames
+    "q116_frame_dups" ->
+      """WITH f AS (SELECT DISTINCT doc_id,
+        |    md5(substring(text, CAST(i * 100 + 1 AS BIGINT), 100)) AS fh
+        |  FROM documents, unnest(range(0, (greatest(length(text), 1) - 1) // 100 + 1)) AS t(i)),
+        |hot AS (SELECT fh FROM (SELECT fh, count(*) AS n FROM f GROUP BY fh) WHERE n > 1000),
+        |cool AS (SELECT * FROM f WHERE fh NOT IN (SELECT fh FROM hot))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM cool a JOIN cool b ON a.fh = b.fh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY doc_a, doc_b""".stripMargin,
     // q115: mirrors TextAnalysis.bpeFirstMerges — word-frequency-
     // weighted adjacent char pairs; rank tiebreak (n desc, a, b) total
     "q115_bpe_first_merges" ->

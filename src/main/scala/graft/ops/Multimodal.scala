@@ -310,6 +310,52 @@ object Multimodal {
   def mediaMeta(spark: SparkSession, dir: String): DataFrame =
     decode(spark, dir).toDF().orderBy("doc_id")
 
+  /** q116: cross-payload frame-level dup detection — the video-dedup
+    * shape: hash each fixed-stride frame of every payload, bucket
+    * payloads by shared frame hashes, report pairs sharing ≥ `minShared`
+    * frames. The STUB "frame" is a 100-char payload slice and the
+    * "perceptual hash" is md5 of it (a real build swaps in a decoded-
+    * frame pHash inside mapPartitions — the plumbing, candidate join,
+    * and cap are what this pins). Exact-dup payloads share every frame;
+    * partially-reencoded ones (here: the corpus's planted near-dups,
+    * when aligned) share a prefix run.
+    *
+    * Scale shape — the LSH discipline applied to frames: per-payload
+    * frames are DISTINCT-ed before the join so a payload repeating one
+    * boilerplate frame can't amplify, candidates come from a self
+    * equi-join on the frame hash (cost ∝ collisions, never payload
+    * pairs), and hot hashes (intros, color bars, silence) are dropped
+    * whole by the same population-cap pattern as [[Dedup.capBands]] —
+    * true dups still surface through their other frames. */
+  def frameDups(spark: SparkSession, dir: String,
+      frameChars: Int = 100, minShared: Int = 3,
+      maxFramePopulation: Int = 1000): DataFrame =
+    frameDupsOf(Tables.documents(spark, dir), frameChars, minShared, maxFramePopulation)
+
+  /** The q116 pipeline over any (doc_id, text-as-payload) relation —
+    * split out so the planted-frame spec can drive known alignments. */
+  private[graft] def frameDupsOf(docs: DataFrame,
+      frameChars: Int, minShared: Int, maxFramePopulation: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val frames = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(sequence(lit(0L),
+          expr(s"(greatest(length(text), 1) - 1) div $frameChars"))))
+      .select(col("doc_id"),
+        md5(expr(s"cast(substring(text, pos * $frameChars + 1, $frameChars) as binary)"))
+          .as("fh"))
+      .distinct()
+    val hot = frames.groupBy("fh").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxFramePopulation).select("fh")
+    val cool = frames.join(broadcast(hot), Seq("fh"), "left_anti")
+    cool.as("a")
+      .join(cool.as("b"), col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Frame sampling: the 1→N decode shape (one video payload → many frame
     * rows). The STUB samples one "frame" per 100 bytes of payload with a
     * deterministic content hash; a real build swaps the frame expression
