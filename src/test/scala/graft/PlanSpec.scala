@@ -187,6 +187,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  for (q <- Seq("q110_bm25_topk", "q111_principal_direction",
+      "q113_bigram_logprob", "q116_frame_dups")) {
+    test(s"$q whole-stage codegen compiles every method under the JIT limit") {
+      // the moments flattening (q111: a 4161-cell per-row array), the
+      // bigram struct explode (q113) and the frame explode (q116) all
+      // generate sizable projections — pin them under the HotSpot
+      // compile limit like the ANN/winnow paths
+      import org.apache.spark.sql.execution.debug._
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val stats = codegenStringSeq(df.queryExecution.executedPlan)
+      assert(stats.nonEmpty, s"expected at least one WholeStageCodegen subtree in $q")
+      stats.foreach { case (subtree, _, s) =>
+        assert(s.maxMethodCodeSize < 8000,
+          s"generated method of ${s.maxMethodCodeSize} bytes exceeds the JIT compile " +
+            s"limit in subtree:\n${subtree.linesIterator.take(5).mkString("\n")}")
+      }
+    }
+  }
+
   for (q <- Seq("q38_ann_lsh", "q92_ann_lsh_scaled")) {
     test(s"$q probe ladder stays inside a bounded expression budget") {
       // round-4 regression guard: the flip-two probe ladder once expanded
