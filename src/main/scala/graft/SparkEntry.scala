@@ -183,6 +183,9 @@ object SparkEntry {
     // frame-level payload dup pairs: per-frame content hashes, distinct
     // per payload, hot-frame cap, self equi-join on the hash
     "q116_frame_dups" -> ((s, d) => Multimodal.frameDups(s, d)),
+    // cross-source span matrix: q105's pair relation rolled up to
+    // unordered source pairs — sub-document syndication detection
+    "q117_source_span_matrix" -> ((s, d) => TextAnalysis.sourceSpanMatrix(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -909,6 +912,19 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_shared_fps
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+    // q117: q105's pair relation rolled up to unordered source pairs
+    "q117_source_span_matrix" -> (WinnowCtes + """,
+        |el AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
+        |e AS (SELECT doc_id, source, fp FROM sel JOIN el USING (fp)),
+        |p AS (SELECT
+        |    CASE WHEN a.source <= b.source THEN a.source ELSE b.source END AS src_a,
+        |    CASE WHEN a.source <= b.source THEN b.source ELSE a.source END AS src_b,
+        |    a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_doc_pairs,
+        |  CAST(sum(n_shared) AS BIGINT) AS n_shared_fps
+        |FROM p GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
     // q104: q69's gram relation, severity-profiled per source
     "q104_contamination_profile" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),

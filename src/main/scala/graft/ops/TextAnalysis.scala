@@ -575,6 +575,40 @@ object TextAnalysis {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q117: cross-SOURCE span matrix — which sources re-serve each
+    * other's passages, rolled up from the q105 pair relation: per
+    * unordered source pair, how many doc pairs share exact winnowed
+    * spans and how many fingerprints they share in total. q88 answers
+    * this at whole-doc granularity (MinHash near-dups); this is the
+    * sub-document version — the read that catches a source
+    * wholesale-quoting another's content without ever producing
+    * near-duplicate documents (syndication, mirror-with-banner,
+    * scraped-quote aggregators).
+    *
+    * Shape: identical to q105 up to the pair aggregate (shared session
+    * winnow stage, eligibility window 2..maxFpPopulation, fp equi-join),
+    * then one |sources|²-bounded rollup. Zero marginal corpus work. */
+  def sourceSpanMatrix(spark: SparkSession, dir: String, k: Int = 20,
+      w: Int = 8, maxFpPopulation: Int = 100): DataFrame = {
+    val sel = winnowStage(spark, dir, k, w)
+      .select(col("doc_id"), col("source"), explode(col("fps")).as("fp"))
+    val eligible = sel.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2 && col("n") <= maxFpPopulation)
+      .select("fp")
+    val e = sel.join(eligible, Seq("fp"))
+    val sless = col("a.source") <= col("b.source")
+    e.as("a").join(e.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        when(sless, col("a.source")).otherwise(col("b.source")).as("src_a"),
+        when(sless, col("b.source")).otherwise(col("a.source")).as("src_b"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_doc_pairs"), sum(col("n_shared")).as("n_shared_fps"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** q106: vocabulary frequency-of-frequency (Zipf) profile — term
     * counts bucketed by power of two (`bucket = floor(log2(count)) + 1`,
     * computed as `length(bin(count))` so both engines bucket by INTEGER
