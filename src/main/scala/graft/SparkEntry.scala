@@ -186,6 +186,9 @@ object SparkEntry {
     // cross-source span matrix: q105's pair relation rolled up to
     // unordered source pairs — sub-document syndication detection
     "q117_source_span_matrix" -> ((s, d) => TextAnalysis.sourceSpanMatrix(s, d)),
+    // capped temperature-mixture budget allocation: q98's weights +
+    // epoch caps + one redistribution round
+    "q118_budget_allocation" -> ((s, d) => Sampling.budgetAllocation(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1193,6 +1196,34 @@ object SparkEntry {
         |  round(sum(tf * ln(total * 1.0 / term_count)) / sum(tf), 4) AS nll
         |FROM tf JOIN lm USING (term) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q118: mirrors Sampling.budgetAllocation — identical pow/association
+    // (the q98 precedent for |sources|-row FP sums), allocations rounded
+    // to whole tokens at the end
+    "q118_budget_allocation" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |st AS (SELECT sum(pow(n_tokens, 0.3)) AS sw, sum(n_tokens) AS total FROM s),
+        |r1 AS (SELECT source, n_docs, n_tokens,
+        |    pow(n_tokens, 0.3) AS w,
+        |    1.0 * n_tokens AS cap,
+        |    0.9 * total AS budget,
+        |    0.9 * total * pow(n_tokens, 0.3) / sw AS a1,
+        |    sw
+        |  FROM s CROSS JOIN st),
+        |r1c AS (SELECT *, a1 > cap AS capped FROM r1),
+        |rd AS (SELECT sum(CASE WHEN capped THEN cap ELSE 0.0 END) AS capped_tok,
+        |         sum(CASE WHEN NOT capped THEN w ELSE 0.0 END) AS nc_sw
+        |       FROM r1c),
+        |fin AS (SELECT source, n_docs, n_tokens, w, sw, capped,
+        |    CASE WHEN capped THEN cap
+        |         ELSE least((budget - capped_tok) * w / nc_sw, cap) END AS fin
+        |  FROM r1c CROSS JOIN rd)
+        |SELECT source, n_docs, n_tokens,
+        |  round(w / sw, 6) AS mix_p, capped,
+        |  CAST(round(fin, 0) AS BIGINT) AS alloc_tokens,
+        |  round(CAST(round(fin, 0) AS BIGINT) * 1.0 / n_tokens, 4) AS epochs
+        |FROM fin ORDER BY source""".stripMargin,
     "q98_source_mixing" ->
       """WITH s AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens

@@ -62,6 +62,56 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** q118: capped temperature-mixture BUDGET ALLOCATION — the step after
+    * q98's mixing weights that a real pre-training config needs: given a
+    * token budget (`budgetFrac` of the corpus) and temperature-weighted
+    * mixture probabilities, how many tokens does each source actually
+    * contribute once no source may exceed `maxEpochs` passes over its
+    * own data? Round 1 allocates `budget·wᵢ/Σw`; sources pushed past
+    * their cap are pinned there and the freed budget redistributes over
+    * the uncapped sources' weights (one redistribution round — a second
+    * round only re-clips, so the remainder after re-clipping is
+    * reported as unallocated in `epochs` terms rather than looped on).
+    *
+    * Scale shape: as q98 — one map-side-combined corpus aggregate to
+    * |sources| rows, then two 1-row broadcast normalizers; nothing
+    * after the first aggregate scales with data. Determinism: the only
+    * FP sums are over |sources| values via the same `pow` expressions
+    * in both engines (the q98 precedent); allocations round to whole
+    * tokens at the end. */
+  def budgetAllocation(spark: SparkSession, dir: String, alpha: Double = 0.3,
+      budgetFrac: Double = 0.9, maxEpochs: Double = 1.0): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.nTokens(col("text"))).as("n_tokens"))
+    val stats = perSource.agg(
+      sum(pow(col("n_tokens"), lit(alpha))).as("sw"),
+      sum(col("n_tokens")).as("total"))
+    val r1 = perSource.crossJoin(broadcast(stats))
+      .withColumn("w", pow(col("n_tokens"), lit(alpha)))
+      .withColumn("cap", lit(maxEpochs) * col("n_tokens"))
+      .withColumn("budget", lit(budgetFrac) * col("total"))
+      .withColumn("a1", col("budget") * col("w") / col("sw"))
+      .withColumn("capped", col("a1") > col("cap"))
+    val redis = r1.agg(
+      sum(when(col("capped"), col("cap")).otherwise(lit(0.0))).as("capped_tok"),
+      sum(when(!col("capped"), col("w")).otherwise(lit(0.0))).as("nc_sw"))
+    r1.crossJoin(broadcast(redis))
+      .withColumn("fin",
+        when(col("capped"), col("cap"))
+          .otherwise(least(
+            (col("budget") - col("capped_tok")) * col("w") / col("nc_sw"),
+            col("cap"))))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("w") / col("sw"), 6).as("mix_p"),
+        col("capped"),
+        round(col("fin"), 0).cast("long").as("alloc_tokens"),
+        round(round(col("fin"), 0).cast("long") * lit(1.0) / col("n_tokens"), 4)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
   /** Shard-count derivation for [[exportShuffle]]: hex nibbles of the
     * md5 used as the shard key, holding the expected shard population
     * near `targetPop` — `nibbles = ceil(log16(n / targetPop))` clamped
