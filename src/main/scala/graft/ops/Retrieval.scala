@@ -91,13 +91,28 @@ object Retrieval {
                topK: Int = 5, salts: Int = 32,
                indexed: Boolean = false): DataFrame = {
     import spark.implicits._
+    val queryTerms = queries.toDF("query_id", "qtext")
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(TextAnalysis.tokens(col("qtext"))).as("term"))
+      .distinct()
+    bm25Rank(Tables.documents(spark, dir),
+      if (indexed) Some(postingsStage(spark, dir)) else None,
+      queryTerms, topK, salts, excludeSelf = false)
+  }
 
-    val docs = Tables.documents(spark, dir)
+  /** BM25 ranking for an arbitrary (query_id, term) relation — the
+    * shared engine of [[bm25TopK]] (literal queries) and
+    * [[contaminationRetrieval]] (queries derived from eval docs).
+    * `excludeSelf` drops the doc whose id equals the query_id before
+    * ranking (for corpus-derived queries, the source doc is a
+    * degenerate guaranteed top hit). */
+  private def bm25Rank(docs: DataFrame, postings: Option[DataFrame],
+      queryTerms: DataFrame, topK: Int, salts: Int, excludeSelf: Boolean): DataFrame = {
     val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-    val dl =
-      if (indexed) postingsStage(spark, dir).select(col("doc_id"), col("dl"))
-        .dropDuplicates("doc_id")
-      else toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val dl = postings match {
+      case Some(p) => p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+      case None => toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    }
 
     // 1-row corpus stats; avgdl written as sum*1.0/count in BOTH engines
     val corpus = dl.agg(
@@ -105,25 +120,19 @@ object Retrieval {
       sum(col("dl")).as("sum_dl"))
       .withColumn("avgdl", col("sum_dl") * lit(1.0) / col("n_docs"))
 
-    // distinct (query_id, term) — tiny, broadcast into the postings join
-    val queryTerms = queries.toDF("query_id", "qtext")
-      .select(col("query_id").cast("long").as("query_id"),
-        explode(TextAnalysis.tokens(col("qtext"))).as("term"))
-      .distinct()
-
     // candidate postings: only (doc, term) pairs where term is a query
     // term survive — default mode prunes BEFORE the tf aggregation so
     // the corpus-side shuffle carries only query-term positions
-    val tf =
-      if (indexed)
-        postingsStage(spark, dir)
-          .join(broadcast(queryTerms), "term")
+    val tf = postings match {
+      case Some(p) =>
+        p.join(broadcast(queryTerms), "term")
           .select(col("query_id"), col("doc_id"), col("term"), col("tf"))
-      else
+      case None =>
         toks.select(col("doc_id"), explode(col("toks")).as("term"))
           .join(broadcast(queryTerms), "term")
           .groupBy(col("query_id"), col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
+    }
 
     // df over candidate postings only (a term may appear in several
     // queries; df is per-term, so count distinct docs per term)
@@ -138,14 +147,67 @@ object Retrieval {
       (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) *
       lit(1e6), 0).cast("long")
 
-    val scored = tf
+    val scoredAll = tf
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .select(col("query_id"), col("doc_id"), wMicros.as("sm"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("sm")).as("sm"))
+    // df/idf stay corpus-true; self-exclusion only removes the
+    // degenerate hit from the RANKING
+    val scored =
+      if (excludeSelf) scoredAll.where(col("doc_id") =!= col("query_id"))
+      else scoredAll
 
+    rankTopK(scored, topK, salts)
+  }
+
+  /** q119: retrieval-based contamination TRIAGE — for each eval doc
+    * (the q69 stand-in eval set, `doc_id % 97 == 0`), use its opening
+    * tokens as a search query, retrieve the top-k training docs by
+    * BM25 (the eval doc itself excluded — it is a guaranteed degenerate
+    * hit), and count the word 5-grams each hit shares with that eval
+    * doc. The triage read behind "the benchmark leaked": gram overlap
+    * (q69) catches verbatim contamination; ranking by BM25 surfaces the
+    * near-verbatim and paraphrase-adjacent docs an n-gram filter
+    * misses, ordered by how retrievable they are from the eval prompt.
+    *
+    * Scale shape: eval sets are tiny, so the derived query terms
+    * broadcast exactly like q110's literals; the gram join runs only on
+    * |queries|·k retrieved pairs versus the (broadcast) eval grams —
+    * the corpus gram relation streams past it, never shuffling. */
+  def contaminationRetrieval(spark: SparkSession, dir: String,
+      prefixTokens: Int = 8, topK: Int = 5, salts: Int = 32): DataFrame =
+    contaminationRetrievalOf(Tables.documents(spark, dir), prefixTokens, topK, salts)
+
+  /** The q119 pipeline over any (doc_id, text) relation — split out so
+    * the planted-contamination spec can drive a corpus where an eval
+    * doc's passage verbatim-leaks into a known training doc. */
+  private[graft] def contaminationRetrievalOf(docs: DataFrame,
+      prefixTokens: Int, topK: Int, salts: Int): DataFrame = {
+    val queryTerms = docs.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, prefixTokens)))
+          .as("term"))
+    val ranked = bm25Rank(docs, None, queryTerms, topK, salts, excludeSelf = true)
+    val grams = TextAnalysis.docGrams(docs)
+    val evalGrams = grams.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"), col("gram"))
+    val pairGrams = ranked.select(col("query_id"), col("doc_id"))
+      .join(evalGrams, "query_id") // |pairs| × eval grams — broadcast-sized
+    val shared = grams
+      .join(broadcast(pairGrams), Seq("doc_id", "gram"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+    ranked.join(shared, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Salted two-phase top-k over a (query_id, doc_id, sm) relation. */
+  private def rankTopK(scored: DataFrame, topK: Int, salts: Int): DataFrame = {
     // salted two-phase top-k (total order: sm desc, doc_id asc)
     val local = Window.partitionBy(col("query_id"), pmod(hash(col("doc_id")), lit(salts)))
       .orderBy(col("sm").desc, col("doc_id"))
