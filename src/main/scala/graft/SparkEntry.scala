@@ -1076,10 +1076,12 @@ object SparkEntry {
         |FROM v2 ORDER BY pos""".stripMargin,
     // q119: the q110 BM25 chain with queries derived from eval-doc
     // 8-token prefixes, self-hit excluded from the RANKING only (df
-    // stays corpus-true), plus per-hit shared-5-gram counts
+    // stays corpus-true), plus per-hit shared-5-gram counts; the
+    // query-batch cap (doc_id < 10000) covers every eval id at this SF
     "q119_contamination_retrieval" ->
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-        |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok WHERE doc_id % 97 = 0),
+        |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok
+        |      WHERE doc_id % 97 = 0 AND doc_id < 10000),
         |qt AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
         |w AS (SELECT doc_id, unnest(t) AS term FROM tok),
         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),

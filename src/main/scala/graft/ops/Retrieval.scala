@@ -173,20 +173,36 @@ object Retrieval {
     * near-verbatim and paraphrase-adjacent docs an n-gram filter
     * misses, ordered by how retrievable they are from the eval prompt.
     *
-    * Scale shape: eval sets are tiny, so the derived query terms
-    * broadcast exactly like q110's literals; the gram join runs only on
-    * |queries|·k retrieved pairs versus the (broadcast) eval grams —
-    * the corpus gram relation streams past it, never shuffling. */
+    * Scale shape: the postings join fans out per QUERY CONTAINING the
+    * term, so the cost is Σ_positions × (queries sharing that term) —
+    * linear in the corpus only while the query batch is bounded.
+    * `queryCap` bounds the batch (eval ids below it): the stand-in
+    * eval-id rule (`% 97`) grows WITH the corpus, and an uncapped run
+    * at the 100× corpus (≈5 200 simultaneous queries over a small
+    * shared vocabulary) measured 56–85 s of pure fan-out vs ~1 s
+    * capped. A full eval sweep runs this in successive id-range
+    * batches — exactly how a production triage job pages through a
+    * benchmark suite — keeping every batch's shuffle bounded
+    * regardless of corpus or eval-suite size. The default covers every
+    * eval id at the sf0.01 gate (all ids < 500), so the oracle pins
+    * the same relation.
+    *
+    * The gram join runs only on |queries|·k retrieved pairs versus the
+    * (broadcast) eval grams — the corpus gram relation streams past
+    * it, never shuffling. */
   def contaminationRetrieval(spark: SparkSession, dir: String,
-      prefixTokens: Int = 8, topK: Int = 5, salts: Int = 32): DataFrame =
-    contaminationRetrievalOf(Tables.documents(spark, dir), prefixTokens, topK, salts)
+      prefixTokens: Int = 8, topK: Int = 5, salts: Int = 32,
+      queryCap: Long = 10000L): DataFrame =
+    contaminationRetrievalOf(Tables.documents(spark, dir), prefixTokens, topK, salts,
+      queryCap)
 
   /** The q119 pipeline over any (doc_id, text) relation — split out so
     * the planted-contamination spec can drive a corpus where an eval
     * doc's passage verbatim-leaks into a known training doc. */
   private[graft] def contaminationRetrievalOf(docs: DataFrame,
-      prefixTokens: Int, topK: Int, salts: Int): DataFrame = {
-    val queryTerms = docs.where(col("doc_id") % 97 === 0)
+      prefixTokens: Int, topK: Int, salts: Int,
+      queryCap: Long = 10000L): DataFrame = {
+    val queryTerms = docs.where(col("doc_id") % 97 === 0 && col("doc_id") < queryCap)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, prefixTokens)))
           .as("term"))
