@@ -48,6 +48,37 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(missing == 0, s"$missing indexed docs failed to collide with their own bands")
   }
 
+  test("the gate is stateless across micro-batches: two triggers, same verdicts") {
+    val dir = Files.createTempDirectory("graft-neardup-stream2")
+    // two files -> two micro-batches at maxFilesPerTrigger=1; doc_ids
+    // shift in the second copy so batches carry distinct docs
+    Files.copy(java.nio.file.Path.of(s"$sfDir/documents.parquet"),
+      dir.resolve("documents_1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val shifted = Tables.documents(spark, sfDir)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    shifted.write.mode("append").parquet(dir.toString)
+
+    val idx = Dedup.bandIndex(spark, sfDir).cache()
+    val stream = DocumentsStreaming.readDocuments(spark, dir.toString)
+    EventsStreaming.runToMemory(
+      DocumentsStreaming.nearDupCandidates(stream, idx),
+      "neardup_stream2", OutputMode.Append())
+    val streamed = spark.table("neardup_stream2")
+      .select("doc_id", "band", "band_key").distinct()
+
+    val batchInput = spark.read.parquet(dir.toString)
+    val batch = DocumentsStreaming.nearDupCandidates(batchInput, idx)
+      .select("doc_id", "band", "band_key").distinct()
+    // same text at a shifted id must collide identically (keys are
+    // content-only), and the per-batch verdicts must union to the batch
+    // answer — no state carried or lost between triggers
+    assert(streamed.where(col("doc_id") >= 100000L).count() ==
+      streamed.where(col("doc_id") < 100000L).count(),
+      "shifted copies must collide identically to their originals")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "multi-batch stream diverges from the batch answer")
+  }
+
   test("bandIndex covers every band key the pair stage joins on") {
     val idx = Dedup.bandIndex(spark, sfDir)
     val all = Dedup.bandsOf(Dedup.minhashSignatures(spark, sfDir), 8, 2)
