@@ -62,6 +62,9 @@ object SparkEntry {
     // (8,8) at gate scale — matching the static oracle SQL below — and
     // (12,5) at the 100x corpus; AdaptiveLshSpec pins the plateau
     "q38_ann_lsh" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // default path = ADAPTIVE codebook (Similarity.adaptiveIvfConfig):
+    // 16 centroids at gate scale — matching the static oracle SQL below —
+    // and 196 at the 100x corpus; AdaptiveIvfSpec pins the plateau
     "q39_ann_ivf" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "q40_multimodal_meta" -> Multimodal.mediaMeta _,
     "q42_frame_sample" -> Multimodal.frameSample _,
@@ -192,6 +195,11 @@ object SparkEntry {
     // retrieval-based contamination triage: eval-doc prefixes as BM25
     // queries, self-hit excluded, shared 5-grams counted per hit
     "q119_contamination_retrieval" -> ((s, d) => Retrieval.contaminationRetrieval(s, d)),
+    // the documented IVF scale config (64 centroids: list length and with
+    // it scanned rows per query cut 4x at equal nProbe) under the same
+    // hash gate as the 16-centroid plateau default — the q92 discipline
+    // applied to the IVF rung
+    "q120_ann_ivf_scaled" -> ((s, d) => Similarity.ivfTopK(s, d, nCentroids = 64)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -318,8 +326,9 @@ object SparkEntry {
     * bit-identical across engines and partitionings), nearest-centroid
     * assignment, `nProbe` probes, exact cosine within probed lists.
     * Emits `prefix`scored/`prefix`ranked. */
-  private def ivfCtes(nQueries: Int, nProbe: Int = 8, prefix: String = ""): String =
-    s""", cents0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < 16),
+  private def ivfCtes(nQueries: Int, nProbe: Int = 8, prefix: String = "",
+      nCentroids: Int = 16): String =
+    s""", cents0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < $nCentroids),
        |a0 AS (
        |  SELECT u.vec_id, u.u, cent_id, ${cosSql("u.u", "cu")} AS cdot
        |  FROM u CROSS JOIN cents0),
@@ -1335,7 +1344,18 @@ object SparkEntry {
         |       ELSE rn % (128 // bucket) END AS slot,
         |  CAST(n_tok AS BIGINT) AS n_tok
         |FROM r ORDER BY doc_id""".stripMargin,
+    // 16 centroids is what adaptiveIvfConfig derives across the whole
+    // n <= 16384 plateau (the gate corpus is 500 vectors; AdaptiveIvfSpec
+    // pins the band), so this static SQL stays equal to the adaptive
+    // Spark path — the q38 precedent applied to the IVF rung
     "q39_ann_ivf" -> (UnitVecCte + ivfCtes(nQueries = 100) + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // same chain at the scale config (64 centroids, ~8-vector lists at
+    // the 500-vector gate corpus): the codebook, Lloyd round and probe
+    // ladder come from the same parameterized CTEs as q39
+    "q120_ann_ivf_scaled" -> (UnitVecCte + ivfCtes(nQueries = 100, nCentroids = 64) + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),

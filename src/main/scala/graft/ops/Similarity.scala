@@ -208,9 +208,52 @@ object Similarity {
         struct(round(col("cdot"), 6), -col("cent_id"))).as("best"))
       .select(col("vec_id"), col("best.cent_id").as("cent_id"), col("best.u").as("u"))
 
+  /** Derive the IVF codebook size from corpus size, holding the expected
+    * inverted-list length ~constant: `nCentroids = ceil(n / 1024)`
+    * clamped to [16, 4096].
+    *
+    * Why adaptive: a query probes `nProbe` lists of ~n/nCentroids
+    * vectors each, so the scanned fraction is nProbe/nCentroids — a
+    * FIXED codebook makes per-query cost LINEAR in corpus size (the
+    * former 16-centroid default scanned nProbe 8/16 = 50 % of the corpus
+    * per query: half-brute-force masquerading as ANN — the exact
+    * fixed-constant disease [[adaptiveLshConfig]] cured for the LSH path
+    * in round 7). Holding list length ~1024 bounds scanned rows per
+    * query at ~8×1024 regardless of n; nProbe stays the recall knob.
+    * Integer ceil division, no floating point, so the plateau edges are
+    * exact (AdaptiveIvfSpec pins them):
+    *   n ≤ 16384   → 16  — the sf0.01 oracle pin (500 vectors) sits on
+    *                  this plateau with 32× headroom against corpus
+    *                  regeneration drift, and the static q39/q62 SQL
+    *                  (16-centroid CTEs) stays equal to the adaptive
+    *                  Spark path by construction
+    *   n = 200000  → 196 — the 100× corpus: scanned fraction 8/196 ≈
+    *                  4 % instead of 50 %
+    *   n ≥ ~4.19M  → 4096 cap — one Lloyd round is a broadcast of
+    *                  nCentroids unit vectors against the corpus; 4096
+    *                  64-dim doubles (~2 MB) broadcasts freely, and
+    *                  beyond the cap the next lever is a two-level
+    *                  coarse quantizer (IVF over centroid shards), not
+    *                  an ever-wider flat codebook. */
+  private[graft] def adaptiveIvfConfig(n: Long): Int = {
+    val targetList = 1024L
+    val lists = (n + targetList - 1) / targetList
+    math.min(4096L, math.max(16L, lists)).toInt
+  }
+
+  /** Resolve an `nCentroids` argument: positive pins a config (q120
+    * gates the scale point; specs pin 16 for the recall ladder), ≤ 0
+    * derives it from the memoized corpus count. */
+  private def ivfConfigEff(spark: SparkSession, dir: String, nCentroids: Int): Int =
+    if (nCentroids > 0) nCentroids
+    else adaptiveIvfConfig(corpusCount(spark, dir))
+
   /** IVF codebook: seed with the first `nCentroids` vectors, then run one
     * deterministic Lloyd round (assign all vectors to nearest seed,
-    * recompute per-cluster means, re-normalize).
+    * recompute per-cluster means, re-normalize). `nCentroids ≤ 0`
+    * (the default) derives the codebook size from the corpus row count
+    * via [[adaptiveIvfConfig]] — list length is held ~constant as the
+    * corpus grows, so the default path carries no scale cliff.
     *
     * The mean is computed over components scaled to 1e6 and summed as
     * LONGS — integer addition is associative, so the result is exact and
@@ -218,9 +261,10 @@ object Similarity {
     * `avg` varies in the last ulp with summation order, which can flip a
     * rounded tie cross-engine). Long overflow headroom: 1e6-scaled unit
     * components sum safely past 1e12 rows per (centroid, dim). */
-  def ivfCentroids(spark: SparkSession, dir: String, nCentroids: Int = 16,
+  def ivfCentroids(spark: SparkSession, dir: String, nCentroids: Int = 0,
       rounds: Int = 1): DataFrame =
-    ivfCentroidsOf(unitEmbeddings(spark, dir), nCentroids, rounds)
+    ivfCentroidsOf(unitEmbeddings(spark, dir),
+      ivfConfigEff(spark, dir, nCentroids), rounds)
 
   private def ivfCentroidsOf(e: DataFrame, nCentroids: Int, rounds: Int = 1): DataFrame = {
     var cents = e.where(col("vec_id") < nCentroids)
@@ -241,10 +285,10 @@ object Similarity {
 
   /** Corpus-side IVF assignment (the inverted file): exposed for plan
     * tests — must contain no Window, only hash aggregates. */
-  def ivfAssignments(spark: SparkSession, dir: String, nCentroids: Int = 16,
+  def ivfAssignments(spark: SparkSession, dir: String, nCentroids: Int = 0,
       rounds: Int = 1): DataFrame = {
     val e = unitEmbeddings(spark, dir)
-    assignNearest(e, ivfCentroidsOf(e, nCentroids, rounds))
+    assignNearest(e, ivfCentroidsOf(e, ivfConfigEff(spark, dir, nCentroids), rounds))
   }
 
   /** IVF-style ANN: assign every vector to its nearest centroid, then
@@ -259,9 +303,12 @@ object Similarity {
     * Extra Lloyd `rounds` buy little here (+0.02 at rounds=2) because
     * the synthetic embeddings are near-isotropic — real text embeddings
     * cluster harder and shift the tradeoff toward more rounds / more
-    * centroids with fewer probes. At larger corpora raise `nCentroids`
-    * (list length ∝ n/nCentroids) and keep nProbe/nCentroids — the
-    * scanned fraction — at whatever the recall target demands. */
+    * centroids with fewer probes. The DEFAULT (`nCentroids ≤ 0`) derives
+    * the codebook size from the corpus row count via
+    * [[adaptiveIvfConfig]] — list length (∝ n/nCentroids) is held
+    * ~constant as the corpus grows, so scanned rows per query stay
+    * bounded; nProbe remains the recall knob (q120 gates the 64-centroid
+    * scale config the way q92 gates LSH). */
   /** Session-scoped IVF index — codebook + corpus assignment trained
     * once per (session, dir, nCentroids, rounds) and kept resident, the
     * same [[StageCache]] discipline as the LSH signature stage: q39 and
@@ -298,10 +345,11 @@ object Similarity {
     (cents, assigned)
   }
 
-  def ivfTopK(spark: SparkSession, dir: String, nCentroids: Int = 16,
+  def ivfTopK(spark: SparkSession, dir: String, nCentroids: Int = 0,
       nProbe: Int = 8, nQueries: Int = 100, k: Int = 3,
       rounds: Int = 1): DataFrame = {
-    val (cents, assigned) = ivfStage(spark, dir, nCentroids, rounds)
+    val (cents, assigned) =
+      ivfStage(spark, dir, ivfConfigEff(spark, dir, nCentroids), rounds)
     ivfProbe(cents, assigned, nProbe, nQueries, k)
   }
 
@@ -338,8 +386,9 @@ object Similarity {
     * directories at scan time (partition pruning carries the "cost ∝
     * corpus/nCentroids × nProbe" argument onto storage). */
   def saveIvfIndex(spark: SparkSession, dir: String, outDir: String,
-      nCentroids: Int = 16, rounds: Int = 1): Unit = {
-    val (cents, assigned) = ivfStage(spark, dir, nCentroids, rounds)
+      nCentroids: Int = 0, rounds: Int = 1): Unit = {
+    val (cents, assigned) =
+      ivfStage(spark, dir, ivfConfigEff(spark, dir, nCentroids), rounds)
     cents.write.mode("overwrite").parquet(s"$outDir/centroids")
     assigned.write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$outDir/assignments")
