@@ -200,6 +200,12 @@ object SparkEntry {
     // hash gate as the 16-centroid plateau default — the q92 discipline
     // applied to the IVF rung
     "q120_ann_ivf_scaled" -> ((s, d) => Similarity.ivfTopK(s, d, nCentroids = 64)),
+    // the FULL q119 eval sweep as an API: pages id-range batches and
+    // unions verdicts; batchWidth=200 makes the gate corpus (ids < 500)
+    // exercise 3 real batches against the single-relation oracle — the
+    // paging is proven equal to the uncapped run, not just documented
+    "q123_contamination_sweep" ->
+      ((s, d) => Retrieval.contaminationRetrievalSweep(s, d, batchWidth = 200L)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -1091,6 +1097,47 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
         |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok
         |      WHERE doc_id % 97 = 0 AND doc_id < 10000),
+        |qt AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
+        |w AS (SELECT doc_id, unnest(t) AS term FROM tok),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+        |       FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+        |scored AS (
+        |  SELECT query_id, tf.doc_id,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6, 0) AS BIGINT) AS sm
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+        |agg AS (SELECT query_id, doc_id, sum(sm) AS sm FROM scored
+        |        WHERE doc_id <> query_id GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg),
+        |topk AS (SELECT * FROM ranked WHERE rank <= 5),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+        |                for i in range(1, len(t) - 3)]) AS gram
+        |      FROM tok WHERE len(t) >= 5),
+        |ev AS (SELECT doc_id AS query_id, gram FROM g WHERE doc_id % 97 = 0),
+        |sh AS (SELECT r.query_id, r.doc_id, count(*) AS n_shared_grams
+        |       FROM topk r JOIN ev ON ev.query_id = r.query_id
+        |       JOIN g ON g.doc_id = r.doc_id AND g.gram = ev.gram
+        |       GROUP BY 1, 2)
+        |SELECT r.query_id, r.doc_id, r.score, r.rank,
+        |  COALESCE(sh.n_shared_grams, 0) AS n_shared_grams
+        |FROM topk r LEFT JOIN sh ON sh.query_id = r.query_id AND sh.doc_id = r.doc_id
+        |ORDER BY r.query_id, rank""".stripMargin,
+    // q123: the sweep pages disjoint exhaustive id ranges whose union is
+    // exactly the uncapped eval set, so the oracle is q119's single
+    // relation WITHOUT the batch cap — one SQL, three Spark batches
+    "q123_contamination_sweep" ->
+      """WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok
+        |      WHERE doc_id % 97 = 0),
         |qt AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
         |w AS (SELECT doc_id, unnest(t) AS term FROM tok),
         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
