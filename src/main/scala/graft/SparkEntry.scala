@@ -200,6 +200,11 @@ object SparkEntry {
     // hash gate as the 16-centroid plateau default — the q92 discipline
     // applied to the IVF rung
     "q120_ann_ivf_scaled" -> ((s, d) => Similarity.ivfTopK(s, d, nCentroids = 64)),
+    // pixel-level image near-dup: REAL PNG encode (doc-varied filter/
+    // level/chunking destroys byte equality) -> REAL decode -> aHash ->
+    // banded bucket join — catches the re-encoded/resized duplicates the
+    // exact-payload rung (q116) is blind to
+    "q121_perceptual_image_dups" -> ((s, d) => Multimodal.perceptualDups(s, d)),
     // the FULL q119 eval sweep as an API: pages id-range batches and
     // unions verdicts; batchWidth=200 makes the gate corpus (ids < 500)
     // exercise 3 real batches against the single-relation oracle — the
@@ -1131,6 +1136,45 @@ object SparkEntry {
         |  COALESCE(sh.n_shared_grams, 0) AS n_shared_grams
         |FROM topk r LEFT JOIN sh ON sh.query_id = r.query_id AND sh.doc_id = r.doc_id
         |ORDER BY r.query_id, rank""".stripMargin,
+    // q121: the oracle computes the aHash from the PIXEL RULE directly —
+    // the Spark side goes pixels -> real PNG encode (varied settings) ->
+    // real decode -> aHash, and the round-trip is an identity on pixels,
+    // so both relations agree by construction (the q71/q75 gate pattern).
+    // Integer-only block/mean math; hash packed as two sub-2^32 halves
+    // (no signed-overflow edge at bit 63); band cap keyed on the
+    // injective band*65536+key composite; hamming via bit_count(xor)
+    "q121_perceptual_image_dups" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE text IS NOT NULL AND length(text) >= 1),
+        |c AS (SELECT doc_id,
+        |        [unicode(text[i]) % 256 for i in range(1, length(text) + 1)] AS cps
+        |      FROM d),
+        |px AS (SELECT doc_id, [cps[(p % len(cps)) + 1] for p in range(0, 256)] AS px
+        |       FROM c),
+        |blk AS (SELECT doc_id,
+        |    [(px[(b // 8) * 32 + (b % 8) * 2 + 1] + px[(b // 8) * 32 + (b % 8) * 2 + 2]
+        |      + px[(b // 8) * 32 + (b % 8) * 2 + 17] + px[(b // 8) * 32 + (b % 8) * 2 + 18]) // 4
+        |     for b in range(0, 64)] AS blocks
+        |  FROM px),
+        |m AS (SELECT doc_id, blocks, list_sum(blocks) // 64 AS mean FROM blk),
+        |hh AS (SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN blocks[b + 1] > mean
+        |      THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS hi,
+        |    CAST(list_sum([CASE WHEN blocks[b + 33] > mean
+        |      THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS lo
+        |  FROM m),
+        |bd AS (SELECT doc_id, hi, lo,
+        |    b * 65536 + (CASE b WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
+        |                        WHEN 2 THEN lo >> 16 ELSE lo & 65535 END) AS bk
+        |  FROM hh, (SELECT unnest(range(4)) AS b)),
+        |hot AS (SELECT bk FROM (SELECT bk, count(*) AS n FROM bd GROUP BY bk)
+        |        WHERE n > 1000),
+        |cool AS (SELECT * FROM bd WHERE bk NOT IN (SELECT bk FROM hot))
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        |FROM cool a JOIN cool b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // q123: the sweep pages disjoint exhaustive id ranges whose union is
     // exactly the uncapped eval set, so the oracle is q119's single
     // relation WITHOUT the batch cap — one SQL, three Spark batches

@@ -356,6 +356,299 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Minimal PNG writer for 8-bit GRAYSCALE images — real zlib DEFLATE
+    * (java.util.zip.Deflater), real CRC32 chunk checksums, all five PNG
+    * scanline filter types. The encoder knobs (`filterType`, compression
+    * `level`, IDAT `chunk` split) exist so the SAME pixels can be
+    * written as byte-DIFFERENT payloads — exactly what a re-encoded
+    * duplicate image looks like in a crawl, and what [[perceptualDups]]
+    * must catch where exact payload hashing ([[frameDups]]) cannot.
+    * Synthesis counterpart of [[pngDecode]], as [[wavBytes]] is for
+    * [[audioHeader]] (reference parity note: the reference engine,
+    * Converter.go:1-565, has no media path at all — this whole rung is
+    * the training-pipeline extension surface). */
+  def pngBytes(width: Int, height: Int, gray: Array[Int],
+      filterType: Int = 0, level: Int = 6,
+      chunk: Int = Int.MaxValue): Array[Byte] = {
+    require(gray.length == width * height, "pixel count must match dimensions")
+    require(filterType >= 0 && filterType <= 4, "PNG filter types are 0-4")
+    // per-row filtering (bpp = 1): raw(x-1) is `left`, prior(x) is `up`
+    val raw = new Array[Byte]((width + 1) * height)
+    var r = 0
+    while (r < height) {
+      raw(r * (width + 1)) = filterType.toByte
+      var c = 0
+      while (c < width) {
+        val x = gray(r * width + c)
+        val left = if (c > 0) gray(r * width + c - 1) else 0
+        val up = if (r > 0) gray((r - 1) * width + c) else 0
+        val ul = if (r > 0 && c > 0) gray((r - 1) * width + c - 1) else 0
+        val f = filterType match {
+          case 0 => x
+          case 1 => x - left
+          case 2 => x - up
+          case 3 => x - (left + up) / 2
+          case 4 => // Paeth predictor
+            val p = left + up - ul
+            val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            x - pred
+        }
+        raw(r * (width + 1) + 1 + c) = f.toByte
+        c += 1
+      }
+      r += 1
+    }
+    val deflater = new java.util.zip.Deflater(level)
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](4096)
+    while (!deflater.finished()) zbuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+    val z = zbuf.toByteArray
+    def chunkBytes(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length); out.put(typ.getBytes("US-ASCII")); out.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width); ihdr.putInt(height)
+    ihdr.put(8.toByte); ihdr.put(0.toByte) // bit depth 8, color type 0 (gray)
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte) // deflate/adaptive/no-interlace
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(chunkBytes("IHDR", ihdr.array()))
+    var off = 0 // IDAT may split at any byte boundary; decoders concatenate
+    while (off < z.length || off == 0) {
+      val n = math.min(chunk, z.length - off)
+      out.write(chunkBytes("IDAT", java.util.Arrays.copyOfRange(z, off, off + n)))
+      off += math.max(n, 1)
+    }
+    out.write(chunkBytes("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Real PNG decode for the 8-bit grayscale profile [[pngBytes]] emits:
+    * signature + IHDR validation, IDAT concatenation across chunk
+    * splits, zlib INFLATE, and reversal of all five scanline filters.
+    * Returns (width, height, pixels); None for non-PNG payloads or
+    * profiles outside 8-bit gray — the scan-phase contract, like
+    * [[audioHeader]]/[[videoHeader]]: bytes in, typed media out. */
+  def pngDecode(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def tag(i: Int, s: String): Boolean = (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 45 || be32(0) != 0x89504e47L || be32(4) != 0x0d0a1a0aL) return None
+    if (!tag(12, "IHDR") || be32(8) != 13) return None
+    val width = be32(16).toInt; val height = be32(20).toInt
+    if (width <= 0 || height <= 0 || u8(24) != 8 || u8(25) != 0) return None
+    val z = new java.io.ByteArrayOutputStream()
+    var i = 33 // first chunk after IHDR
+    while (i + 12 <= p.length && !tag(i + 4, "IEND")) {
+      val sz = be32(i)
+      if (i + 12 + sz > p.length) return None
+      if (tag(i + 4, "IDAT")) z.write(p, i + 8, sz.toInt)
+      i += 12 + sz.toInt
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(z.toByteArray)
+    val raw = new Array[Byte]((width + 1) * height)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    if (got < raw.length) return None
+    val gray = new Array[Int](width * height)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (width + 1)) & 0xff
+      if (ft > 4) return None
+      var c = 0
+      while (c < width) {
+        val f = raw(r * (width + 1) + 1 + c) & 0xff
+        val left = if (c > 0) gray(r * width + c - 1) else 0
+        val up = if (r > 0) gray((r - 1) * width + c) else 0
+        val ul = if (r > 0 && c > 0) gray((r - 1) * width + c - 1) else 0
+        val x = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 =>
+            val pp = left + up - ul
+            val (pa, pb, pc) = (math.abs(pp - left), math.abs(pp - up), math.abs(pp - ul))
+            f + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        gray(r * width + c) = x & 0xff
+        c += 1
+      }
+      r += 1
+    }
+    Some((width, height, gray))
+  }
+
+  /** 8×8 block-average perceptual hash (aHash) over decoded grayscale
+    * pixels, returned as two 32-bit halves packed in LONGs (hi = blocks
+    * 0-31, lo = blocks 32-63; block b maps to bit 31-(b mod 32), first
+    * block most significant — the [[graft.ops.Similarity]] sign-bucket
+    * convention). Two halves rather than one 64-bit word keep every
+    * value positive and below 2^32, so the DuckDB oracle mirrors the
+    * packing with no signed-overflow edge at bit 63.
+    *
+    * All INTEGER math (block mean = floor, global mean = floor, bit =
+    * strictly-greater test), so the hash is bit-identical across
+    * engines. Resolution-independent by construction: any width/height
+    * that are multiples of 8 fold to the same 8×8 grid, so a clean k×
+    * upscale of an image block-averages to the SAME hash — the resized
+    * near-dup case exact payload hashing cannot see. */
+  def aHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) = {
+    require(w % 8 == 0 && h % 8 == 0, "aHash folds dims that are multiples of 8")
+    val bw = w / 8; val bh = h / 8
+    val blocks = new Array[Long](64)
+    var bi = 0
+    while (bi < 8) {
+      var bj = 0
+      while (bj < 8) {
+        var s = 0L
+        var r = bi * bh
+        while (r < (bi + 1) * bh) {
+          var c = bj * bw
+          while (c < (bj + 1) * bw) { s += gray(r * w + c); c += 1 }
+          r += 1
+        }
+        blocks(bi * 8 + bj) = s / (bw.toLong * bh)
+        bj += 1
+      }
+      bi += 1
+    }
+    val mean = blocks.sum / 64
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (blocks(b) > mean) {
+        if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Deterministic 16×16 grayscale pixel synthesis from document text:
+    * pixel p = codePoint((p mod len)) mod 256 — the stand-in for the
+    * missing image column, shared verbatim with the q121 oracle's
+    * `unicode(text[i]) % 256` comprehension (code-POINT indexed on both
+    * sides, the Winnow precedent for supplementary characters). */
+  private[graft] def pixelsOf(text: String): Array[Int] = {
+    val cps = text.codePoints().toArray
+    Array.tabulate(256)(p => cps(p % cps.length) % 256)
+  }
+
+  /** Per-document perceptual hash relation (doc_id, hi, lo): synthesize
+    * the 16×16 PNG with doc-VARIED encoder settings (filter type,
+    * compression level, IDAT chunking — so byte-level equality is
+    * destroyed even for identical pixels), then run the REAL decode and
+    * aHash. The encode→decode round-trip is an identity on pixels, which
+    * is what lets the DuckDB oracle compute the same hashes from the
+    * pixel rule directly — the q71/q75 gate pattern: synthesis stands in
+    * for the missing column, the decoder is the operator under test. */
+  private[graft] def imageAHashOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .where(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val png = pngBytes(16, 16, pixelsOf(text),
+            filterType = (id % 5).toInt, level = (id % 9).toInt + 1,
+            chunk = if (id % 2 == 0) Int.MaxValue else 64)
+          val (w, h, gray) = pngDecode(png)
+            .getOrElse(throw new IllegalStateException(s"unparseable PNG for doc $id"))
+          val (hi, lo) = aHash64(gray, w, h)
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+  }
+
+  /** q121: perceptual image near-dup pairs — the pixel-level rung the
+    * exact-payload rung ([[frameDups]], q116) cannot reach: a
+    * re-encoded, re-compressed, or cleanly resized duplicate image has
+    * different BYTES but the same (or near-same) aHash. Candidates are
+    * pairs sharing ≥1 of four 16-bit hash bands (the banded equi-join
+    * discipline of the text ladder — cost ∝ collisions, never payload
+    * pairs), hot bands are population-capped via the SAME guard as
+    * MinHash ([[Dedup.capBands]] — a mass-duplicated logo would
+    * otherwise go quadratic in one band), and candidates are verified
+    * by exact 64-bit hamming distance ≤ `maxHamming`, computed inside
+    * the join stage (hashes ride the band rows — the q95 discipline;
+    * only survivors reach the distinct).
+    *
+    * Band soundness (pigeonhole): a pair within hamming ≤ 3 differs in
+    * at most 3 of the 4 bands, so it shares at least one band —
+    * candidate generation is EXACT (zero recall loss) at the default
+    * maxHamming = 3; larger thresholds shade into the standard banded
+    * approximation. */
+  def perceptualDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBandPopulation: Int = 1000): DataFrame =
+    perceptualDupsOfHashes(imageAHashOf(Tables.documents(spark, dir)),
+      maxHamming, maxBandPopulation)
+      .orderBy("doc_a", "doc_b")
+
+  /** The q121 pipeline over DECODED payloads — drives [[pngDecode]] on
+    * arbitrary PNG bytes (rows that fail to decode as 8-bit gray PNG are
+    * dropped: the scan-phase skip, not an error). Used by the planted
+    * re-encode/resize spec, where byte-different payloads of the same
+    * pixels must land in one bucket. */
+  private[graft] def perceptualDupsOfPayloads(media: Dataset[MediaRecord],
+      maxHamming: Int, maxBandPopulation: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media
+      .mapPartitions { batch =>
+        batch.flatMap { r =>
+          pngDecode(r.payload).collect {
+            case (w, h, gray) if w % 8 == 0 && h % 8 == 0 =>
+              val (hi, lo) = aHash64(gray, w, h)
+              (r.doc_id, hi, lo)
+          }
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+    perceptualDupsOfHashes(hashes, maxHamming, maxBandPopulation)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Band + verify over a (doc_id, hi, lo) hash relation: four 16-bit
+    * bands per hash, capped, self equi-joined, hamming-verified in the
+    * join stage. */
+  private def perceptualDupsOfHashes(hashes: DataFrame,
+      maxHamming: Int, maxBandPopulation: Int): DataFrame = {
+    val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L))))
+        .as(Seq("band", "band_key")))
+    val capped = Dedup.capBands(bands, maxBandPopulation)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) +
+          bit_count(col("a.lo").bitwiseXOR(col("b.lo")))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Frame sampling: the 1→N decode shape (one video payload → many frame
     * rows). The STUB samples one "frame" per 100 bytes of payload with a
     * deterministic content hash; a real build swaps the frame expression
