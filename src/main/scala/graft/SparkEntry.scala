@@ -295,12 +295,21 @@ object SparkEntry {
     * Emits `prefix`scored/`prefix`ranked on top of [[UnitVecCte]]. */
   /** The shared sg/tb bucket CTEs: per-vector integer sign keys per
     * table, exploded to (vec_id, tbl, bucket) rows — consumed by the
-    * top-k ladder ([[lshCtes]]) and the near-dup pair query (q95). */
+    * top-k ladder ([[lshCtes]]) and the near-dup pair query (q95).
+    * Each key bit is the dot-sign against a seeded random hyperplane:
+    * the integer weights come from the SAME generator the Spark side
+    * embeds ([[graft.ops.Similarity.hyperplaneWeight]]), written as an
+    * explicit left-associated term chain so the summation order matches
+    * the codegen'd DotProduct loop term for term (integer weights are
+    * exactly representable — no decimal-formatting ulp risk). */
   private def lshBucketCtes(bits: Int, nTables: Int): String = {
     val buckets = (0 until nTables).map { t =>
-      (1 to bits).map(i =>
-        s"(CASE WHEN u[${t * bits + i}] >= 0 THEN ${1 << (bits - i)} ELSE 0 END)")
-        .mkString(" + ")
+      (1 to bits).map { b =>
+        val dot = (1 to 64)
+          .map(i => s"u[$i] * (${graft.ops.Similarity.hyperplaneWeight(t, b, i)})")
+          .mkString(" + ")
+        s"(CASE WHEN $dot >= 0 THEN ${1 << (bits - b)} ELSE 0 END)"
+      }.mkString(" + ")
     }.mkString("[", ",\n       ", "]")
     s""", sg AS (SELECT vec_id, $buckets AS buckets FROM u),
        |tb AS (

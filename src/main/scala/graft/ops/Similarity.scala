@@ -14,7 +14,7 @@ import graft.functions.VectorFunctions.dotProduct
   *    broadcast nested-loop on the (small) query side; the big side
   *    streams. At 100 TB you bound the left side, never the corpus.
   *  - [[lshTopK]]: multi-table sign-projection LSH with multi-probe —
-  *    `nTables` hash tables over disjoint dim ranges; queries probe each
+  *    `nTables` hash tables over seeded random hyperplanes; queries probe each
   *    table's own bucket plus flip-one-bit buckets. Widening `bits`
   *    keeps bucket population bounded as the corpus grows (2^bits
   *    buckets per table); tables and probes buy the recall back.
@@ -87,16 +87,42 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Table-local sign bucket folded into ONE INTEGER key: bit (bits-i)
-    * of the key is the sign of dim offset+i, so the first dim of the
-    * range is the most significant bit. An int key (vs the former
-    * '1'/'0' string code) keeps the probe ladder a constant-size
-    * expression — flipping bucket bits is `bucket XOR mask`, not string
-    * surgery — and the (tbl, bucket) equi-join shuffles 4-byte keys. */
-  private def signBucketInt(u: Column, offset: Int, bits: Int): Column =
-    (1 to bits).map(i =>
-      when(element_at(u, offset + i) >= 0, lit(1 << (bits - i))).otherwise(lit(0)))
-      .reduce(_ + _)
+  /** Seeded random-hyperplane component: (table, bit, dim) → an integer
+    * weight in [-512, 511] via a splitmix64 finalizer over the mixed
+    * coordinates. INTEGER weights on purpose: both engines see the same
+    * exactly-representable double literals (no decimal-formatting ulp
+    * risk), and an integer lattice direction is as good a random
+    * hyperplane as a Gaussian one for sign-LSH. Deterministic and
+    * dependency-free, so the Spark Column builder and the generated
+    * DuckDB SQL embed the SAME plane set by construction (the
+    * [[probeMasks]] discipline applied to the projection itself). */
+  private[graft] def hyperplaneWeight(t: Int, b: Int, i: Int): Long = {
+    var x = t.toLong * 0x9e3779b97f4a7c15L + b.toLong * 0xc2b2ae3d27d4eb4fL +
+      i.toLong * 0x165667b19e3779f9L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^= x >>> 31
+    (x & 1023L) - 512L
+  }
+
+  /** Table-local sign bucket folded into ONE INTEGER key: bit (bits-b)
+    * of the key is the SIGN OF THE DOT with seeded hyperplane (t, b) —
+    * random-hyperplane sign-LSH (Charikar 2002), replacing the former
+    * disjoint dim-slice signs whose `bits × tables ≤ 64` dim budget
+    * clamped the adaptive ladder at 12 bits. Hyperplanes are independent
+    * per (table, bit), so bits and tables scale freely — the >4096-
+    * bucket regime a 10⁹-vector corpus needs. Each bit is one fused
+    * [[graft.functions.DotProduct]] loop against a LITERAL weight
+    * vector (compact codegen — bits × tables loops, not bits × tables ×
+    * dim scalar terms), summed in index order exactly like the oracle's
+    * left-folded term chain. An int key keeps the probe ladder a
+    * constant-size expression — flipping bucket bits is `bucket XOR
+    * mask` — and the (tbl, bucket) equi-join shuffles 4-byte keys. */
+  private def signBucketInt(u: Column, t: Int, bits: Int, dim: Int): Column =
+    (1 to bits).map { b =>
+      val w = typedLit((1 to dim).map(i => hyperplaneWeight(t, b, i).toDouble))
+      when(dotProduct(u, w) >= 0, lit(1 << (bits - b))).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** The multi-probe mask ladder: XOR-ing a bucket key with each mask
     * enumerates every bucket within hamming distance `maxFlips` (0 =
@@ -127,31 +153,35 @@ object Similarity {
 
   /** Derive (bits, nTables) from corpus size, holding the expected
     * bucket population ~constant: `bits = ceil(log2(n / 16))` clamped to
-    * [8, 12], `nTables = min(8, 64 / bits)` (tables use disjoint dim
-    * ranges of the 64-dim vectors, so the dim budget caps bits×tables).
+    * [8, 20], `nTables = 8`.
     *
     * Why adaptive: bucket population per table is n / 2^bits, and
     * candidate volume per query grows with it — a FIXED bits default
     * that is right at 2k vectors leaves ~780-vector buckets at 200k
     * (measured: the 8×8 default ran 29–62 s on the 100× corpus while
-    * the 12×5 config did the same queries in ~2.9 s at recall@3 1.000 —
-    * BASELINE.md round-6 A/B, gated as q92). Integer ceil-log2, no
-    * floating point, so the plateau edges are exact:
+    * the 12-bit config did the same queries in ~2.9 s at recall@3
+    * 1.000 — BASELINE.md round-6 A/B, gated as q92). Integer ceil-log2,
+    * no floating point, so the plateau edges are exact:
     *   n ≤ 4096   → (8, 8)  — the sf0.01 oracle pin (500 vectors) sits
     *                 mid-plateau with 8× headroom against corpus
     *                 regeneration drift (AdaptiveLshSpec pins the band)
-    *   n = 200000 → (12, 5) — the measured q92 scale config
-    * Beyond the 12-bit clamp the dim budget is spent (13 bits → only 4
-    * disjoint tables); the next scale lever is overlapping-range tables
-    * or a deeper probe ladder, not wider buckets. */
+    *   n = 200000 → (14, 8) — the 100× corpus: ~12-vector buckets
+    *   n ≥ ~8.4M  → (20, 8) — the clamp ceiling
+    * The former ceiling was 12 bits — a DIM-BUDGET artifact of the
+    * dim-slice sign buckets (bits × tables ≤ 64). Buckets are now
+    * seeded random-hyperplane signs ([[hyperplaneWeight]]), independent
+    * per (table, bit), so the clamp is set by probe-ladder growth
+    * instead (the hamming-2 mask count grows ~bits²/2 — 191 probes per
+    * table at 20 bits is still metadata-sized); past the ceiling the
+    * next lever is more tables or a deeper ladder, not wider buckets. */
   private[graft] def adaptiveLshConfig(n: Long): (Int, Int) = {
     val targetPop = 16L
     val buckets = math.max(1L, (n + targetPop - 1) / targetPop)
     val ceilLog2 =
       if (buckets <= 1) 0
       else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
-    val bits = math.max(8, math.min(12, ceilLog2))
-    (bits, math.min(8, 64 / bits))
+    val bits = math.max(8, math.min(20, ceilLog2))
+    (bits, 8)
   }
 
   /** Session-scoped LSH signature stage — (vec_id, u, buckets) with
@@ -170,9 +200,12 @@ object Similarity {
   private[ops] def lshSigBuilds = lshSigCache.builds
 
   /** (vec_id, u) → (vec_id, u, buckets): the signature projection shared
-    * by the session stage and the planted-duplicate recall spec. */
+    * by the session stage and the planted-duplicate recall spec. The
+    * hyperplane set is fixed at the embedding table's 64 dims; shorter
+    * vectors would silently project against the weight prefix
+    * ([[graft.functions.DotProduct]] sums the shorter length). */
   private[ops] def lshSignaturesOf(unit: DataFrame, bits: Int, nTables: Int): DataFrame = {
-    val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t * bits, bits))
+    val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t, bits, dim = 64))
     unit.select(col("vec_id"), col("u"), array(bucketCols: _*).as("buckets"))
   }
 
@@ -406,17 +439,21 @@ object Similarity {
       nProbe, nQueries, k)
 
   /** ANN via multi-table sign-LSH with multi-probe: `nTables` hash
-    * tables, table t keyed by the sign bits of dims [t*bits+1, t*bits+bits];
-    * each query probes its own bucket per table plus every bucket within
-    * hamming distance `maxFlips` (all flip-one and flip-two variants).
-    * Candidate generation is a hash equi-join on (table, bucket) + a
-    * distinct — the same banded shape as MinHash-LSH, never all-pairs.
+    * tables, table t keyed by the dot-signs of `bits` seeded random
+    * hyperplanes ([[hyperplaneWeight]] — independent per (table, bit),
+    * so bits and tables scale free of the 64-dim budget the former
+    * dim-slice keys were clamped by); each query probes its own bucket
+    * per table plus every bucket within hamming distance `maxFlips`
+    * (all flip-one and flip-two variants). Candidate generation is a
+    * hash equi-join on (table, bucket) + a distinct — the same banded
+    * shape as MinHash-LSH, never all-pairs.
     *
-    * Recall ladder (measured at sf0.01, recall@3 vs exact): 1 table ×
-    * 8 bits = 0.02; +flip-one = 0.12; 8 tables = 0.14; 8 tables +
-    * flip-one = 0.66; 8 tables + flip-two = see BASELINE.md. Probe
-    * count per table grows ~bits²/2 (37 at bits=8) but probes are
-    * metadata rows — candidate cost is governed by bucket population.
+    * Recall@3 vs exact at sf0.01 under hyperplane keys: 8×8 + flip-two
+    * = 0.97 — identical to the dim-slice keys' 0.97 (statistically the
+    * same projection family on this near-isotropic corpus; dims ARE
+    * random directions). Probe count per table grows ~bits²/2 (37 at
+    * bits=8, 191 at bits=20) but probes are metadata rows — candidate
+    * cost is governed by bucket population.
     *
     * The DEFAULT (`bits`/`nTables` ≤ 0) derives the configuration from
     * the corpus row count via [[adaptiveLshConfig]] — bucket population
@@ -424,15 +461,15 @@ object Similarity {
     * no scale cliff (a fixed 8-bit default left ~780-vector buckets at
     * 200k vectors: 29–62 s per 100× run vs ~2.9 s adaptive, equal
     * recall). Explicit values pin a config (q92 gates the 12×5 scale
-    * point; specs pin 8×8 for the recall ladder above). */
+    * point; specs pin 8×8 for the recall ladder). */
   def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 200,
       k: Int = 3, bits: Int = 0, nTables: Int = 0,
       maxFlips: Int = 2): DataFrame = {
     val (bitsEff, nTablesEff) =
       if (bits > 0 && nTables > 0) (bits, nTables)
-      else if (bits > 0) (bits, math.min(8, 64 / bits))
+      else if (bits > 0) (bits, 8)
       else adaptiveLshConfig(corpusCount(spark, dir))
-    require(bitsEff * nTablesEff <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
+    require(bitsEff <= 30, "bucket keys fold into one positive Int")
     require(maxFlips >= 0 && maxFlips <= 2, "probe ladder supports hamming 0-2")
     val sig = lshSigStage(spark, dir, bitsEff, nTablesEff)
     val corpus = sig
@@ -489,9 +526,9 @@ object Similarity {
       bits: Int, nTables: Int, maxBucketPopulation: Int): DataFrame = {
     val (bitsEff, nTablesEff) =
       if (bits > 0 && nTables > 0) (bits, nTables)
-      else if (bits > 0) (bits, math.min(8, 64 / bits))
+      else if (bits > 0) (bits, 8)
       else adaptiveLshConfig(corpusCount(spark, dir))
-    require(bitsEff * nTablesEff <= 64, "tables use disjoint dim ranges of the 64-dim vectors")
+    require(bitsEff <= 30, "bucket keys fold into one positive Int")
     nearDupPairsOf(lshSigStage(spark, dir, bitsEff, nTablesEff),
       threshold, maxBucketPopulation)
   }

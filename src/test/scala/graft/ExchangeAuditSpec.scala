@@ -46,7 +46,14 @@ class ExchangeAuditSpec extends AnyFunSuite {
     // runaway tripwire (e.g. a lost broadcast hint turning dim joins
     // into shuffles everywhere), not a precision gate — PlanSpec pins
     // the per-operator shapes that matter.
-    for ((name, n) <- counts)
-      assert(n <= 32, s"$name shuffles $n times — check the plan")
+    // q123 is a UNION of id-range pages, each a bounded q119-shaped
+    // batch — its executed total is pages × per-batch by design, so the
+    // tripwire scales with the page count the build recorded; the
+    // per-page budget is the invariant that must not creep
+    val sweepPages = math.max(1, graft.ops.Retrieval.lastSweepBatches.get())
+    for ((name, n) <- counts) {
+      val cap = if (name == "q123_contamination_sweep") 32 * sweepPages else 32
+      assert(n <= cap, s"$name shuffles $n times — check the plan")
+    }
   }
 }
