@@ -200,6 +200,10 @@ object SparkEntry {
     // hash gate as the 16-centroid plateau default — the q92 discipline
     // applied to the IVF rung
     "q120_ann_ivf_scaled" -> ((s, d) => Similarity.ivfTopK(s, d, nCentroids = 64)),
+    // the BPE training LOOP (q115 is round 1's snapshot): per round the
+    // top pair merges greedily into the vocab state — 5 gated rounds,
+    // bounded driver loop with rounds telemetry
+    "q122_bpe_merges" -> ((s, d) => TextAnalysis.bpeMerges(s, d)),
     // pixel-level image near-dup: REAL PNG encode (doc-varied filter/
     // level/chunking destroys byte equality) -> REAL decode -> aHash ->
     // banded bucket join — catches the re-encoded/resized duplicates the
@@ -390,6 +394,41 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM ${prefix}scored)""".stripMargin
+
+  /** Multi-round BPE CTE chain (mirrors TextAnalysis.bpeMerges round for
+    * round): s0 = per-word char-symbol state over the frequency-weighted
+    * vocab; each round k counts adjacent symbol pairs, takes the LIMIT-1
+    * top pair under the total (n DESC, a, b) tiebreak, and applies the
+    * SAME greedy left-fold merge the Spark side runs (`list_reduce` with
+    * a prepended empty accumulator ≡ the `aggregate` HOF: extend the
+    * tail in place when it equals `a` and the next symbol is `b`, else
+    * append — non-overlapping by construction because the merged tail no
+    * longer equals `a`). chr(31) is the same U+001F separator. */
+  private def bpeCtes(rounds: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM w0 GROUP BY w),
+        |s0 AS (SELECT wc, array_to_string([w[i] for i in range(1, length(w) + 1)], chr(31)) AS s
+        |       FROM wc)""".stripMargin
+    val roundCtes = (1 to rounds).map { k =>
+      s""",
+         |y$k AS (SELECT wc, string_split(s, chr(31)) AS y FROM s${k - 1}),
+         |p$k AS (SELECT u.a AS a, u.b AS b, CAST(sum(wc) AS BIGINT) AS n
+         |  FROM y$k, unnest([{'a': y[i], 'b': y[i + 1]} for i in range(1, len(y))]) AS t(u)
+         |  WHERE len(y) >= 2 GROUP BY u.a, u.b),
+         |t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+         |s$k AS (SELECT wc, list_reduce(list_prepend('', string_split(s, chr(31))),
+         |    (acc, x) -> CASE WHEN acc = '' THEN x
+         |      WHEN string_split(acc, chr(31))[len(string_split(acc, chr(31)))] = t.a AND x = t.b
+         |        THEN acc || x
+         |      ELSE acc || chr(31) || x END) AS s
+         |  FROM s${k - 1}, t$k t)""".stripMargin
+    }.mkString
+    val union = (1 to rounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS round, a, b, n FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"$head$roundCtes\nSELECT round, a, b, n FROM (\n$union)\nORDER BY round"
+  }
 
   private def simhashVotes(src: String): String =
     (1 to 32).flatMap { i =>
@@ -1145,6 +1184,13 @@ object SparkEntry {
         |  COALESCE(sh.n_shared_grams, 0) AS n_shared_grams
         |FROM topk r LEFT JOIN sh ON sh.query_id = r.query_id AND sh.doc_id = r.doc_id
         |ORDER BY r.query_id, rank""".stripMargin,
+    // q122: the merge loop UNROLLED as CTE rounds — per round, pair
+    // counts over the vocab state, the LIMIT-1 top pair under the total
+    // (n DESC, a, b) tiebreak, and the SAME greedy left-fold merge the
+    // Spark side runs (list_reduce here, the aggregate HOF there), so
+    // overlap semantics cannot drift; an exhausted vocabulary empties
+    // every later round's CTEs on both sides identically
+    "q122_bpe_merges" -> bpeCtes(rounds = 5),
     // q121: the oracle computes the aHash from the PIXEL RULE directly —
     // the Spark side goes pixels -> real PNG encode (varied settings) ->
     // real decode -> aHash, and the round-trip is an identity on pixels,

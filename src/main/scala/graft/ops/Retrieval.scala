@@ -289,7 +289,7 @@ object Retrieval {
     val docs = Tables.documents(spark, dir)
     val postings = postingsStage(spark, dir)
     val grams = gramsStage(spark, dir)
-    val maxId = Option(docs.agg(max(col("doc_id"))).head.get(0))
+    val maxId = Option(docs.agg(max(col("doc_id"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     val batches = (0L to maxId by batchWidth).map { lo =>
       contaminationBatch(docs, Some(postings), grams,

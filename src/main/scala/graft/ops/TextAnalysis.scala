@@ -328,6 +328,97 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** Merge rounds the most recent [[bpeMerges]] run executed in this JVM
+    * (−1 before any run) — bench telemetry, the q59 rounds-count
+    * discipline: a run that early-stops (vocabulary fully merged) is
+    * visible in the artifact, not silent. */
+  val lastBpeRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
+
+  /** Symbol separator inside a word's BPE state string — U+001F (unit
+    * separator), not producible by the whitespace tokenizer's
+    * non-whitespace tokens in any corpus this pipeline targets; both
+    * engines split on the same char, so even a hostile token containing
+    * it degrades identically (parity over elegance). */
+  private val BpeSep = "\u001f"
+
+  /** q122: MULTI-round BPE merge training — the actual byte-pair-encoding
+    * training loop, extending q115's single-round snapshot to the merge
+    * SEQUENCE a tokenizer ships: per round, count adjacent symbol pairs
+    * over the word vocabulary (frequency-weighted), take the top pair
+    * (total tiebreak: n desc, a, b), merge it greedily left-to-right in
+    * every word, repeat. Output: (round, a, b, n) — the merge table,
+    * rounds-sized by definition.
+    *
+    * Scale shape (q115's trick, kept through every round): the corpus
+    * aggregates ONCE onto the word vocabulary; every round then works on
+    * the vocab-sized state relation — one pair-count shuffle per round
+    * plus a 1-row top-1 collect (driver-side control flow only, the q59
+    * bounded-loop discipline; [[lastBpeRounds]] records how many rounds
+    * actually ran). The merge itself is a per-word left FOLD (`aggregate`
+    * HOF): append the next symbol, or — when the tail symbol is `a` and
+    * the next is `b` — extend the tail in place. A fold is exactly
+    * greedy non-overlapping BPE ("aaa" + merge(a,a) → [aa, a], because
+    * the merged tail "aa" no longer equals "a"), and the DuckDB oracle
+    * runs the SAME fold via `list_reduce`, so the engines cannot drift
+    * on overlap semantics. Early stop when no pairs remain: the oracle's
+    * round CTEs go empty past that point too, so both sides emit the
+    * same truncated merge table. */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame =
+    bpeMergesOf(Tables.documents(spark, dir), rounds)
+
+  /** The q122 loop over any (doc_id, text) relation — split out so the
+    * hand-computed merge-sequence spec can drive a constructed
+    * vocabulary. */
+  private[graft] def bpeMergesOf(docs: DataFrame, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(rounds >= 1 && rounds <= 1000, "rounds is a bounded driver loop")
+    val wc0 = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    // round-0 state: the word's characters joined by the separator; the
+    // word itself is dropped — only (wc, s) flows through the rounds
+    var state = wc0.select(col("wc"),
+      concat_ws(BpeSep, transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1)))).as("s"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var stop = false
+    while (r <= rounds && !stop) {
+      val syms = state.select(col("wc"), split(col("s"), BpeSep).as("y"))
+      val top = syms
+        .where(size(col("y")) >= 2)
+        .select(col("wc"), explode(transform(sequence(lit(1), size(col("y")) - 1),
+          i => struct(element_at(col("y"), i).as("a"),
+            element_at(col("y"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) stop = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, n))
+        val next = state.select(col("wc"),
+          aggregate(split(col("s"), BpeSep), lit(""),
+            (acc, x) => when(acc === "", x)
+              .when(element_at(split(acc, BpeSep), -1) === lit(a) && x === lit(b),
+                concat(acc, x))
+              .otherwise(concat(acc, lit(BpeSep), x))).as("s"))
+          .cache()
+        next.count()
+        state.unpersist(blocking = false)
+        state = next
+        r += 1
+      }
+    }
+    lastBpeRounds.set(merges.size)
+    state.unpersist(blocking = false)
+    merges.toSeq.toDF("round", "a", "b", "n").orderBy("round")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 5-gram with a held-out eval set (here: `doc_id % 97 == 0` stands in
     * for the benchmark corpus). The standard pre-training contamination

@@ -82,7 +82,7 @@ object ScaleGen {
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
     def offsetOf(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head.getLong(0) + 1L
+      df.agg(max(col(key))).head().getLong(0) + 1L
 
     // one offset per key DOMAIN, shared across every table referencing it
     val customer = read("customer"); val custOff = offsetOf(customer, "c_custkey")
