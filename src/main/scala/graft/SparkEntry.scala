@@ -975,20 +975,22 @@ object SparkEntry {
         |  CAST(sum(n_dup) AS BIGINT) AS dup_fps,
         |  round(sum(n_dup) * 1.0 / sum(n_fps), 4) AS dup_fp_frac
         |FROM pd GROUP BY source ORDER BY source""".stripMargin),
-    // q105: pair enumeration over the same winnowed relation; eligibility
-    // (shared by >= 2 docs) mirrors the Spark side — the population cap
-    // never binds at gate scale, so the oracle omits it (q32/q95
-    // precedent)
+    // q105: pair enumeration over the same winnowed relation; the
+    // eligibility window (shared by 2..100 docs) carries BOTH bounds —
+    // the upper bound is operator SEMANTICS (maxFpPopulation=100), not a
+    // perf-only band cap, so the oracle states it rather than relying on
+    // no gate-scale fingerprint ever reaching population 101
     "q105_dup_span_pairs" -> (WinnowCtes + """,
-        |el AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
+        |el AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
         |e AS (SELECT doc_id, fp FROM sel JOIN el USING (fp))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(count(*) AS BIGINT) AS n_shared_fps
         |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
-    // q117: q105's pair relation rolled up to unordered source pairs
+    // q117: q105's pair relation rolled up to unordered source pairs —
+    // the same two-sided eligibility window, stated for the same reason
     "q117_source_span_matrix" -> (WinnowCtes + """,
-        |el AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) >= 2),
+        |el AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 100),
         |e AS (SELECT doc_id, source, fp FROM sel JOIN el USING (fp)),
         |p AS (SELECT
         |    CASE WHEN a.source <= b.source THEN a.source ELSE b.source END AS src_a,
@@ -1339,9 +1341,12 @@ object SparkEntry {
         |utf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
         |lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS term_count FROM utf GROUP BY term),
         |utot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM utf),
+        |uterms AS (SELECT doc_id, tf,
+        |    CAST(round(tf * ln(total * 1.0 / term_count) * 1e6) AS BIGINT) AS t6
+        |  FROM utf JOIN lm USING (term) CROSS JOIN utot),
         |uni AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |    round(sum(tf * ln(total * 1.0 / term_count)) / sum(tf), 4) AS u_nll
-        |  FROM utf JOIN lm USING (term) CROSS JOIN utot GROUP BY doc_id),
+        |    round(sum(t6) * 1.0 / sum(tf) / 1e6, 4) AS u_nll
+        |  FROM uterms GROUP BY doc_id),
         |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
         |bg AS (SELECT doc_id, u.w1, u.w2 FROM tok,
         |       unnest([{'w1': t[i], 'w2': t[i + 1]} for i in range(1, len(t))]) AS s(u)
@@ -1387,15 +1392,20 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(sum(t6) * 1.0 / count(*) / 1e6, 4) AS nll
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q97: per-(doc, term) contributions cross the unordered SUM as
+    // 1e6-scaled longs (the q113 discipline) — exact under any
+    // partitioning on both engines
     "q97_unigram_logprob" ->
       """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
         |lm AS (SELECT term, CAST(sum(tf) AS BIGINT) AS term_count FROM tf GROUP BY term),
-        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+        |terms AS (SELECT doc_id, tf,
+        |    CAST(round(tf * ln(total * 1.0 / term_count) * 1e6) AS BIGINT) AS t6
+        |  FROM tf JOIN lm USING (term) CROSS JOIN tot)
         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-        |  round(sum(tf * ln(total * 1.0 / term_count)) / sum(tf), 4) AS nll
-        |FROM tf JOIN lm USING (term) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  round(sum(t6) * 1.0 / sum(tf) / 1e6, 4) AS nll
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q118: mirrors Sampling.budgetAllocation — identical pow/association
     // (the q98 precedent for |sources|-row FP sums), allocations rounded
     // to whole tokens at the end

@@ -167,15 +167,18 @@ object Dedup {
     * construction are the SAME as [[minhashSignaturesOf]]/[[bandsOf]];
     * BandKeyParitySpec pins byte-equality of the keys on the corpus.
     *
-    * Built in STAGES by the caller (materialize the digest array column
-    * before slicing): an expression inlined into a higher-order-function
-    * lambda re-evaluates per reference (no CSE across the lambda
-    * boundary — the docShingles lesson), so the k slice-minima must read
-    * a bound digest-array column, not recompute k×nDigests md5s. */
-  private[graft] def rowDigests(text: Column, k: Int = 8): Column = {
+    * Built in STAGES by the caller (materialize the TOKEN column before
+    * the shingle lambda, and the digest array column before slicing): an
+    * expression inlined into a higher-order-function lambda re-evaluates
+    * per reference (no CSE across the lambda boundary — the docShingles
+    * lesson), so this takes a BOUND token-array column — an inlined
+    * `tokens(text)` would re-run the whitespace-split kernel ~3× per
+    * shingle position — and the k slice-minima must likewise read a
+    * bound digest-array column, not recompute k×nDigests md5s. */
+  private[graft] def rowDigests(toks: Column, k: Int = 8): Column = {
     require(k >= 1 && k <= 16, "supported signature widths: 1-16 32-bit slices")
     val nDigests = (k + 3) / 4
-    transform(shingles(TextAnalysis.tokens(text)), s =>
+    transform(shingles(toks), s =>
       concat(Seq("a", "b", "c", "d").take(nDigests)
         .map(p => md5(concat(lit(p + "|"), s))): _*))
   }

@@ -230,11 +230,19 @@ object TextAnalysis {
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val lm = tf.groupBy("term").agg(sum("tf").as("term_count"))
     val total = tf.agg(sum("tf").as("total"))
+    // per-(doc, term) NLL contributions cross the unordered per-doc SUM
+    // as 1e6-scaled LONGS (q113's discipline): integer addition is
+    // associative, so the doc score — and every downstream threshold
+    // gate composed on it (q114's rung 2) — is exact under any
+    // partitioning instead of drifting in the last ulp with summation
+    // order and possibly flipping a rounded boundary doc cross-engine
     tf.join(lm, Seq("term")).crossJoin(broadcast(total))
+      .select(col("doc_id"), col("tf"),
+        round(col("tf") * log(col("total") * lit(1.0) / col("term_count")) * lit(1e6), 0)
+          .cast("long").as("t6"))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_tokens"),
-        round(sum(col("tf") * log(col("total") / col("term_count"))) / sum("tf"), 4)
-          .as("nll"))
+        round(sum(col("t6")) * lit(1.0) / sum("tf") / lit(1e6), 4).as("nll"))
       .orderBy("doc_id")
   }
 

@@ -90,19 +90,36 @@ object DocumentsStreaming {
     *
     * The signature is computed PER ROW with array higher-order functions
     * (no groupBy → no state store → pure append mode at source
-    * parallelism); digests are materialized as a bound column before the
-    * k slice-minima read them ([[graft.ops.Dedup.rowDigests]] — the
-    * HOF-CSE discipline), and the banding is byte-identical to the batch
+    * parallelism); tokens are materialized as a bound column before the
+    * shingle lambda reads them, and digests before the k slice-minima
+    * ([[graft.ops.Dedup.rowDigests]] — the HOF-CSE discipline, applied
+    * at BOTH stages), and the banding is byte-identical to the batch
     * pair stage ([[graft.ops.Dedup.bandIndex]] builds the static side
     * from the same construction). Collisions are candidates, not
     * verdicts: banding has false positives by design; the batch
     * Jaccard verification stays downstream, exactly as in q32/q33. */
-  def nearDupCandidates(docs: DataFrame, bandIndex: DataFrame): DataFrame =
+  /** `broadcastIndex` sizes the semi-join against the corpus band index:
+    * the default broadcast is the LOW-LATENCY path and assumes the index
+    * fits executor memory — b·|corpus| DISTINCT (band, band_key) rows,
+    * fine for the gate corpus and for any index held in the tens of
+    * millions of keys (~16 bytes each), but a 100 TB corpus's index is
+    * billions of rows and would OOM the broadcast. Pass `false` there:
+    * the join becomes a plain shuffle left-semi on (band, band_key) —
+    * higher per-batch latency, unbounded index size. (The third rung —
+    * a Bloom filter over band keys, the q99 pattern — trades false
+    * positives for memory; candidates here are ALREADY verified
+    * downstream by exact Jaccard, so its false positives would only add
+    * verifier work, making it a safe future knob, not a semantics
+    * change.) NearDupStreamSpec pins stream≡batch on BOTH paths. */
+  def nearDupCandidates(docs: DataFrame, bandIndex: DataFrame,
+      broadcastIndex: Boolean = true): DataFrame =
     docs
-      .select(col("doc_id"), graft.ops.Dedup.rowDigests(col("text")).as("hs"))
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.ops.Dedup.rowDigests(col("toks")).as("hs"))
       .select(col("doc_id"), explode(graft.ops.Dedup.rowBandKeys(col("hs"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-      .join(broadcast(bandIndex), Seq("band", "band_key"), "left_semi")
+      .join(if (broadcastIndex) broadcast(bandIndex) else bandIndex,
+        Seq("band", "band_key"), "left_semi")
 
   /** Watermark-bounded streaming dedup on the normalization fingerprint:
     * a duplicate arriving within the watermark window of its original is

@@ -16,7 +16,8 @@ class BandKeyParitySpec extends AnyFunSuite {
   test("row-wise band keys equal the batch banding on every corpus doc") {
     val docs = Tables.documents(spark, dir)
     val rowKeys = docs
-      .select(col("doc_id"), Dedup.rowDigests(col("text")).as("hs"))
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.rowDigests(col("toks")).as("hs"))
       .select(col("doc_id"), explode(Dedup.rowBandKeys(col("hs"))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val batchKeys = Dedup.bandsOf(Dedup.minhashSignatures(spark, dir), 8, 2)
@@ -32,7 +33,8 @@ class BandKeyParitySpec extends AnyFunSuite {
     // one transform + one per band key, never k*nDigests
     val docs = Tables.documents(spark, dir).limit(1)
     val staged = docs
-      .select(col("doc_id"), Dedup.rowDigests(col("text")).as("hs"))
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.rowDigests(col("toks")).as("hs"))
       .select(col("doc_id"), explode(Dedup.rowBandKeys(col("hs"))).as("bk"))
     val plan = staged.queryExecution.optimizedPlan.toString
     val md5s = "md5".r.findAllIn(plan).size

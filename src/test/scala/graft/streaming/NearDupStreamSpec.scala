@@ -40,6 +40,14 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(streamed.count() > 0, "no collisions at all — index or keys broken")
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
       "stream and batch collision sets diverge")
+    // the big-index scale path (shuffle semi-join instead of broadcast)
+    // must produce the identical verdict set — only the join strategy
+    // may differ, never the semantics
+    val shuffled = DocumentsStreaming.nearDupCandidates(
+      Tables.documents(spark, sfDir), half, broadcastIndex = false)
+      .select("doc_id", "band", "band_key").distinct()
+    assert(shuffled.except(batch).isEmpty && batch.except(shuffled).isEmpty,
+      "the shuffle-join scale path diverges from the broadcast path")
     // every even doc collides with itself through the index
     val evens = Tables.documents(spark, sfDir)
       .where(col("doc_id") % 2 === 0).select("doc_id")
