@@ -2,8 +2,23 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.ops.TextAnalysis
+
+/** One exploded (doc, band) key row flowing into the stateful gate. */
+final case class BandKeyRow(doc_id: Long, ts: java.sql.Timestamp,
+    band: Int, band_key: String)
+
+/** Per-band-key state: the doc that first claimed the key and its event
+  * time (for the TTL clock). */
+final case class BandOriginal(orig_id: Long, orig_ts: Long)
+
+/** A within-stream collision: `doc_id` shares `band`'s key with the
+  * earlier-arrived `orig_id`. A candidate, not a verdict — banding has
+  * false positives by design; exact verification stays downstream. */
+final case class NearDupHit(doc_id: Long, band: Int, band_key: String,
+    orig_id: Long)
 
 /** Streaming front-end of the corpus-curation pipeline: the same
   * quality / PII / fingerprint operators that run batch-side (q23, q70,
@@ -131,4 +146,65 @@ object DocumentsStreaming {
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** WITHIN-stream near-dup gate with cross-micro-batch memory — the
+    * state [[nearDupCandidates]] deliberately lacks: that gate checks
+    * arrivals against a STATIC corpus index, so a duplicate whose
+    * original arrived three triggers ago (the daily-crawl shape q96
+    * models batch-side) sails through until the next index rebuild.
+    * Here every arriving doc's MinHash band keys (the SAME stateless
+    * construction — [[graft.ops.Dedup.rowDigests]]/`rowBandKeys`, so
+    * the gates can never key differently) flow into
+    * `flatMapGroupsWithState` keyed by (band, band_key): the first
+    * arrival claims the key (event-time order, doc_id tiebreak —
+    * arrival order IS the streaming keep-rule, where batch q96 uses id
+    * order); every later arrival on the key, same trigger or any later
+    * one, emits a [[NearDupHit]] against the claimant.
+    *
+    * State discipline (what makes this deployable on an unbounded
+    * crawl): state is one (orig_id, ts) pair per DISTINCT band key
+    * within the TTL horizon, sharded across executors by the state
+    * store exactly like the key shuffle; `stateTtl` evicts claims via
+    * event-time timeout against the required watermark — the
+    * [[dedupedByFingerprint]] bound, applied to band keys. A duplicate
+    * arriving beyond the TTL is the accepted miss, exactly as with the
+    * watermarked fingerprint dedup; catching it is the batch
+    * re-dedup's job (q96). */
+  def nearDupStateful(docs: DataFrame, watermark: String = "10 minutes",
+      stateTtlMs: Long = 10L * 60 * 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col("doc_id"), col("ts"),
+        graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("ts"),
+        graft.ops.Dedup.rowDigests(col("toks")).as("hs"))
+      .select(col("doc_id"), col("ts"),
+        explode(graft.ops.Dedup.rowBandKeys(col("hs"))).as("bk"))
+      .select(col("doc_id"), col("ts"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .withWatermark("ts", watermark)
+      .as[BandKeyRow]
+    keyed
+      .groupByKey(r => (r.band, r.band_key))
+      .flatMapGroupsWithState[BandOriginal, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val (orig, dups) = state.getOption match {
+              case Some(s) => (s, batch)
+              case None =>
+                val h = batch.head
+                (BandOriginal(h.doc_id, h.ts.getTime), batch.tail)
+            }
+            state.update(orig)
+            state.setTimeoutTimestamp(
+              math.max(orig.orig_ts, batch.map(_.ts.getTime).max) + stateTtlMs)
+            dups.iterator.map(r => NearDupHit(r.doc_id, r.band, r.band_key, orig.orig_id))
+          }
+      }
+      .toDF()
+  }
 }
