@@ -284,16 +284,24 @@ object Retrieval {
     * stages over the shared cached relations. */
   def contaminationRetrievalSweep(spark: SparkSession, dir: String,
       prefixTokens: Int = 8, topK: Int = 5, salts: Int = 32,
-      batchWidth: Long = 10000L): DataFrame = {
+      batchWidth: Long = 10000L, maxQueryId: Long = Long.MaxValue): DataFrame = {
     require(batchWidth > 0, "batchWidth must be positive")
     val docs = Tables.documents(spark, dir)
     val postings = postingsStage(spark, dir)
     val grams = gramsStage(spark, dir)
+    // `maxQueryId` bounds the swept id WINDOW (q119's queryCap
+    // discipline at the sweep level): the default sweeps the full id
+    // space — pages × per-page cost, the honest price of a full eval
+    // sweep — while a bounded window keeps page count scale-invariant
+    // (the q123 gate registration pins 3 fixed pages at every SF; the
+    // full-space sweep at a 100× corpus is 50 pages and is priced as
+    // such, not benched per round)
     val maxId = Option(docs.agg(max(col("doc_id"))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val batches = (0L to maxId by batchWidth).map { lo =>
+    val hi = math.min(maxId, maxQueryId - 1)
+    val batches = (0L to math.max(hi, 0L) by batchWidth).map { lo =>
       contaminationBatch(docs, Some(postings), grams,
-        col("doc_id") % 97 === 0 &&
+        col("doc_id") % 97 === 0 && col("doc_id") < lit(maxQueryId) &&
           col("doc_id") >= lo && col("doc_id") < lo + batchWidth,
         prefixTokens, topK, salts)
     }
