@@ -160,6 +160,25 @@ object Dedup {
     bandsOf(minhashStage(spark, dir, k, None), k, r)
       .select("band", "band_key").distinct()
 
+  /** The band index as a BLOOM FILTER — the third rung of the ingest
+    * gate's index ladder (broadcast hash < shuffle join < Bloom): at
+    * 10⁹ band keys the exact index is ~50 GB of strings (too big to
+    * broadcast) and the shuffle join prices every micro-batch at a
+    * corpus-index shuffle, while a 1 %-fpp Bloom is ~1.2 bytes/key
+    * (~1.2 GB — shippable) probed per row inside codegen with no join
+    * at all. False positives only ADD verifier work downstream (band
+    * collisions are candidates, never verdicts — exact Jaccard decides);
+    * false negatives are impossible by Bloom contract, so the gate's
+    * recall is untouched. The q99 decontamination pattern, applied to
+    * the dedup ingest gate. Built distributed (`stat.bloomFilter` runs
+    * as an aggregate), sized from the index's own distinct count. */
+  def bandIndexBloom(spark: SparkSession, dir: String, k: Int = 8, r: Int = 2,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val idx = bandIndex(spark, dir, k, r)
+      .select(concat_ws("|", col("band"), col("band_key")).as("bk"))
+    idx.stat.bloomFilter("bk", math.max(idx.count(), 1L), fpp)
+  }
+
   /** Per-ROW MinHash band keys of a text column — the stateless twin of
     * the batch signature stage, for streams (no groupBy, so no state
     * store: shingle → seeded-md5 → k array-min slices → banded keys, all

@@ -120,12 +120,11 @@ object DocumentsStreaming {
     * millions of keys (~16 bytes each), but a 100 TB corpus's index is
     * billions of rows and would OOM the broadcast. Pass `false` there:
     * the join becomes a plain shuffle left-semi on (band, band_key) —
-    * higher per-batch latency, unbounded index size. (The third rung —
-    * a Bloom filter over band keys, the q99 pattern — trades false
-    * positives for memory; candidates here are ALREADY verified
-    * downstream by exact Jaccard, so its false positives would only add
-    * verifier work, making it a safe future knob, not a semantics
-    * change.) NearDupStreamSpec pins stream≡batch on BOTH paths. */
+    * higher per-batch latency, unbounded index size. The third rung is
+    * [[nearDupCandidatesBloom]]: a Bloom over the band keys, probed per
+    * row with no join at all — false positives only add downstream
+    * verifier work. NearDupStreamSpec pins stream≡batch on the first
+    * two paths and the superset contract on the Bloom rung. */
   def nearDupCandidates(docs: DataFrame, bandIndex: DataFrame,
       broadcastIndex: Boolean = true): DataFrame =
     docs
@@ -146,6 +145,27 @@ object DocumentsStreaming {
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** The Bloom rung of the ingest gate ([[nearDupCandidates]]'s ladder,
+    * third position: broadcast hash < shuffle join < Bloom — see
+    * [[graft.ops.Dedup.bandIndexBloom]] for the size math): the arriving
+    * doc's band keys are probed against the corpus Bloom inside codegen,
+    * no join, no state. Emits a SUPERSET of the exact gate's collisions
+    * (false positives at the filter's fpp, zero false negatives), which
+    * is sound here because collisions are candidates for downstream
+    * exact verification, never verdicts — a false positive costs one
+    * wasted Jaccard check, a false negative would lose a duplicate.
+    * NearDupStreamSpec pins the superset relation against the exact
+    * gate on the corpus. */
+  def nearDupCandidatesBloom(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    docs
+      .select(col("doc_id"), graft.ops.TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), graft.ops.Dedup.rowDigests(col("toks")).as("hs"))
+      .select(col("doc_id"), explode(graft.ops.Dedup.rowBandKeys(col("hs"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+      .where(graft.functions.BloomFunctions.mightContain(
+        concat_ws("|", col("band"), col("band_key")), bloom))
 
   /** WITHIN-stream near-dup gate with cross-micro-batch memory — the
     * state [[nearDupCandidates]] deliberately lacks: that gate checks

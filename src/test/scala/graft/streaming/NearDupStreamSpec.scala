@@ -128,6 +128,25 @@ class NearDupStreamSpec extends AnyFunSuite {
     assert(spark.table("neardup_state").where(col("doc_id") === 11L).count() == 4)
   }
 
+  test("the Bloom rung is a superset of the exact gate with zero false negatives") {
+    val docs = Tables.documents(spark, sfDir)
+    val idx = Dedup.bandIndex(spark, sfDir).cache()
+    val exact = DocumentsStreaming.nearDupCandidates(docs, idx)
+      .select("doc_id", "band", "band_key")
+    val bloom = Dedup.bandIndexBloom(spark, sfDir)
+    val bloomed = DocumentsStreaming.nearDupCandidatesBloom(docs, bloom)
+      .select("doc_id", "band", "band_key")
+    // zero false negatives: every exact collision survives the Bloom
+    assert(exact.except(bloomed).isEmpty,
+      "Bloom gate dropped a genuine band collision — false negative")
+    // false positives exist only at ~fpp: the extra rows are bounded
+    val (nExact, nBloom) = (exact.count(), bloomed.count())
+    assert(nBloom >= nExact)
+    val total = docs.count() * 4 // band rows probed (4 bands per doc)
+    assert(nBloom - nExact <= math.max(50L, total / 20),
+      s"false-positive volume implausibly high: $nExact exact vs $nBloom bloom")
+  }
+
   test("bandIndex covers every band key the pair stage joins on") {
     val idx = Dedup.bandIndex(spark, sfDir)
     val all = Dedup.bandsOf(Dedup.minhashSignatures(spark, sfDir), 8, 2)
