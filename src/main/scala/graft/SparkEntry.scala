@@ -221,6 +221,11 @@ object SparkEntry {
     "q123_contamination_sweep" ->
       ((s, d) => Retrieval.contaminationRetrievalSweep(s, d,
         batchWidth = 200L, maxQueryId = 600L)),
+    // the retrieval SERVICE mode under the hash gate: q110's queries
+    // answered from the session inverted index (+ cached dl stage)
+    // instead of the per-call broadcast prune — both modes must be
+    // row-identical, so the oracle is q110's relation verbatim
+    "q124_bm25_indexed" -> ((s, d) => Retrieval.bm25TopK(s, d, indexed = true)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -435,6 +440,39 @@ object SparkEntry {
       .mkString("\nUNION ALL ")
     s"$head$roundCtes\nSELECT round, a, b, n FROM (\n$union)\nORDER BY round"
   }
+
+  /** q110's oracle relation — per-term weights mirror Retrieval.bm25Rank
+    * token for token (same literals, same association), weights cross
+    * the unordered SUM as 1e6-scaled longs, rank tiebreak total
+    * (sm desc, doc_id). Shared verbatim by q124 (indexed serving mode):
+    * both Spark modes are row-identical by contract, so both gate
+    * against the same SQL. */
+  private val Bm25TopKSql =
+    """WITH q(query_id, qtext) AS (VALUES
+      |    (1, 'spark table scan'), (2, 'window agg group'),
+      |    (3, 'customer query fast'), (4, 'vector stream merge')),
+      |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+      |         unnest(regexp_extract_all(qtext, '\S+')) AS term FROM q),
+      |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl FROM documents),
+      |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+      |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+      |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+      |       FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df
+      |          FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+      |scored AS (
+      |  SELECT query_id, tf.doc_id,
+      |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+      |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6, 0) AS BIGINT) AS sm
+      |  FROM tf JOIN dfreq USING (term)
+      |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+      |agg AS (SELECT query_id, doc_id, sum(sm) AS sm FROM scored GROUP BY 1, 2),
+      |ranked AS (SELECT query_id, doc_id, sm,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
+      |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private def simhashVotes(src: String): String =
     (1 to 32).flatMap { i =>
@@ -1280,35 +1318,13 @@ object SparkEntry {
         |  COALESCE(sh.n_shared_grams, 0) AS n_shared_grams
         |FROM topk r LEFT JOIN sh ON sh.query_id = r.query_id AND sh.doc_id = r.doc_id
         |ORDER BY r.query_id, rank""".stripMargin,
-    // q110: per-term weights mirror Retrieval.bm25TopK token for token
-    // (same literals, same association) and cross the unordered SUM as
-    // 1e6-scaled longs; rank tiebreak is total (sm desc, doc_id)
-    "q110_bm25_topk" ->
-      """WITH q(query_id, qtext) AS (VALUES
-        |    (1, 'spark table scan'), (2, 'window agg group'),
-        |    (3, 'customer query fast'), (4, 'vector stream merge')),
-        |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-        |         unnest(regexp_extract_all(qtext, '\S+')) AS term FROM q),
-        |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl FROM documents),
-        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-        |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
-        |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
-        |       FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(*) AS df
-        |          FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
-        |scored AS (
-        |  SELECT query_id, tf.doc_id,
-        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
-        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6, 0) AS BIGINT) AS sm
-        |  FROM tf JOIN dfreq USING (term)
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
-        |agg AS (SELECT query_id, doc_id, sum(sm) AS sm FROM scored GROUP BY 1, 2),
-        |ranked AS (SELECT query_id, doc_id, sm,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
-        |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q110_bm25_topk" -> Bm25TopKSql,
+    // q124: the indexed serving mode answers IDENTICALLY to the pruned
+    // default by contract (RetrievalSpec pins it; the index is just a
+    // materialization of the same tf/dl relations), so the oracle is
+    // q110's relation verbatim — the contract now sits under the hash
+    // gate instead of only in a spec
+    "q124_bm25_indexed" -> Bm25TopKSql,
     // q116: mirrors Multimodal.frameDups — 100-char frame slices,
     // md5 frame hashes, distinct per payload, cap never binds at this
     // SF (as q32's band cap), pairs sharing >= 3 frames
