@@ -226,6 +226,11 @@ object SparkEntry {
     // instead of the per-call broadcast prune — both modes must be
     // row-identical, so the oracle is q110's relation verbatim
     "q124_bm25_indexed" -> ((s, d) => Retrieval.bm25TopK(s, d, indexed = true)),
+    // the gradient family of the perceptual rung: dHash (adjacent-block
+    // order) survives the monotonic tone edits (gamma/contrast) that
+    // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
+    // pattern applied to images
+    "q125_perceptual_gradient_dups" -> ((s, d) => Multimodal.perceptualDupsGradient(s, d)),
     "q64_char_entropy" -> TextAnalysis.charEntropy _,
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
@@ -473,6 +478,46 @@ object SparkEntry {
       |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
       |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** The perceptual-dup oracle chain shared by q121 (aHash) and q125
+    * (dHash): 16×16 pixels from the code-point rule, the 8×8 integer
+    * block grid, then a 64-bit hash whose bit for absolute block index
+    * `idx` (an SQL expression over the comprehension variable) is
+    * `bit(idx)` — packed as two sub-2^32 halves, banded 4×16-bit on the
+    * injective band*65536+key composite, population-capped, and
+    * hamming-verified via bit_count(xor). */
+  private def perceptualDupSql(bit: String => String): String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents
+       |           WHERE text IS NOT NULL AND length(text) >= 1),
+       |c AS (SELECT doc_id,
+       |        [unicode(text[i]) % 256 for i in range(1, length(text) + 1)] AS cps
+       |      FROM d),
+       |px AS (SELECT doc_id, [cps[(p % len(cps)) + 1] for p in range(0, 256)] AS px
+       |       FROM c),
+       |blk AS (SELECT doc_id,
+       |    [(px[(b // 8) * 32 + (b % 8) * 2 + 1] + px[(b // 8) * 32 + (b % 8) * 2 + 2]
+       |      + px[(b // 8) * 32 + (b % 8) * 2 + 17] + px[(b // 8) * 32 + (b % 8) * 2 + 18]) // 4
+       |     for b in range(0, 64)] AS blocks
+       |  FROM px),
+       |m AS (SELECT doc_id, blocks, list_sum(blocks) // 64 AS mean FROM blk),
+       |hh AS (SELECT doc_id,
+       |    CAST(list_sum([CASE WHEN ${bit("b")}
+       |      THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS hi,
+       |    CAST(list_sum([CASE WHEN ${bit("b + 32")}
+       |      THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS lo
+       |  FROM m),
+       |bd AS (SELECT doc_id, hi, lo,
+       |    b * 65536 + (CASE b WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
+       |                        WHEN 2 THEN lo >> 16 ELSE lo & 65535 END) AS bk
+       |  FROM hh, (SELECT unnest(range(4)) AS b)),
+       |hot AS (SELECT bk FROM (SELECT bk, count(*) AS n FROM bd GROUP BY bk)
+       |        WHERE n > 1000),
+       |cool AS (SELECT * FROM bd WHERE bk NOT IN (SELECT bk FROM hot))
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+       |FROM cool a JOIN cool b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   private def simhashVotes(src: String): String =
     (1 to 32).flatMap { i =>
@@ -1245,37 +1290,13 @@ object SparkEntry {
     // (no signed-overflow edge at bit 63); band cap keyed on the
     // injective band*65536+key composite; hamming via bit_count(xor)
     "q121_perceptual_image_dups" ->
-      """WITH d AS (SELECT doc_id, text FROM documents
-        |           WHERE text IS NOT NULL AND length(text) >= 1),
-        |c AS (SELECT doc_id,
-        |        [unicode(text[i]) % 256 for i in range(1, length(text) + 1)] AS cps
-        |      FROM d),
-        |px AS (SELECT doc_id, [cps[(p % len(cps)) + 1] for p in range(0, 256)] AS px
-        |       FROM c),
-        |blk AS (SELECT doc_id,
-        |    [(px[(b // 8) * 32 + (b % 8) * 2 + 1] + px[(b // 8) * 32 + (b % 8) * 2 + 2]
-        |      + px[(b // 8) * 32 + (b % 8) * 2 + 17] + px[(b // 8) * 32 + (b % 8) * 2 + 18]) // 4
-        |     for b in range(0, 64)] AS blocks
-        |  FROM px),
-        |m AS (SELECT doc_id, blocks, list_sum(blocks) // 64 AS mean FROM blk),
-        |hh AS (SELECT doc_id,
-        |    CAST(list_sum([CASE WHEN blocks[b + 1] > mean
-        |      THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS hi,
-        |    CAST(list_sum([CASE WHEN blocks[b + 33] > mean
-        |      THEN (CAST(1 AS BIGINT) << (31 - b)) ELSE 0 END for b in range(0, 32)]) AS BIGINT) AS lo
-        |  FROM m),
-        |bd AS (SELECT doc_id, hi, lo,
-        |    b * 65536 + (CASE b WHEN 0 THEN hi >> 16 WHEN 1 THEN hi & 65535
-        |                        WHEN 2 THEN lo >> 16 ELSE lo & 65535 END) AS bk
-        |  FROM hh, (SELECT unnest(range(4)) AS b)),
-        |hot AS (SELECT bk FROM (SELECT bk, count(*) AS n FROM bd GROUP BY bk)
-        |        WHERE n > 1000),
-        |cool AS (SELECT * FROM bd WHERE bk NOT IN (SELECT bk FROM hot))
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
-        |FROM cool a JOIN cool b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      perceptualDupSql(idx => s"blocks[$idx + 1] > mean"),
+    // q125: identical chain with the GRADIENT bit rule — block (r, c)
+    // vs its right neighbor (wrap-around), mirroring Multimodal.dHash64
+    "q125_perceptual_gradient_dups" ->
+      perceptualDupSql(idx =>
+        s"blocks[(($idx) // 8) * 8 + (($idx) % 8) + 1] > " +
+          s"blocks[(($idx) // 8) * 8 + ((($idx) % 8) + 1) % 8 + 1]"),
     // q123: the sweep pages disjoint exhaustive id ranges whose union is
     // exactly the windowed eval set, so the oracle is q119's single
     // relation at the gate window (ids < 600) — one SQL, three Spark

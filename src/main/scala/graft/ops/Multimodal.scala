@@ -510,8 +510,10 @@ object Multimodal {
     * that are multiples of 8 fold to the same 8×8 grid, so a clean k×
     * upscale of an image block-averages to the SAME hash — the resized
     * near-dup case exact payload hashing cannot see. */
-  def aHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) = {
-    require(w % 8 == 0 && h % 8 == 0, "aHash folds dims that are multiples of 8")
+  /** The shared 8×8 integer block grid both perceptual hashes fold
+    * from: block (bi, bj) = floor mean of its (h/8)×(w/8) pixel tile. */
+  private def blockGrid(gray: Array[Int], w: Int, h: Int): Array[Long] = {
+    require(w % 8 == 0 && h % 8 == 0, "perceptual hashes fold dims that are multiples of 8")
     val bw = w / 8; val bh = h / 8
     val blocks = new Array[Long](64)
     var bi = 0
@@ -530,16 +532,46 @@ object Multimodal {
       }
       bi += 1
     }
-    val mean = blocks.sum / 64
+    blocks
+  }
+
+  /** Pack a 64-bit block predicate into two sub-2^32 halves (block b →
+    * bit 31-(b mod 32) of half b/32, first block most significant). */
+  private def packBits(bit: Int => Boolean): (Long, Long) = {
     var hi = 0L; var lo = 0L
     var b = 0
     while (b < 64) {
-      if (blocks(b) > mean) {
-        if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b)
-      }
+      if (bit(b)) { if (b < 32) hi |= 1L << (31 - b) else lo |= 1L << (63 - b) }
       b += 1
     }
     (hi, lo)
+  }
+
+  def aHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val blocks = blockGrid(gray, w, h)
+    val mean = blocks.sum / 64
+    packBits(b => blocks(b) > mean)
+  }
+
+  /** Gradient (difference) hash over the SAME 8×8 block grid as
+    * [[aHash64]]: bit (r, c) = block(r, c) > block(r, (c+1) mod 8) —
+    * seven horizontal gradients per row plus the wrap-around pair, 64
+    * bits. Why a second family: dHash depends only on the ORDER of
+    * adjacent block values, so a monotonic tone mapping (gamma,
+    * contrast curves, levels) that preserves the block-value order
+    * leaves it bit-identical — exactly true when blocks are tonally
+    * uniform (for mixed blocks Jensen's inequality can reorder two
+    * AVERAGES, so the invariance is near-exact rather than absolute),
+    * while aHash's block-vs-global-mean test flips under the same edit
+    * regardless (the mean is never order-preserved through a
+    * nonlinearity). Same resolution independence and integer-only
+    * determinism as aHash. */
+  def dHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) = {
+    val blocks = blockGrid(gray, w, h)
+    packBits { b =>
+      val r = b / 8; val c = b % 8
+      blocks(r * 8 + c) > blocks(r * 8 + (c + 1) % 8)
+    }
   }
 
   /** Deterministic 16×16 grayscale pixel synthesis from document text:
@@ -560,7 +592,8 @@ object Multimodal {
     * is what lets the DuckDB oracle compute the same hashes from the
     * pixel rule directly — the q71/q75 gate pattern: synthesis stands in
     * for the missing column, the decoder is the operator under test. */
-  private[graft] def imageAHashOf(docs: DataFrame): DataFrame = {
+  private[graft] def imageAHashOf(docs: DataFrame,
+      hash: (Array[Int], Int, Int) => (Long, Long) = aHash64): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .where(col("text").isNotNull && length(col("text")) >= 1)
@@ -573,7 +606,7 @@ object Multimodal {
             chunk = if (id % 2 == 0) Int.MaxValue else 64)
           val (w, h, gray) = pngDecode(png)
             .getOrElse(throw new IllegalStateException(s"unparseable PNG for doc $id"))
-          val (hi, lo) = aHash64(gray, w, h)
+          val (hi, lo) = hash(gray, w, h)
           (id, hi, lo)
         }
       }
@@ -604,20 +637,36 @@ object Multimodal {
       maxHamming, maxBandPopulation)
       .orderBy("doc_a", "doc_b")
 
-  /** The q121 pipeline over DECODED payloads — drives [[pngDecode]] on
-    * arbitrary PNG bytes (rows that fail to decode as 8-bit gray PNG are
-    * dropped: the scan-phase skip, not an error). Used by the planted
-    * re-encode/resize spec, where byte-different payloads of the same
-    * pixels must land in one bucket. */
+  /** q125: the GRADIENT family of the perceptual rung — q121's exact
+    * pipeline with [[dHash64]] keys instead of [[aHash64]]. The two
+    * families fail differently: aHash survives mean-preserving noise
+    * that scrambles local gradients; dHash survives monotonic tone
+    * edits (gamma, contrast) that move blocks relative to the global
+    * mean. A production image-dedup rung runs both and unions
+    * candidates — exactly how MinHash (q32) and SimHash (q35) coexist
+    * on the text ladder. PerceptualDupsSpec plants a gamma-mapped
+    * re-encode that q121 provably misses and q125 catches. */
+  def perceptualDupsGradient(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBandPopulation: Int = 1000): DataFrame =
+    perceptualDupsOfHashes(imageAHashOf(Tables.documents(spark, dir), dHash64),
+      maxHamming, maxBandPopulation)
+      .orderBy("doc_a", "doc_b")
+
+  /** The q121/q125 pipeline over DECODED payloads — drives [[pngDecode]]
+    * on arbitrary PNG bytes (rows that fail to decode as 8-bit gray PNG
+    * are dropped: the scan-phase skip, not an error). Used by the
+    * planted re-encode/resize/tone-curve specs, where byte-different
+    * payloads of the same pixels must land in one bucket. */
   private[graft] def perceptualDupsOfPayloads(media: Dataset[MediaRecord],
-      maxHamming: Int, maxBandPopulation: Int): DataFrame = {
+      maxHamming: Int, maxBandPopulation: Int,
+      hash: (Array[Int], Int, Int) => (Long, Long) = aHash64): DataFrame = {
     import media.sparkSession.implicits._
     val hashes = media
       .mapPartitions { batch =>
         batch.flatMap { r =>
           pngDecode(r.payload).collect {
             case (w, h, gray) if w % 8 == 0 && h % 8 == 0 =>
-              val (hi, lo) = aHash64(gray, w, h)
+              val (hi, lo) = hash(gray, w, h)
               (r.doc_id, hi, lo)
           }
         }

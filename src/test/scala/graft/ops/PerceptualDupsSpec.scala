@@ -82,6 +82,48 @@ class PerceptualDupsSpec extends AnyFunSuite {
     assert(out == Seq((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)), s"got $out")
   }
 
+  test("a gamma-mapped duplicate: dHash (q125) catches what aHash (q121) misses") {
+    import spark.implicits._
+    // a monotonic tone curve (gamma ~2) preserves the ORDER of block
+    // values whenever blocks are tonally uniform (avg of a monotone map
+    // equals the map of the avg only then — Jensen breaks the exact
+    // claim for mixed blocks), so the fixture tiles each 2×2 block with
+    // one value: dHash (adjacent-block order) is then invariant EXACTLY,
+    // while aHash's block-vs-global-mean bits flip (the mean is not
+    // order-preserved through the nonlinearity). The fixture is a
+    // deterministic search for the first seed whose gamma copy lands
+    // outside q121's hamming radius (seed search, not luck: both the
+    // search and its result are fixed forever)
+    def ham(x: (Long, Long), y: (Long, Long)): Int =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
+    def toneCurve(p: Array[Int]): Array[Int] = p.map(v => (v.toLong * v / 255).toInt)
+    def solidBlocks(seed: Int): Array[Int] = {
+      val rng = new Random(seed)
+      val blocks = Array.fill(64)(rng.nextInt(256))
+      Array.tabulate(256)(i => blocks((i / 16 / 2) * 8 + (i % 16) / 2))
+    }
+    val px = (1 to 200).iterator
+      .map(solidBlocks)
+      .find(p => ham(Multimodal.aHash64(p, 16, 16),
+        Multimodal.aHash64(toneCurve(p), 16, 16)) > 3)
+      .getOrElse(fail("no seed in 1..200 flips > 3 aHash bits under gamma"))
+    val gamma = toneCurve(px)
+    assert(Multimodal.dHash64(px, 16, 16) == Multimodal.dHash64(gamma, 16, 16),
+      "a monotonic tone map must leave dHash bit-identical")
+
+    val media = Seq(
+      MediaRecord(1L, Multimodal.pngBytes(16, 16, px, filterType = 0, level = 9)),
+      MediaRecord(2L, Multimodal.pngBytes(16, 16, gamma, filterType = 4, level = 1)),
+      MediaRecord(3L, Multimodal.pngBytes(16, 16, randPixels(new Random(999), 256),
+        filterType = 1))).toDS()
+    val viaAHash = Multimodal.perceptualDupsOfPayloads(media, maxHamming = 3,
+      maxBandPopulation = 1000).as[(Long, Long, Long)].collect().toSeq
+    val viaDHash = Multimodal.perceptualDupsOfPayloads(media, maxHamming = 3,
+      maxBandPopulation = 1000, Multimodal.dHash64).as[(Long, Long, Long)].collect().toSeq
+    assert(viaAHash.isEmpty, s"aHash should miss the tone-mapped pair: $viaAHash")
+    assert(viaDHash == Seq((1L, 2L, 0L)), s"dHash must catch it at hamming 0: $viaDHash")
+  }
+
   test("the hot-band cap drops a mass-duplicated image whole") {
     import spark.implicits._
     val rng = new Random(5)
