@@ -1921,7 +1921,7 @@ object SparkEntry {
         |  FROM g)
         |SELECT source, bucket, n_docs, n_packs,
         |  CAST(n_packs * 128 - sum_tok AS BIGINT) AS pad_tokens,
-        |  round(sum_tok / (n_packs * 128.0), 4) AS fill_ratio
+        |  floor(sum_tok / (n_packs * 128.0) * 10000 + 0.5) / 10000.0 AS fill_ratio
         |FROM p ORDER BY source, bucket""".stripMargin,
     // q82: 128-token context windows; ceil over integer token counts
     "q82_chunk_stats" ->
@@ -1932,7 +1932,7 @@ object SparkEntry {
         |SELECT source,
         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
         |  CAST(sum(n_chunks * 128 - n_tok) AS BIGINT) AS pad_tokens,
-        |  round(sum(n_tok) / (sum(n_chunks) * 128.0), 4) AS fill_ratio
+        |  floor(sum(n_tok) / (sum(n_chunks) * 128.0) * 10000 + 0.5) / 10000.0 AS fill_ratio
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // q81: both engines truncate weeks to Monday; offsets are exact
     // integer day arithmetic

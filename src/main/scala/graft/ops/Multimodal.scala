@@ -372,6 +372,7 @@ object Multimodal {
       chunk: Int = Int.MaxValue): Array[Byte] = {
     require(gray.length == width * height, "pixel count must match dimensions")
     require(filterType >= 0 && filterType <= 4, "PNG filter types are 0-4")
+    require(chunk > 0, "IDAT chunk size must be positive")
     // per-row filtering (bpp = 1): raw(x-1) is `left`, prior(x) is `up`
     val raw = new Array[Byte]((width + 1) * height)
     var r = 0
@@ -461,7 +462,12 @@ object Multimodal {
     try {
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return None // truncated stream
+        // n == 0 while unfinished means the stream is truncated
+        // (needsInput) OR demands a preset dictionary (FDICT set —
+        // needsDictionary, which we never supply). Either way no further
+        // call can make progress with the input fully set upfront, so
+        // bail instead of spinning the executor task forever.
+        if (n == 0) return None
         got += n
       }
     } catch { case _: java.util.zip.DataFormatException => return None }
@@ -601,9 +607,12 @@ object Multimodal {
       .as[(Long, String)]
       .mapPartitions { batch =>
         batch.map { case (id, text) =>
+          // floorMod: `%` on a negative doc_id would hand Deflater a
+          // negative filter/level and fail the whole job on one row
           val png = pngBytes(16, 16, pixelsOf(text),
-            filterType = (id % 5).toInt, level = (id % 9).toInt + 1,
-            chunk = if (id % 2 == 0) Int.MaxValue else 64)
+            filterType = math.floorMod(id, 5).toInt,
+            level = math.floorMod(id, 9).toInt + 1,
+            chunk = if (math.floorMod(id, 2) == 0) Int.MaxValue else 64)
           val (w, h, gray) = pngDecode(png)
             .getOrElse(throw new IllegalStateException(s"unparseable PNG for doc $id"))
           val (hi, lo) = hash(gray, w, h)

@@ -55,7 +55,11 @@ object Packing {
           .as("n_packs"))
       .select(col("source"), col("bucket"), col("n_docs"), col("n_packs"),
         (col("n_packs") * window - col("sum_tok")).as("pad_tokens"),
-        round(col("sum_tok") / (col("n_packs") * lit(window * 1.0)), 4).as("fill_ratio"))
+        // tie-free rounding — integer-ratio decimal ties make round()
+        // engine-dependent; see the q82 fill_ratio note in
+        // [[TextAnalysis.chunkStats]]
+        (floor(col("sum_tok") / (col("n_packs") * lit(window * 1.0)) * 10000d
+          + 0.5d) / 10000d).as("fill_ratio"))
       .orderBy("source", "bucket")
   }
 

@@ -561,18 +561,30 @@ object Similarity {
     * confirmed-pair relation itself (distinct + materialization —
     * consumers like q102 that reduce it further run in 0.5 s warm).
     * The `distinct` stays: it now dedupes nothing (one emission per
-    * pair) but pins the contract against future emission-rule drift. */
+    * pair) but pins the contract against future emission-rule drift.
+    *
+    * The per-doc surviving-band list rides back onto the band rows via a
+    * `collect_list OVER (PARTITION BY doc_id)` window, NOT a
+    * groupBy+join: a forced `broadcast(live)` (the round-8 shape) ships
+    * one row per corpus vector to every executor — fine at 200 k
+    * vectors, a guaranteed OOM at the 10⁹-vector scale this file
+    * targets, the exact disease the streaming band index is
+    * threshold-gated against ([[graft.streaming.DocumentsStreaming
+    * .nearDupCandidates]]'s `broadcastIndex` ladder). The window is
+    * unconditionally scale-safe (one hash exchange of the band rows on
+    * doc_id, partitions of ≤ nTables rows each, no driver-side
+    * collect), and it evaluates [[Dedup.capBands]]'s lineage ONCE where
+    * the join form rebuilt it for each side. ExchangeAuditSpec pins the
+    * contract: with auto-broadcast thresholds off, nothing
+    * corpus-proportional broadcasts in the q95 plan. */
   private[ops] def nearDupPairsOf(sig: DataFrame, threshold: Double,
       maxBucketPopulation: Int): DataFrame = {
     val capped = Dedup.capBands(
       sig.select(col("vec_id").as("doc_id"), col("u"), col("buckets"),
         posexplode(col("buckets")).as(Seq("band", "band_key"))),
       maxBucketPopulation)
-    // per-doc surviving-band list: |corpus| rows of a ≤ nTables int list
-    // — broadcast back onto the band rows
-    val live = capped.groupBy("doc_id")
-      .agg(collect_list(col("band")).as("live_bands"))
-    val buckets = capped.join(broadcast(live), "doc_id")
+    val buckets = capped.withColumn("live_bands",
+      collect_list(col("band")).over(Window.partitionBy("doc_id")))
     val earlierLive = exists(
       filter(col("a.live_bands"), t => t < col("a.band")),
       t => element_at(col("a.buckets"), t + 1) === element_at(col("b.buckets"), t + 1))

@@ -779,7 +779,16 @@ object TextAnalysis {
       .agg(
         sum("n_chunks").as("n_chunks"),
         sum(col("n_chunks") * chunkTokens - col("n_tok")).as("pad_tokens"),
-        round(sum("n_tok") / (sum("n_chunks") * lit(chunkTokens.toDouble)), 4).as("fill_ratio"))
+        // floor(x*1e4 + 0.5)/1e4, NOT round(x, 4): an integer-over-
+        // integer ratio like sum_tok/(chunks*128) lands on exact
+        // decimal ties (…5 at the 5th place), where Spark's HALF_UP
+        // over the shortest-decimal repr and DuckDB's binary-double
+        // rounding disagree by one ulp of the 4th decimal (measured:
+        // sf0.001 fill_ratio 0.3788 vs 0.3787). The floor form is the
+        // SAME IEEE multiply/add/floor/divide on both engines, so it
+        // cannot diverge.
+        (floor(sum("n_tok") / (sum("n_chunks") * lit(chunkTokens.toDouble)) * 10000d
+          + 0.5d) / 10000d).as("fill_ratio"))
       .orderBy("source")
   }
 

@@ -189,9 +189,23 @@ object DocumentsStreaming {
     * [[dedupedByFingerprint]] bound, applied to band keys. A duplicate
     * arriving beyond the TTL is the accepted miss, exactly as with the
     * watermarked fingerprint dedup; catching it is the batch
-    * re-dedup's job (q96). */
+    * re-dedup's job (q96).
+    *
+    * `maxKeyPopulation` mirrors [[graft.ops.Dedup.capBands]] on the
+    * streaming side: a degenerate hot band key (many empty/boilerplate
+    * docs hashing identically — the exact case the batch cap guards)
+    * would otherwise buffer an unbounded trigger's rows in executor
+    * memory AND emit one hit per duplicate per band. The group is
+    * consumed in ONE incremental pass (claimant = running min-(ts,
+    * doc_id), TTL horizon = running max ts, emission buffer bounded at
+    * the cap); a key whose per-trigger population exceeds the cap
+    * claims state but emits NOTHING this trigger — the same
+    * drop-the-whole-hot-bucket rule as batch, with the same accepted
+    * degradation: the doc's OTHER band keys still gate it, and the
+    * batch re-dedup (q96) owns whatever a saturated band hides. */
   def nearDupStateful(docs: DataFrame, watermark: String = "10 minutes",
-      stateTtlMs: Long = 10L * 60 * 1000): DataFrame = {
+      stateTtlMs: Long = 10L * 60 * 1000,
+      maxKeyPopulation: Int = 1000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val keyed = docs
@@ -212,17 +226,30 @@ object DocumentsStreaming {
         case (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val batch = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
-            val (orig, dups) = state.getOption match {
-              case Some(s) => (s, batch)
-              case None =>
-                val h = batch.head
-                (BandOriginal(h.doc_id, h.ts.getTime), batch.tail)
+            // one pass, bounded memory: running min/max + a ≤cap buffer
+            var n = 0
+            var minRow: BandKeyRow = null
+            var maxTs = Long.MinValue
+            val buf = scala.collection.mutable.ArrayBuffer.empty[BandKeyRow]
+            rows.foreach { r =>
+              n += 1
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+              if (minRow == null || t < minRow.ts.getTime ||
+                  (t == minRow.ts.getTime && r.doc_id < minRow.doc_id)) minRow = r
+              if (buf.size < maxKeyPopulation) buf += r
             }
+            val prior = state.getOption
+            val orig = prior.getOrElse(BandOriginal(minRow.doc_id, minRow.ts.getTime))
             state.update(orig)
-            state.setTimeoutTimestamp(
-              math.max(orig.orig_ts, batch.map(_.ts.getTime).max) + stateTtlMs)
-            dups.iterator.map(r => NearDupHit(r.doc_id, r.band, r.band_key, orig.orig_id))
+            state.setTimeoutTimestamp(math.max(orig.orig_ts, maxTs) + stateTtlMs)
+            if (n > maxKeyPopulation) Iterator.empty // hot key: whole bucket dropped this trigger
+            else {
+              val dups =
+                if (prior.isDefined) buf else buf.filterNot(_ eq minRow)
+              dups.sortBy(r => (r.ts.getTime, r.doc_id)).iterator
+                .map(r => NearDupHit(r.doc_id, r.band, r.band_key, orig.orig_id))
+            }
           }
       }
       .toDF()

@@ -56,4 +56,71 @@ class ExchangeAuditSpec extends AnyFunSuite {
       assert(n <= cap, s"$name shuffles $n times — check the plan")
     }
   }
+
+  /** Walk the EXECUTED plan (descending AQE roots and cache-rebuild
+    * lineage alike — a broadcast hidden behind an InMemoryRelation still
+    * ran once to build it) collecting every broadcast exchange with its
+    * post-run numOutputRows metric. */
+  private def executedBroadcasts(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[(String, Long)] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeLike
+    val self = p match {
+      case b: BroadcastExchangeLike =>
+        Seq((b.nodeName, b.metrics.get("numOutputRows").map(_.value).getOrElse(0L)))
+      case _ => Nil
+    }
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      // AQE wraps a materialized exchange in a LEAF QueryStageExec —
+      // the exchange itself is only reachable through .plan
+      case q: QueryStageExec => Seq(q.plan)
+      case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+      case other => other.children
+    }
+    self ++ kids.flatMap(executedBroadcasts)
+  }
+
+  /** q95's round-8 plan force-broadcast a one-row-per-corpus-vector
+    * `live` relation — correct and fast at every measured scale, a
+    * guaranteed driver/executor OOM at the 10⁹-vector scale the engine
+    * targets. The fix (a doc_id window instead of groupBy+broadcast
+    * join) must STAY fixed: every broadcast that executes inside q95's
+    * plan has to be sub-corpus-sized. The only legitimate broadcast in
+    * this plan is capBands' hot-band anti-join side, bounded by
+    * |bands| / maxBandPopulation ≪ |corpus|. */
+  test("q95: no corpus-proportional broadcast executes") {
+    // canary: the walker must FIND broadcasts where they exist, or the
+    // q95 assertion below would pass vacuously on a broken collector
+    // (q05 joins four dimension tables — all broadcast)
+    val canary = SparkEntry.queries("q05_region_revenue")(spark, dir)
+    canary.collect()
+    assert(executedBroadcasts(canary.queryExecution.executedPlan).nonEmpty,
+      "broadcast collector found nothing in q05's dim joins — collector is broken")
+
+    // the contract is "no FORCED corpus-proportional broadcast": an
+    // AQE-decided broadcast of the band relation at gate scale is
+    // correct adaptive behavior (runtime-sized, disappears at real
+    // scale), while a broadcast() HINT survives any threshold. So turn
+    // the auto-broadcast thresholds off — whatever still broadcasts
+    // was forced by a hint in the plan, which is exactly what must
+    // stay sub-corpus-sized (capBands' bounded hot side is the only
+    // legitimate one, and it is empty at organic populations).
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = SparkEntry.queries("q95_embedding_neardup_lsh")(spark, dir)
+      df.collect() // run it so broadcast metrics are populated
+      val corpus = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val bcasts = executedBroadcasts(df.queryExecution.executedPlan)
+      bcasts.foreach { case (n, r) => info(f"$r%6d rows  $n") }
+      for ((node, rows) <- bcasts)
+        assert(rows < corpus,
+          s"$node force-broadcasts $rows rows (corpus=$corpus) — corpus-proportional broadcast is back")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
