@@ -209,6 +209,11 @@ object SparkEntry {
     // banded bucket join — catches the re-encoded/resized duplicates the
     // exact-payload rung (q116) is blind to
     "q121_perceptual_image_dups" -> ((s, d) => Multimodal.perceptualDups(s, d)),
+    // cross-format perceptual dedup: even docs encode their pixels as
+    // PNG, odd docs as baseline JPEG (both byte-varied), decoded through
+    // the magic-byte router — every even↔odd pair is a PNG↔JPEG
+    // re-encode, the duplicate class a per-format family cannot see
+    "q126_cross_format_image_dups" -> ((s, d) => Multimodal.crossFormatDups(s, d)),
     // the q119 eval sweep as an API: pages id-range batches and unions
     // verdicts. The gate pins a FIXED window (ids < 600 in pages of
     // 200): exactly 3 real pages at EVERY scale factor — multi-page
@@ -487,18 +492,28 @@ object SparkEntry {
     * injective band*65536+key composite, population-capped, and
     * hamming-verified via bit_count(xor). */
   private def perceptualDupSql(bit: String => String): String =
+    perceptualDupChain(
+      """px AS (SELECT doc_id, [cps[(p % len(cps)) + 1] for p in range(0, 256)] AS px
+        |       FROM c),
+        |blk AS (SELECT doc_id,
+        |    [(px[(b // 8) * 32 + (b % 8) * 2 + 1] + px[(b // 8) * 32 + (b % 8) * 2 + 2]
+        |      + px[(b // 8) * 32 + (b % 8) * 2 + 17] + px[(b // 8) * 32 + (b % 8) * 2 + 18]) // 4
+        |     for b in range(0, 64)] AS blocks
+        |  FROM px)""".stripMargin, bit)
+
+  /** The band/verify tail shared by every perceptual-dup oracle (q121 /
+    * q125 / q126): given a `blocks` CTE (64 BIGINT block values per
+    * doc, built on top of the shared code-point CTE `c`), pack the
+    * 64-bit hash from the given per-block bit rule as two sub-2^32
+    * halves, band 4×16 on the injective band*65536+key composite,
+    * population-cap, and hamming-verify via bit_count(xor). */
+  private def perceptualDupChain(blocksCte: String, bit: String => String): String =
     s"""WITH d AS (SELECT doc_id, text FROM documents
        |           WHERE text IS NOT NULL AND length(text) >= 1),
        |c AS (SELECT doc_id,
        |        [unicode(text[i]) % 256 for i in range(1, length(text) + 1)] AS cps
        |      FROM d),
-       |px AS (SELECT doc_id, [cps[(p % len(cps)) + 1] for p in range(0, 256)] AS px
-       |       FROM c),
-       |blk AS (SELECT doc_id,
-       |    [(px[(b // 8) * 32 + (b % 8) * 2 + 1] + px[(b // 8) * 32 + (b % 8) * 2 + 2]
-       |      + px[(b // 8) * 32 + (b % 8) * 2 + 17] + px[(b // 8) * 32 + (b % 8) * 2 + 18]) // 4
-       |     for b in range(0, 64)] AS blocks
-       |  FROM px),
+       |$blocksCte,
        |m AS (SELECT doc_id, blocks, list_sum(blocks) // 64 AS mean FROM blk),
        |hh AS (SELECT doc_id,
        |    CAST(list_sum([CASE WHEN ${bit("b")}
@@ -1297,6 +1312,19 @@ object SparkEntry {
       perceptualDupSql(idx =>
         s"blocks[(($idx) // 8) * 8 + (($idx) % 8) + 1] > " +
           s"blocks[(($idx) // 8) * 8 + ((($idx) % 8) + 1) % 8 + 1]"),
+    // q126: the cross-format rung — the Spark side goes solid-tile
+    // pixels -> real PNG (even ids) or real baseline JPEG (odd ids) ->
+    // format router -> real decode -> aHash; the PNG round trip is
+    // lossless and the JPEG round trip is EXACT on the solid-tile class
+    // (AC quantize to zero, DC steps 1/2/4/8 divide 8), so the oracle
+    // reads each aHash block straight from the tile rule: block b =
+    // codePoint(b mod len) mod 256
+    "q126_cross_format_image_dups" ->
+      perceptualDupChain(
+        """blk AS (SELECT doc_id,
+          |    [CAST(cps[(b % len(cps)) + 1] AS BIGINT) for b in range(0, 64)] AS blocks
+          |  FROM c)""".stripMargin,
+        idx => s"blocks[$idx + 1] > mean"),
     // q123: the sweep pages disjoint exhaustive id ranges whose union is
     // exactly the windowed eval set, so the oracle is q119's single
     // relation at the gate window (ids < 600) — one SQL, three Spark

@@ -661,23 +661,103 @@ object Multimodal {
       maxHamming, maxBandPopulation)
       .orderBy("doc_a", "doc_b")
 
-  /** The q121/q125 pipeline over DECODED payloads — drives [[pngDecode]]
-    * on arbitrary PNG bytes (rows that fail to decode as 8-bit gray PNG
-    * are dropped: the scan-phase skip, not an error). Used by the
-    * planted re-encode/resize/tone-curve specs, where byte-different
-    * payloads of the same pixels must land in one bucket. */
+  /** Magic-byte image router: PNG signature → [[pngDecode]], JPEG SOI →
+    * [[Jpeg.decode]], anything else → None. This is what makes the
+    * perceptual rung format-blind: a crawl dedup keyed on decoded
+    * PIXELS must not care which container carried them, or a PNG→JPEG
+    * re-encode (the commonest image duplicate in the wild) slips
+    * between per-format families. */
+  def imageDecode(p: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    if (p.length < 2) None
+    else if ((p(0) & 0xff) == 0x89 && p(1) == 'P') pngDecode(p)
+    else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) Jpeg.decode(p)
+    else None
+
+  /** The q121/q125 pipeline over DECODED payloads — drives the given
+    * decoder (default: the [[imageDecode]] format router) on arbitrary
+    * bytes; rows that fail to decode are dropped (the scan-phase skip,
+    * not an error). Used by the planted re-encode/resize/tone-curve
+    * specs, where byte-different payloads of the same pixels must land
+    * in one bucket — and, with `pngDecode` passed explicitly, by the
+    * spec that PROVES the PNG-only family misses a JPEG re-encode. */
   private[graft] def perceptualDupsOfPayloads(media: Dataset[MediaRecord],
       maxHamming: Int, maxBandPopulation: Int,
-      hash: (Array[Int], Int, Int) => (Long, Long) = aHash64): DataFrame = {
+      hash: (Array[Int], Int, Int) => (Long, Long) = aHash64,
+      decoder: Array[Byte] => Option[(Int, Int, Array[Int])] = imageDecode): DataFrame = {
     import media.sparkSession.implicits._
     val hashes = media
       .mapPartitions { batch =>
         batch.flatMap { r =>
-          pngDecode(r.payload).collect {
+          decoder(r.payload).collect {
             case (w, h, gray) if w % 8 == 0 && h % 8 == 0 =>
               val (hi, lo) = hash(gray, w, h)
               (r.doc_id, hi, lo)
           }
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+    perceptualDupsOfHashes(hashes, maxHamming, maxBandPopulation)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Deterministic 64×64 grayscale synthesis as 64 SOLID 8×8 tiles,
+    * tile t = codePoint(t mod len) mod 256 — the cross-format variant
+    * of [[pixelsOf]]. Solid-per-JPEG-block on purpose: a solid tile is
+    * the class a baseline JPEG round-trips EXACTLY (all AC quantize to
+    * zero; the DC path is exact when the DC quant step divides
+    * 8·(v−128) — see [[Jpeg]]), so the encode→decode identity that
+    * lets the q121 oracle compute hashes from the pixel rule holds for
+    * the LOSSY codec too. Each aHash block (8×8 pixels of a 64×64
+    * image) folds exactly one tile, so the hash is as rich as q121's —
+    * 64 text-derived values — and band populations stay organic. */
+  private[graft] def solidPixelsOf(text: String): Array[Int] = {
+    val cps = text.codePoints().toArray
+    val tiles = Array.tabulate(64)(t => cps(t % cps.length) % 256)
+    Array.tabulate(64 * 64)(p => tiles((p / 64 / 8) * 8 + (p % 64) / 8))
+  }
+
+  /** q126: CROSS-FORMAT perceptual image dedup — the pair a per-format
+    * family can never see. Even doc_ids write their pixels as PNG
+    * (doc-varied filter/level/chunking), odd doc_ids as baseline JPEG
+    * (doc-varied DC/AC quant, restart interval, comment segment) — so
+    * every near-dup pair with one even and one odd member models the
+    * commonest wild duplicate, a PNG→JPEG re-encode, and byte-level
+    * equality is destroyed even for identical pixels WITHIN a format.
+    * Both containers route through [[imageDecode]] to pixels, then the
+    * q121 banded aHash pipeline. The oracle computes hashes from the
+    * solid-tile rule directly: the PNG round trip is lossless and the
+    * JPEG round trip is exact on the solid-tile class with the chosen
+    * quant steps (1/2/4/8 all divide 8), so both engines agree by
+    * construction — the q121 gate pattern extended through a LOSSY
+    * codec. PerceptualDupsSpec plants a real PNG↔JPEG re-encode and
+    * proves the PNG-only q121 family misses it while this rung and the
+    * router pipeline catch it. */
+  def crossFormatDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBandPopulation: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val px = solidPixelsOf(text)
+          val payload =
+            if (math.floorMod(id, 2) == 0)
+              pngBytes(64, 64, px,
+                filterType = math.floorMod(id, 5).toInt,
+                level = math.floorMod(id, 9).toInt + 1,
+                chunk = if (math.floorMod(id, 4) == 0) Int.MaxValue else 256)
+            else
+              Jpeg.jpegBytes(64, 64, px,
+                dcQuant = 1 << math.floorMod(id, 4).toInt, // 1/2/4/8 all divide 8
+                acQuant = 16 + math.floorMod(id, 7).toInt,
+                restartInterval = math.floorMod(id, 3).toInt,
+                comment = "re-encode pass " * math.floorMod(id, 3).toInt)
+          val (w, h, gray) = imageDecode(payload)
+            .getOrElse(throw new IllegalStateException(s"unparseable image for doc $id"))
+          val (hi, lo) = aHash64(gray, w, h)
+          (id, hi, lo)
         }
       }
       .toDF("doc_id", "hi", "lo")

@@ -142,4 +142,44 @@ class PerceptualDupsSpec extends AnyFunSuite {
     // the pair of distinct-image copies (7,8) still surfaces
     assert(out == Seq((7L, 8L, 0L)), s"got $out")
   }
+
+  test("a PNG->JPEG re-encode: the PNG-only family misses it, the format router catches it") {
+    import spark.implicits._
+    // same pixels, two containers — the commonest wild duplicate. The
+    // pixels are the q126 solid-tile class, so the JPEG round trip is
+    // exact and the pair lands at hamming 0.
+    val rng = new Random(23)
+    val tiles = Array.fill(64)(rng.nextInt(256))
+    val px = Array.tabulate(64 * 64)(p => tiles((p / 64 / 8) * 8 + (p % 64) / 8))
+    val other = Array.fill(64 * 64)(rng.nextInt(256))
+    val media = Seq(
+      MediaRecord(1L, Multimodal.pngBytes(64, 64, px, filterType = 2, level = 6)),
+      MediaRecord(2L, Jpeg.jpegBytes(64, 64, px, dcQuant = 4, acQuant = 20,
+        restartInterval = 2, comment = "social-media re-encode")),
+      MediaRecord(3L, Multimodal.pngBytes(64, 64, other, filterType = 1))).toDS()
+    val pngOnly = Multimodal.perceptualDupsOfPayloads(media, maxHamming = 3,
+      maxBandPopulation = 1000, decoder = Multimodal.pngDecode)
+      .as[(Long, Long, Long)].collect().toSeq
+    val routed = Multimodal.perceptualDupsOfPayloads(media, maxHamming = 3,
+      maxBandPopulation = 1000)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pngOnly.isEmpty,
+      s"the PNG-only family must be blind to the JPEG copy: $pngOnly")
+    assert(routed == Seq((1L, 2L, 0L)), s"the router must catch it at hamming 0: $routed")
+  }
+
+  test("q126 pairs planted cross-format duplicates in the documents corpus") {
+    import spark.implicits._
+    // Drive the real q126 entry at sf0.001 and check the invariant the
+    // oracle enforces end-to-end: every returned pair has identical
+    // decoded hashes within the radius, and pairs EXIST in both
+    // even-even and mixed parities at this corpus (duplicate texts are
+    // planted in the testdata generator across id parities)
+    val out = Multimodal.crossFormatDups(TestSpark.spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty, "q126 found no pairs at sf0.001")
+    assert(out.forall(_._3 <= 3))
+    assert(out.exists(p => (p._1 - p._2) % 2 != 0),
+      s"no cross-parity (PNG vs JPEG) pair surfaced among ${out.size} pairs")
+  }
 }
