@@ -231,6 +231,11 @@ object SparkEntry {
     // instead of the per-call broadcast prune — both modes must be
     // row-identical, so the oracle is q110's relation verbatim
     "q124_bm25_indexed" -> ((s, d) => Retrieval.bm25TopK(s, d, indexed = true)),
+    // BM25 served from the PERSISTED parquet index (postings bucketed by
+    // term hash for scan-time pruning, built once per session+dir) — the
+    // restartable-service lifecycle, pinned to the same oracle as
+    // q110/q124: three serving shapes, one answer
+    "q127_bm25_persisted" -> ((s, d) => Retrieval.bm25TopKPersisted(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -1374,6 +1379,11 @@ object SparkEntry {
     // q110's relation verbatim — the contract now sits under the hash
     // gate instead of only in a spec
     "q124_bm25_indexed" -> Bm25TopKSql,
+    // q127: the persisted-index serving shape under the SAME oracle —
+    // longs (tf/dl) and the 1e6-scaled weight sums round-trip parquet
+    // exactly, so the on-disk index must reproduce q110's relation to
+    // the hash or the artifact lost information
+    "q127_bm25_persisted" -> Bm25TopKSql,
     // q116: mirrors Multimodal.frameDups — 100-char frame slices,
     // md5 frame hashes, distinct per payload, cap never binds at this
     // SF (as q32's band cap), pairs sharing >= 3 frames

@@ -128,9 +128,88 @@ object Retrieval {
   private def indexStages(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     (postingsStage(spark, dir), dlStage(spark, dir))
 
-  private def bm25Rank(docs: DataFrame, index: Option[(DataFrame, DataFrame)],
+  /** Persist the BM25 index (postings + doc lengths) as parquet — the
+    * lifecycle step the session-cached [[postingsStage]] lacks: a
+    * serving restart re-paid the full corpus tokenize/aggregate build
+    * (9.1 s at the 100× corpus), and at real scale the index must
+    * outlive any one session anyway. Mirrors
+    * [[Similarity.saveIvfIndex]]'s layout argument: postings are
+    * partitioned by a hash bucket of the term, so a query batch prunes
+    * to ≤ |query terms| buckets AT SCAN TIME — the storage-level analog
+    * of the broadcast term prune ("probe cost ∝ query vocabulary, not
+    * corpus vocabulary"). Token-less docs (null term rows in the
+    * session stage) are carried in the dl relation only — the postings
+    * artifact stays null-free so bucket pruning never needs a null
+    * bucket. */
+  def savePostingsIndex(spark: SparkSession, dir: String, outDir: String,
+      termBuckets: Int = 64): Unit = {
+    require(termBuckets > 0, "bucket count must be positive")
+    postingsStage(spark, dir)
+      .where(col("term").isNotNull)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$outDir/postings")
+    dlStage(spark, dir).write.mode("overwrite").parquet(s"$outDir/dl")
+  }
+
+  /** Serve BM25 from a persisted [[savePostingsIndex]] artifact — NO
+    * corpus relation in the plan at all (the restarted-service shape).
+    * Answers are pinned IDENTICAL to the live [[bm25TopK]] modes
+    * (PostingsIndexPersistenceSpec; the q127 gate runs this under
+    * q110's own oracle). The query batch's term buckets are computed
+    * from a LOCAL relation (bounded by the batch, no corpus work) and
+    * pushed as a static `term_bucket IN (...)` partition filter, so the
+    * scan reads only the probed directories. */
+  def bm25TopKFromIndex(spark: SparkSession, indexDir: String,
+      queries: Seq[(Int, String)] = DefaultQueries,
+      topK: Int = 5, salts: Int = 32,
+      termBuckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val queryTerms = queries.toDF("query_id", "qtext")
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(TextAnalysis.tokens(col("qtext"))).as("term"))
+      .distinct()
+    val buckets = queryTerms
+      .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local relation: no corpus scan
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .where(col("term_bucket").isin(buckets: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val dl = spark.read.parquet(s"$indexDir/dl")
+    bm25Rank(
+      sys.error("the persisted-index path must not touch the corpus"),
+      Some((postings, dl)), queryTerms, topK, salts, excludeSelf = false)
+  }
+
+  /** One persisted-index artifact per (session, dir), built on first
+    * use — the q127 gate entry: the determinism contract (a query
+    * surface may be invoked repeatedly) meets the write-once lifecycle
+    * via the same memoization discipline as the session stages. */
+  private val persistedIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** q127: [[bm25TopK]] served entirely from the persisted parquet
+    * index — same oracle as q110/q124, which is the point: three
+    * physical serving shapes (scan-time prune / session index /
+    * restartable on-disk index), one pinned answer. */
+  def bm25TopKPersisted(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)] = DefaultQueries,
+      topK: Int = 5, salts: Int = 32): DataFrame = {
+    val indexDir = persistedIndexDirs.computeIfAbsent((spark, dir), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
+      savePostingsIndex(spark, dir, tmp)
+      tmp
+    })
+    bm25TopKFromIndex(spark, indexDir, queries, topK, salts)
+  }
+
+  private def bm25Rank(docs: => DataFrame, index: Option[(DataFrame, DataFrame)],
       queryTerms: DataFrame, topK: Int, salts: Int, excludeSelf: Boolean): DataFrame = {
-    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    // by-name docs + lazy toks: the persisted-index path serves with NO
+    // corpus relation at all (a restarted service has only the index),
+    // so the tokenize plan must not even be ANALYZED when an index is
+    // supplied
+    lazy val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
     val postings = index.map(_._1)
     val dl = index match {
       case Some((_, d)) => d
