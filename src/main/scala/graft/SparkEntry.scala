@@ -236,6 +236,10 @@ object SparkEntry {
     // restartable-service lifecycle, pinned to the same oracle as
     // q110/q124: three serving shapes, one answer
     "q127_bm25_persisted" -> ((s, d) => Retrieval.bm25TopKPersisted(s, d)),
+    // apply a BPE merge table to the corpus (the train->apply loop q122
+    // starts): per-word greedy fold per merge, in table order, then the
+    // corpus-wide symbol histogram
+    "q128_bpe_tokenize" -> ((s, d) => TextAnalysis.tokenizeWithMerges(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -454,6 +458,34 @@ object SparkEntry {
       .map(k => s"SELECT CAST($k AS BIGINT) AS round, a, b, n FROM t$k")
       .mkString("\nUNION ALL ")
     s"$head$roundCtes\nSELECT round, a, b, n FROM (\n$union)\nORDER BY round"
+  }
+
+  /** q128's oracle: the q122 fold applied with LITERAL merge pairs —
+    * one list_reduce CTE per merge in table order (merge order is load-
+    * bearing: th+e only fires after t+h built "th"), then the weighted
+    * symbol histogram. Pairs are embedded from the same Scala constant
+    * the Spark side folds over, so the two engines cannot disagree on
+    * the table. */
+  private def bpeTokenizeSql(merges: Seq[(String, String)], topK: Int): String = {
+    val head =
+      """WITH w0 AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM w0 GROUP BY w),
+        |s0 AS (SELECT wc, array_to_string([w[i] for i in range(1, length(w) + 1)], chr(31)) AS s
+        |       FROM wc)""".stripMargin
+    val mergeCtes = merges.zipWithIndex.map { case ((a, b), i) =>
+      val k = i + 1
+      s""",
+         |s$k AS (SELECT wc, list_reduce(list_prepend('', string_split(s, chr(31))),
+         |    (acc, x) -> CASE WHEN acc = '' THEN x
+         |      WHEN string_split(acc, chr(31))[len(string_split(acc, chr(31)))] = '$a' AND x = '$b'
+         |        THEN acc || x
+         |      ELSE acc || chr(31) || x END) AS s
+         |  FROM s$i)""".stripMargin
+    }.mkString
+    s"""$head$mergeCtes
+       |SELECT symbol, CAST(sum(wc) AS BIGINT) AS n FROM (
+       |  SELECT wc, unnest(string_split(s, chr(31))) AS symbol FROM s${merges.size})
+       |GROUP BY symbol ORDER BY n DESC, symbol LIMIT $topK""".stripMargin
   }
 
   /** q110's oracle relation — per-term weights mirror Retrieval.bm25Rank
@@ -1302,6 +1334,11 @@ object SparkEntry {
     // overlap semantics cannot drift; an exhausted vocabulary empties
     // every later round's CTEs on both sides identically
     "q122_bpe_merges" -> bpeCtes(rounds = 5),
+    // q128: the apply half — the same list_reduce fold as q122's round
+    // CTEs, one CTE per FIXED merge (literals generated from the same
+    // Scala constant the Spark fold chain embeds), then the weighted
+    // symbol histogram
+    "q128_bpe_tokenize" -> bpeTokenizeSql(graft.ops.TextAnalysis.DefaultMerges, topK = 30),
     // q121: the oracle computes the aHash from the PIXEL RULE directly —
     // the Spark side goes pixels -> real PNG encode (varied settings) ->
     // real decode -> aHash, and the round-trip is an identity on pixels,

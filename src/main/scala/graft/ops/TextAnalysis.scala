@@ -427,6 +427,58 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "a", "b", "n").orderBy("round")
   }
 
+  /** Fixed merge table for the q128 gate — small, literal, embedded
+    * identically in the Spark fold chain and the generated oracle SQL
+    * (the hyperplane-weight discipline applied to strings). Includes a
+    * CHAINED merge (t+h, then th+e) so the gate proves merge-ORDER
+    * semantics, not just independent pair gluing. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "e" -> "r", "a" -> "n", "o" -> "n")
+
+  /** Per-word tokenized symbol state after applying a merge table in
+    * order: each merge is one greedy left FOLD over the word's symbols —
+    * the EXACT fold [[bpeMergesOf]] trains with (`aggregate` HOF,
+    * tail-extend on match), so a table trained by q122 and applied here
+    * cannot disagree on overlap semantics. BpeTokenizeSpec pins the
+    * train→apply loop quantitatively: after applying merges 1..k−1, the
+    * weighted adjacency count of pair k equals the `n` the training
+    * round recorded. */
+  private[graft] def tokenizedSymbolsOf(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wc = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    val chars = concat_ws(BpeSep, transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1))))
+    val folded = merges.foldLeft(chars) { case (s, (a, b)) =>
+      aggregate(split(s, BpeSep), lit(""),
+        (acc, x) => when(acc === "", x)
+          .when(element_at(split(acc, BpeSep), -1) === lit(a) && x === lit(b),
+            concat(acc, x))
+          .otherwise(concat(acc, lit(BpeSep), x)))
+    }
+    wc.select(col("wc"), split(folded, BpeSep).as("syms"))
+  }
+
+  /** q128: tokenize the corpus WITH a trained merge table — the apply
+    * half of the BPE loop q122 trains (a tokenizer-sizing study needs
+    * both: train merges on a sample, apply them corpus-wide, read the
+    * resulting symbol distribution). Output: the top-K symbols of the
+    * tokenized corpus by frequency (weighted by word count — the same
+    * vocab-sized state discipline as training: the corpus aggregates
+    * ONCE onto the word vocabulary; the k-merge fold chain then runs
+    * over vocab rows inside codegen, and only the symbol histogram
+    * shuffles). Gated under the fixed [[DefaultMerges]] table; the
+    * trained-table path is exercised by BpeTokenizeSpec against q122's
+    * own output. */
+  def tokenizeWithMerges(spark: SparkSession, dir: String,
+      merges: Seq[(String, String)] = DefaultMerges, topK: Int = 30): DataFrame =
+    tokenizedSymbolsOf(Tables.documents(spark, dir), merges)
+      .select(col("wc"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("symbol"))
+      .limit(topK)
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 5-gram with a held-out eval set (here: `doc_id % 97 == 0` stands in
     * for the benchmark corpus). The standard pre-training contamination
