@@ -765,17 +765,32 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The 4×16-bit banding over a (doc_id, hi, lo) perceptual-hash
+    * relation — factored out so the BATCH pair stage and the STREAMING
+    * ingest gate ([[graft.streaming.DocumentsStreaming
+    * .imageDupCandidates]]) can never key differently, exactly as
+    * [[Dedup.bandsOf]] is shared by the text ladder's two sides. */
+  private[graft] def perceptualBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc_id"), col("hi"), col("lo"),
+      posexplode(array(
+        shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L))))
+        .as(Seq("band", "band_key")))
+
+  /** Static perceptual band-key index of the corpus — what an image
+    * INGEST gate probes ("does this arriving image share an aHash band
+    * with anything we hold"), mirroring [[Dedup.bandIndex]] for text.
+    * ≤ 4·|docs| short rows, distinct. */
+  def perceptualBandIndex(spark: SparkSession, dir: String): DataFrame =
+    perceptualBands(imageAHashOf(Tables.documents(spark, dir)))
+      .select("band", "band_key").distinct()
+
   /** Band + verify over a (doc_id, hi, lo) hash relation: four 16-bit
     * bands per hash, capped, self equi-joined, hamming-verified in the
     * join stage. */
   private def perceptualDupsOfHashes(hashes: DataFrame,
       maxHamming: Int, maxBandPopulation: Int): DataFrame = {
-    val bands = hashes.select(col("doc_id"), col("hi"), col("lo"),
-      posexplode(array(
-        shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L))))
-        .as(Seq("band", "band_key")))
-    val capped = Dedup.capBands(bands, maxBandPopulation)
+    val capped = Dedup.capBands(perceptualBands(hashes), maxBandPopulation)
     capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&

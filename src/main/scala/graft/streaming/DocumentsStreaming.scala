@@ -146,6 +146,46 @@ object DocumentsStreaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** PERCEPTUAL ingest gate — the multimodal rung of the ladder
+    * [[nearDupCandidates]] gives text: an arriving image payload is
+    * decoded ([[graft.ops.Multimodal.imageDecode]] — format-blind, PNG
+    * or baseline JPEG) and aHashed PER ROW inside mapPartitions (no
+    * groupBy → no state store → pure append mode, the codec cost rides
+    * the source parallelism), banded with the exact q121 construction
+    * ([[graft.ops.Multimodal.perceptualBands]] — shared code, so batch
+    * and stream can never key differently), and semi-joined against the
+    * accumulated corpus's [[graft.ops.Multimodal.perceptualBandIndex]].
+    * A collision means "probably a re-encode of an image we already
+    * hold — route to the batch hamming verifier"; candidates, not
+    * verdicts, exactly as in the text gate. Undecodable payloads pass
+    * the gate silently (no hash → no collision row): the scan-phase
+    * skip, not an error — a crawl is full of garbage bytes.
+    * `broadcastIndex` is the same two-rung size ladder as the text
+    * gate: broadcast for an index in executor memory, plain shuffle
+    * semi-join beyond it. */
+  def imageDupCandidates(media: DataFrame, bandIndex: DataFrame,
+      broadcastIndex: Boolean = true): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media
+      .select(col("doc_id"), col("payload"))
+      .as[graft.ops.MediaRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          graft.ops.Multimodal.imageDecode(r.payload).collect {
+            case (w, h, g) if w % 8 == 0 && h % 8 == 0 =>
+              val (hi, lo) = graft.ops.Multimodal.aHash64(g, w, h)
+              (r.doc_id, hi, lo)
+          }
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+    graft.ops.Multimodal.perceptualBands(hashes)
+      .select(col("doc_id"), col("band"), col("band_key"))
+      .join(if (broadcastIndex) broadcast(bandIndex) else bandIndex,
+        Seq("band", "band_key"), "left_semi")
+  }
+
   /** The Bloom rung of the ingest gate ([[nearDupCandidates]]'s ladder,
     * third position: broadcast hash < shuffle join < Bloom — see
     * [[graft.ops.Dedup.bandIndexBloom]] for the size math): the arriving

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.ops.{Jpeg, MediaRecord, Multimodal}
+
+/** The perceptual (image) ingest gate must flag exactly the arrivals
+  * the batch q121 banding would flag against the same index — stream
+  * and batch share the hash and band-key construction, and the gate is
+  * format-blind: a JPEG re-encode of a PNG the corpus holds collides
+  * through its decoded pixels. */
+class ImageDupStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** 64×64 solid-8×8-tile pixels — the class both codecs round-trip
+    * exactly, so PNG and JPEG encodes of one image hash identically. */
+  private def solidTiles(seed: Int): Array[Int] = {
+    val rng = new Random(seed)
+    val tiles = Array.fill(64)(rng.nextInt(256))
+    Array.tabulate(64 * 64)(p => tiles((p / 64 / 8) * 8 + (p % 64) / 8))
+  }
+
+  test("stream-static image candidates match batch, across formats and index rungs") {
+    import spark.implicits._
+    val held = Seq(1L -> solidTiles(1), 2L -> solidTiles(2), 3L -> solidTiles(3))
+    // corpus: three held images (as PNGs) -> their distinct band keys
+    val heldHashes = held.map { case (id, px) =>
+      val (hi, lo) = Multimodal.aHash64(px, 64, 64)
+      (id, hi, lo)
+    }.toDF("doc_id", "hi", "lo")
+    val index = Multimodal.perceptualBands(heldHashes)
+      .select("band", "band_key").distinct().cache()
+
+    // arrivals: a JPEG re-encode of held image 1, a PNG re-encode of
+    // held image 2 (different knobs -> different bytes), a novel image,
+    // and undecodable garbage
+    val arrivals = Seq(
+      MediaRecord(101L, Jpeg.jpegBytes(64, 64, held(0)._2, dcQuant = 4,
+        restartInterval = 2, comment = "resurfaced")),
+      MediaRecord(102L, Multimodal.pngBytes(64, 64, held(1)._2, filterType = 3, level = 2)),
+      MediaRecord(103L, Multimodal.pngBytes(64, 64, solidTiles(99))),
+      MediaRecord(104L, "not an image".getBytes("UTF-8")))
+    val dir = Files.createTempDirectory("graft-imagedup-stream")
+    arrivals.toDS().toDF().coalesce(1).write.mode("append").parquet(dir.toString)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+    EventsStreaming.runToMemory(
+      DocumentsStreaming.imageDupCandidates(stream, index),
+      "imagedup_stream", OutputMode.Append())
+    val streamed = spark.table("imagedup_stream")
+      .select("doc_id", "band", "band_key").distinct()
+
+    // re-encodes collide in ALL four bands (identical decoded pixels ->
+    // identical hash); the novel image and the garbage pass silently
+    val byDoc = streamed.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(byDoc == Map(101L -> 4L, 102L -> 4L),
+      s"expected exactly the two re-encodes at 4 bands each, got $byDoc")
+
+    // stream ≡ batch on the same input, and the shuffle rung ≡ broadcast
+    val batchInput = spark.read.parquet(dir.toString)
+    val batch = DocumentsStreaming.imageDupCandidates(batchInput, index)
+      .select("doc_id", "band", "band_key").distinct()
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "stream and batch image-collision sets diverge")
+    val shuffled = DocumentsStreaming.imageDupCandidates(batchInput, index,
+      broadcastIndex = false)
+      .select("doc_id", "band", "band_key").distinct()
+    assert(shuffled.except(batch).isEmpty && batch.except(shuffled).isEmpty,
+      "the shuffle-join scale path diverges from the broadcast path")
+  }
+
+  test("the corpus index builder collides a synthesized re-encode end-to-end") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val index = Multimodal.perceptualBandIndex(spark, sfDir).cache()
+    assert(index.count() > 0)
+    // re-encode the q121 synthesis of one corpus doc with different
+    // knobs: its bands must hit the index (it IS a held image)
+    val doc = graft.ops.Tables.documents(spark, sfDir)
+      .where(col("text").isNotNull && length(col("text")) >= 1)
+      .select("doc_id", "text").as[(Long, String)].head()
+    val px = Multimodal.pixelsOf(doc._2)
+    val arrival = Seq(MediaRecord(9999L,
+      Multimodal.pngBytes(16, 16, px, filterType = 3, level = 1, chunk = 33))).toDS()
+    val hits = DocumentsStreaming.imageDupCandidates(arrival.toDF(), index).count()
+    assert(hits == 4L, s"a re-encode of a held image must hit all 4 bands, got $hits")
+  }
+}
