@@ -240,6 +240,13 @@ object SparkEntry {
     // starts): per-word greedy fold per merge, in table order, then the
     // corpus-wide symbol histogram
     "q128_bpe_tokenize" -> ((s, d) => TextAnalysis.tokenizeWithMerges(s, d)),
+    // two-level IVF at a fixed small config (8 coarse cells x 4 sub-
+    // lists, probe 4x2) — the gated construction for the regime past
+    // the 4096-centroid flat cap, where list length must come from
+    // nCoarse x nSub without any corpus-proportional broadcast
+    "q129_ann_ivf_two_level" -> ((s, d) =>
+      Similarity.twoLevelIvfTopK(s, d, nCoarse = 8, nSub = 4,
+        nProbe1 = 4, nProbe2 = 2, nQueries = 100)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -382,6 +389,29 @@ object SparkEntry {
     * Emits `prefix`scored/`prefix`ranked. */
   private def ivfCtes(nQueries: Int, nProbe: Int = 8, prefix: String = "",
       nCentroids: Int = 16): String =
+    ivfAssignCtes(nCentroids) + s""",
+       |probes AS (
+       |  SELECT vec_id AS q_id, u AS qu, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
+       |    FROM adist WHERE vec_id < $nQueries)
+       |  WHERE crn <= $nProbe),
+       |${prefix}scored AS (
+       |  SELECT q_id, a.vec_id AS neighbor_id, ${cosSql("qu", "a.u")} AS cos
+       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  WHERE a.vec_id <> p.q_id),
+       |${prefix}ranked AS (
+       |  SELECT q_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM ${prefix}scored)""".stripMargin
+
+  /** The flat-IVF build (seed → one Lloyd round → refined assignment)
+    * as oracle CTEs, shared by the flat probe tail ([[ivfCtes]]) and
+    * the two-level extension ([[twoLevelIvfCtes]]). Ends with
+    * `assigned` (the inverted file) and `adist` (per-vector centroid
+    * dots, reused by the flat probe ladder). */
+  private def ivfAssignCtes(nCentroids: Int): String =
     s""", cents0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < $nCentroids),
        |a0 AS (
        |  SELECT u.vec_id, u.u, cent_id, ${cosSql("u.u", "cu")} AS cdot
@@ -408,22 +438,80 @@ object SparkEntry {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
        |    FROM adist)
-       |  WHERE crn = 1),
-       |probes AS (
-       |  SELECT vec_id AS q_id, u AS qu, cent_id FROM (
+       |  WHERE crn = 1)""".stripMargin
+
+  /** q129's oracle: the two-level IVF construction mirrored CTE for
+    * CTE against [[graft.ops.Similarity.twoLevelIvfStage]] /
+    * `twoLevelProbe` — coarse build from [[ivfAssignCtes]], per-cell
+    * sub-seeds (row_number by vec_id within cell), one sub-Lloyd round
+    * (within-cell assign → 1e6-scaled integer means → renormalize),
+    * final within-cell assignment to the refined sub-centroids, then
+    * the two-stage probe: nProbe1 cells by best-sub-dot, nProbe2
+    * sub-lists per probed cell. Every rank uses the flat path's
+    * (round(dot, 6) DESC, id ASC) total tiebreak. */
+  private def twoLevelIvfCtes(nCoarse: Int, nSub: Int,
+      nProbe1: Int, nProbe2: Int, nQueries: Int): String =
+    ivfAssignCtes(nCoarse) + s""",
+       |seeds AS (
+       |  SELECT cent_id, CAST(rn - 1 AS BIGINT) AS sub_id, u AS su FROM (
+       |    SELECT cent_id, vec_id, u,
+       |      row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS rn
+       |    FROM assigned)
+       |  WHERE rn <= $nSub),
+       |sd AS (
+       |  SELECT a.vec_id, a.cent_id, a.u, s.sub_id, ${cosSql("a.u", "s.su")} AS sdot
+       |  FROM assigned a JOIN seeds s USING (cent_id)),
+       |sl0 AS (
+       |  SELECT vec_id, cent_id, u, sub_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-       |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
-       |    FROM adist WHERE vec_id < $nQueries)
-       |  WHERE crn <= $nProbe),
-       |${prefix}scored AS (
+       |      ORDER BY round(sdot, 6) DESC, sub_id) AS srn
+       |    FROM sd)
+       |  WHERE srn = 1),
+       |smm AS (
+       |  SELECT cent_id, sub_id, idx,
+       |    sum(CAST(round(u[idx] * 1000000) AS BIGINT)) / (count(*) * 1000000.0) AS mval
+       |  FROM sl0, (SELECT unnest(range(1, 65)) AS idx)
+       |  GROUP BY cent_id, sub_id, idx),
+       |scvv AS (SELECT cent_id, sub_id, list(mval ORDER BY idx) AS v
+       |         FROM smm GROUP BY cent_id, sub_id),
+       |subcents AS (SELECT cent_id, sub_id,
+       |    [x / sqrt(list_sum([y * y for y in v])) for x in v] AS scu FROM scvv),
+       |fd AS (
+       |  SELECT a.vec_id, a.cent_id, a.u, s.sub_id, ${cosSql("a.u", "s.scu")} AS sdot
+       |  FROM assigned a JOIN subcents s USING (cent_id)),
+       |assigned2 AS (
+       |  SELECT vec_id, cent_id, sub_id, u FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY round(sdot, 6) DESC, sub_id) AS srn
+       |    FROM fd)
+       |  WHERE srn = 1),
+       |qd AS (
+       |  SELECT q.vec_id AS q_id, q.u AS qu, s.cent_id, s.sub_id,
+       |    ${cosSql("q.u", "s.scu")} AS sdot
+       |  FROM assigned2 q CROSS JOIN subcents s WHERE q.vec_id < $nQueries),
+       |cellbest AS (SELECT q_id, qu, cent_id, max(sdot) AS cell_best
+       |             FROM qd GROUP BY q_id, qu, cent_id),
+       |cells AS (
+       |  SELECT q_id, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(cell_best, 6) DESC, cent_id) AS crn
+       |    FROM cellbest)
+       |  WHERE crn <= $nProbe1),
+       |probes2 AS (
+       |  SELECT q_id, qu, cent_id, sub_id FROM (
+       |    SELECT qd.*, row_number() OVER (PARTITION BY qd.q_id, qd.cent_id
+       |      ORDER BY round(qd.sdot, 6) DESC, qd.sub_id) AS srn
+       |    FROM qd JOIN cells ON qd.q_id = cells.q_id AND qd.cent_id = cells.cent_id)
+       |  WHERE srn <= $nProbe2),
+       |scored AS (
        |  SELECT q_id, a.vec_id AS neighbor_id, ${cosSql("qu", "a.u")} AS cos
-       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  FROM probes2 p JOIN assigned2 a USING (cent_id, sub_id)
        |  WHERE a.vec_id <> p.q_id),
-       |${prefix}ranked AS (
+       |ranked AS (
        |  SELECT q_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM ${prefix}scored)""".stripMargin
+       |  FROM scored)""".stripMargin
 
   /** Multi-round BPE CTE chain (mirrors TextAnalysis.bpeMerges round for
     * round): s0 = per-word char-symbol state over the frequency-weighted
@@ -1631,6 +1719,14 @@ object SparkEntry {
     // the 500-vector gate corpus): the codebook, Lloyd round and probe
     // ladder come from the same parameterized CTEs as q39
     "q120_ann_ivf_scaled" -> (UnitVecCte + ivfCtes(nQueries = 100, nCentroids = 64) + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // q129: the two-level chain — coarse CTEs shared with q39/q120,
+    // then sub-seeds, sub-Lloyd, within-cell assignment and the 4x2
+    // two-stage probe
+    "q129_ann_ivf_two_level" -> (UnitVecCte +
+      twoLevelIvfCtes(nCoarse = 8, nSub = 4, nProbe1 = 4, nProbe2 = 2, nQueries = 100) + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),

@@ -225,21 +225,34 @@ object Similarity {
     lshSigCache.release(_._1 eq spark) +
       ivfCentCache.release(_._1 eq spark) +
       ivfAssignCache.release(_._1 eq spark) +
+      twoLevelA1Cache.release(_._1 eq spark) +
+      twoLevelCentCache.release(_._1 eq spark) +
+      twoLevelAssignCache.release(_._1 eq spark) +
       releaseMomentsStages(spark)
   }
 
   /** Assign every vector of `e` (vec_id, u) to its nearest centroid of
-    * `cents` (cent_id, cu): one broadcast join + one `max_by` hash
-    * aggregate. Deliberately NOT a row_number window — a window sorts
-    * nCentroids × corpus rows; max_by keeps it a two-phase hash
-    * aggregate with partial map-side combine. */
-  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame =
-    e.join(broadcast(cents))
-      .select(col("vec_id"), col("u"), col("cent_id"), dot(col("u"), col("cu")).as("cdot"))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cent_id"), col("u")),
-        struct(round(col("cdot"), 6), -col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("cent_id"), col("best.u").as("u"))
+    * `cents` (cent_id, cu): the codebook (bounded at 4096 × 64 doubles
+    * by [[adaptiveIvfConfig]]) is collected once and evaluated as a
+    * codegen'd argmax expression ([[graft.functions.NearestInCodebook]])
+    * — ONE projection over the corpus, no join, no aggregate. The
+    * former broadcast-join + `max_by` plan materialized n × nCentroids
+    * candidate rows each carrying the 64-double vector through the
+    * aggregate: measured 217 s at 500 k vectors × 489 centroids, hours
+    * at the multi-million-vector regime the ceiling probe targets. The
+    * expression replicates the exact (round(dot, 6) DESC, cent_id ASC)
+    * ordering, so every IVF oracle and spec stays hash-identical. */
+  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame = {
+    val local = cents.select(col("cent_id"), col("cu")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val books = graft.functions.CodebookFunctions.flatBook(local,
+      dim = local.headOption.map(_._2.length).getOrElse(64))
+    e.select(col("vec_id"),
+      graft.functions.CodebookFunctions.nearestInCodebook(lit(0L), col("u"), books)
+        .as("cent_id"),
+      col("u"))
+      .where(col("cent_id").isNotNull)
+  }
 
   /** Derive the IVF codebook size from corpus size, holding the expected
     * inverted-list length ~constant: `nCentroids = ceil(n / 1024)`
@@ -437,6 +450,150 @@ object Similarity {
         // the live stage's long so both paths run the identical plan
         .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"), col("u")),
       nProbe, nQueries, k)
+
+  /** TWO-LEVEL IVF — the lever past [[adaptiveIvfConfig]]'s 4096-
+    * centroid cap: a coarse codebook (≤ 4096 centroids, broadcastable
+    * forever) splits the corpus into cells, and each cell trains its
+    * own `nSub` sub-centroids, so the index carries nCoarse × nSub
+    * inverted lists while NOTHING corpus-proportional ever broadcasts —
+    * the sub-codebook and sub-seed relations join on `cent_id` like any
+    * keyed relation, and the per-cell seed window partitions by cell
+    * (bounded partitions, not a global sort). Beyond the cap the flat
+    * codebook's list length grows linearly again (n/4096: at 10⁹
+    * vectors, 244 k-row lists — scanned fraction degrading toward
+    * brute force); two levels restore list length ≈ n/(nCoarse·nSub)
+    * with BUILD cost n·nCoarse + n·nSub dot products instead of the
+    * flat n·nLists — at the same 16 384 lists, 16× fewer training dots.
+    * IvfCeilingProbe measures the crossover on synthetic multi-million-
+    * vector corpora; q129 gates a fixed small config under the DuckDB
+    * oracle (same construction unrolled in SQL).
+    *
+    * Training mirrors the flat path stage for stage so the oracle
+    * stays mechanical: coarse = seed→assign→integer-scaled mean
+    * ([[ivfCentroidsOf]], rounds=1); sub-seeds = the `nSub` smallest
+    * vec_ids per cell; one sub-Lloyd round (assign within cell →
+    * integer-scaled mean → renormalize); final inverted file = each
+    * vector's nearest refined sub-centroid WITHIN its cell. Queries
+    * probe the `nProbe1` nearest coarse cells, then the `nProbe2`
+    * nearest sub-lists per probed cell; every rank uses the
+    * (round(dot, 6) DESC, id ASC) total tiebreak of the flat path. */
+  def twoLevelIvfTopK(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, k: Int = 3): DataFrame = {
+    val (subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+    twoLevelProbe(subCents, assigned, nProbe1, nProbe2, nQueries, k)
+  }
+
+  private val twoLevelA1Cache = new StageCache[(SparkSession, String, Int, Int)]
+  private val twoLevelCentCache = new StageCache[(SparkSession, String, Int, Int)]
+  private val twoLevelAssignCache = new StageCache[(SparkSession, String, Int, Int)]
+
+  /** Coarse assignment stage shared by the sub-codebook and final-
+    * assignment builders (the [[ivfStage]] two-cache discipline,
+    * extended one level). */
+  private def twoLevelCoarseStage(spark: SparkSession, dir: String,
+      nCoarse: Int, nSub: Int): DataFrame =
+    twoLevelA1Cache.getOrBuild((spark, dir, nCoarse, nSub)) {
+      val e = unitEmbeddings(spark, dir)
+      val built = assignNearest(e, ivfCentroidsOf(e, nCoarse)).cache()
+      built.count()
+      built
+    }
+
+  /** (sub-codebook, inverted file) for the two-level index:
+    * sub-codebook = (cent_id, sub_id, scu); inverted file =
+    * (vec_id, cent_id, sub_id, u). Session-cached like [[ivfStage]]. */
+  private[graft] def twoLevelIvfStage(spark: SparkSession, dir: String,
+      nCoarse: Int, nSub: Int): (DataFrame, DataFrame) = {
+    val key = (spark, dir, nCoarse, nSub)
+    val subCents = twoLevelCentCache.getOrBuild(key) {
+      val a1 = twoLevelCoarseStage(spark, dir, nCoarse, nSub)
+      // per-cell sub-seeds: the nSub smallest vec_ids of the cell (a
+      // per-cell window — partitions are cells, never the corpus)
+      val sw = Window.partitionBy("cent_id").orderBy("vec_id")
+      val seeds = a1.withColumn("rn", row_number().over(sw))
+        .where(col("rn") <= nSub)
+        .select(col("cent_id"), (col("rn") - 1).cast("long").as("sub_id"),
+          col("u").as("su"))
+      // one sub-Lloyd round, all within-cell: assign to the nearest seed
+      // of the OWN cell via the codegen'd per-cell argmax (the
+      // assignNearest expression with the cell id as the codebook key —
+      // per-row work is nSub dots, and the whole nCoarse·nSub seed set
+      // is a bounded ≤ 8 MB plan reference, never a joined relation)
+      val seedBooks = graft.functions.CodebookFunctions.cellBooks(
+        seeds.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).toSeq, dim = 64)
+      val s0 = a1
+        .select(col("cent_id"),
+          graft.functions.CodebookFunctions
+            .nearestInCodebook(col("cent_id"), col("u"), seedBooks).as("sub_id"),
+          col("u"))
+        .where(col("sub_id").isNotNull)
+      val built = s0
+        .select(col("cent_id"), col("sub_id"), posexplode(col("u")))
+        .groupBy("cent_id", "sub_id", "pos")
+        .agg((sum(round(col("col") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("m"))
+        .groupBy("cent_id", "sub_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cent_id"), col("sub_id"),
+          unitVec(transform(col("pm"), p => p.getField("m"))).as("scu"))
+        .cache()
+      built.count()
+      built
+    }
+    val assigned = twoLevelAssignCache.getOrBuild(key) {
+      val a1 = twoLevelCoarseStage(spark, dir, nCoarse, nSub)
+      // final inverted file: nearest refined sub-centroid within the
+      // cell, via the same codegen'd per-cell argmax
+      val subBooks = graft.functions.CodebookFunctions.cellBooks(
+        subCents.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).toSeq, dim = 64)
+      val built = a1
+        .select(col("vec_id"), col("cent_id"),
+          graft.functions.CodebookFunctions
+            .nearestInCodebook(col("cent_id"), col("u"), subBooks).as("sub_id"),
+          col("u"))
+        .where(col("sub_id").isNotNull)
+        .cache()
+      built.count()
+      // bounded index resident; the coarse stage is no longer needed
+      twoLevelA1Cache.release(_ == key)
+      built
+    }
+    (subCents, assigned)
+  }
+
+  private def twoLevelProbe(subCents: DataFrame, assigned: DataFrame,
+      nProbe1: Int, nProbe2: Int, nQueries: Int, k: Int): DataFrame = {
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    // coarse probe: rank CELLS by the query's best sub-centroid dot in
+    // the cell? No — mirror the flat path: rank cells by the coarse
+    // geometry the sub-codebook preserves (max sub dot per cell), which
+    // needs no separate coarse relation in the serving path
+    val cellScore = q.join(subCents)
+      .select(col("q_id"), col("qu"), col("cent_id"), col("sub_id"),
+        dot(col("qu"), col("scu")).as("sdot"))
+    val cw = Window.partitionBy("q_id")
+      .orderBy(round(col("cell_best"), 6).desc, col("cent_id"))
+    val cells = cellScore.groupBy("q_id", "qu", "cent_id")
+      .agg(max(col("sdot")).as("cell_best"))
+      .withColumn("crn", row_number().over(cw))
+      .where(col("crn") <= nProbe1)
+      .select(col("q_id"), col("cent_id"))
+    val sw = Window.partitionBy("q_id", "cent_id")
+      .orderBy(round(col("sdot"), 6).desc, col("sub_id"))
+    val probes = cellScore.join(cells, Seq("q_id", "cent_id"))
+      .withColumn("srn", row_number().over(sw))
+      .where(col("srn") <= nProbe2)
+      .select(col("q_id"), col("qu"), col("cent_id"), col("sub_id"))
+    val scored = probes.join(assigned, Seq("cent_id", "sub_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cos"))
+    rankTopK(scored, k)
+  }
 
   /** ANN via multi-table sign-LSH with multi-probe: `nTables` hash
     * tables, table t keyed by the dot-signs of `bits` seeded random

@@ -1,0 +1,72 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The two-level IVF contracts: (1) the codegen'd argmax expression
+  * reproduces the join + max_by reference ordering exactly (including
+  * the round-6 tie rule it inherits); (2) the two-level index answers
+  * with useful recall at the gate corpus; (3) structural invariants —
+  * every vector lands in a (cell, sub-list) the sub-codebook actually
+  * holds, and list count exceeds the flat path's at equal config
+  * budget, which is the whole point of the second level. */
+class TwoLevelIvfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  test("NearestInCodebook matches the join+max_by reference, ties included") {
+    import spark.implicits._
+    val rng = new Random(31)
+    // low-resolution vectors make round-6 dot TIES likely, which is the
+    // part of the contract a plain argmax would get wrong
+    def vec(): Array[Double] = Array.fill(4)((rng.nextInt(5) - 2).toDouble)
+    val cents = (0L until 6L).map(i => (i, vec()))
+    val rows = (0L until 300L).map(i => (i, vec()))
+    val e = rows.toDF("vec_id", "u")
+    val c = cents.toDF("cent_id", "cu")
+    val reference = e.join(broadcast(c))
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.VectorFunctions.dotProduct(col("u"), col("cu")).as("d"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cent_id"), struct(round(col("d"), 6), -col("cent_id"))).as("cent_id"))
+      .as[(Long, Long)].collect().toMap
+    val books = graft.functions.CodebookFunctions.flatBook(cents, dim = 4)
+    val viaExpr = e.select(col("vec_id"),
+      graft.functions.CodebookFunctions.nearestInCodebook(lit(0L), col("u"), books)
+        .as("cent_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == reference, "argmax expression diverged from the max_by reference")
+  }
+
+  test("two-level index: recall floor, containment, and list multiplication") {
+    import spark.implicits._
+    val k = 3
+    val exact = Similarity.bruteForceTopK(spark, dir, nQueries = 100, k)
+      .select(col("q_id"), col("neighbor_id"))
+    val two = Similarity.twoLevelIvfTopK(spark, dir, nCoarse = 8, nSub = 4,
+      nProbe1 = 4, nProbe2 = 2, nQueries = 100, k)
+    val hits = exact.join(two.select(col("q_id"), col("neighbor_id"), lit(1).as("h")),
+      Seq("q_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("h"), lit(0)))).head().getLong(0)
+    val recall = hits.toDouble / exact.count()
+    // probing 8 of 32 lists (25% of the corpus): the measured value at
+    // this corpus is ~0.79; 0.6 is the regression floor, not the target
+    assert(recall >= 0.6, f"two-level recall@3 $recall%.3f below floor")
+
+    val (subCents, assigned) = Similarity.twoLevelIvfStage(spark, dir, 8, 4)
+    // containment: every assigned (cell, sub) exists in the sub-codebook
+    val orphans = assigned.select("cent_id", "sub_id").distinct()
+      .join(subCents.select("cent_id", "sub_id"), Seq("cent_id", "sub_id"), "left_anti")
+      .count()
+    assert(orphans == 0, s"$orphans assigned (cell, sub) pairs have no sub-centroid")
+    // the second level multiplies lists: more than nCoarse cells' worth
+    // (the probe side's query x sub-codebook cross join is bounded on
+    // both sides — the same legitimate shape as the flat probe ladder)
+    val lists = subCents.count()
+    assert(lists > 8, s"expected > 8 inverted lists from 8x4 config, got $lists")
+  }
+}
