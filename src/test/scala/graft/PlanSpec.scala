@@ -90,10 +90,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
-  test("IVF corpus assignment is a hash aggregate, never a corpus-wide window sort") {
+  test("IVF corpus assignment is a pure projection: no window, no join, no aggregate") {
+    // round 9 strengthened the old "hash aggregate, never a window
+    // sort" contract: the codegen'd codebook argmax (NearestInCodebook)
+    // assigns each vector in a single projection over the corpus — the
+    // former broadcast-join + max_by shape materialized n x nCentroids
+    // candidate rows through the aggregate
     val p = plan(graft.ops.Similarity.ivfAssignments(spark, dir))
     assert(!p.contains("Window"), s"corpus assignment uses a window sort:\n${p.take(2000)}")
-    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("HashAggregate"),
+      s"corpus assignment re-grew an aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Join"), s"corpus assignment re-grew a join:\n${p.take(2000)}")
+    assert(p.contains("nearest_in_codebook") || p.contains("Project"), p.take(2000))
   }
 
   test("q69 decontamination broadcasts the eval grams; corpus side never shuffles for the join") {
