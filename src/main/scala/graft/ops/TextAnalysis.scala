@@ -409,12 +409,7 @@ object TextAnalysis {
       else {
         val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, n))
-        val next = state.select(col("wc"),
-          aggregate(split(col("s"), BpeSep), lit(""),
-            (acc, x) => when(acc === "", x)
-              .when(element_at(split(acc, BpeSep), -1) === lit(a) && x === lit(b),
-                concat(acc, x))
-              .otherwise(concat(acc, lit(BpeSep), x))).as("s"))
+        val next = state.select(col("wc"), mergeFold(col("s"), a, b).as("s"))
           .cache()
         next.count()
         state.unpersist(blocking = false)
@@ -426,6 +421,29 @@ object TextAnalysis {
     state.unpersist(blocking = false)
     merges.toSeq.toDF("round", "a", "b", "n").orderBy("round")
   }
+
+  /** One greedy left-fold merge pass of (a, b) over a BpeSep-joined
+    * symbol string — the shared kernel of the training loop
+    * ([[bpeMergesOf]], per round) and the tokenizer
+    * ([[tokenizedSymbolsOf]], per table entry). The accumulator is a
+    * (string, last-symbol) STRUCT: the original formulation re-split
+    * the whole accumulator per element to read its tail symbol
+    * (`element_at(split(acc), -1)` — O(len²) string work per word per
+    * merge), which made the 5-merge q128 chain the slowest query on the
+    * 100× board (15.7 s); `substring_index(acc, sep, -1)` reads the
+    * tail DIRECTLY from the string accumulator — no per-element array
+    * build. (A struct-accumulator variant carrying the tail alongside
+    * was measured at 91 s isolated — struct accumulators push the fold
+    * off the codegen path; the string accumulator stays on it.)
+    * Semantics unchanged: extend the tail in place when it equals `a`
+    * and the next symbol is `b`, else append — the same non-overlapping
+    * greedy fold the DuckDB oracle's list_reduce runs. */
+  private def mergeFold(s: Column, a: String, b: String): Column =
+    aggregate(split(s, BpeSep), lit(""),
+      (acc, x) => when(acc === "", x)
+        .when(substring_index(acc, BpeSep, -1) === lit(a) && x === lit(b),
+          concat(acc, x))
+        .otherwise(concat(acc, lit(BpeSep), x)))
 
   /** Fixed merge table for the q128 gate — small, literal, embedded
     * identically in the Spark fold chain and the generated oracle SQL
@@ -450,13 +468,7 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("wc"))
     val chars = concat_ws(BpeSep, transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1))))
-    val folded = merges.foldLeft(chars) { case (s, (a, b)) =>
-      aggregate(split(s, BpeSep), lit(""),
-        (acc, x) => when(acc === "", x)
-          .when(element_at(split(acc, BpeSep), -1) === lit(a) && x === lit(b),
-            concat(acc, x))
-          .otherwise(concat(acc, lit(BpeSep), x)))
-    }
+    val folded = merges.foldLeft(chars) { case (s, (a, b)) => mergeFold(s, a, b) }
     wc.select(col("wc"), split(folded, BpeSep).as("syms"))
   }
 
