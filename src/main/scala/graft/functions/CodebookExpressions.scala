@@ -96,7 +96,15 @@ object NearestInCodebook {
       val off = j * b.dim
       while (i < n) { dot += vec.getDouble(i) * b.flat(off + i); i += 1 }
       val r = round6(dot)
-      if (bestId == Long.MinValue || r > bestDot) { bestDot = r; bestId = b.ids(j) }
+      // Double.compare, not '>': the former join+max_by plan (and
+      // DuckDB's ORDER BY) use total ordering with NaN as GREATEST, so
+      // a NaN dot (possible if a sub-centroid mean is the zero vector
+      // and unitVec yields NaN components) must win here too, wherever
+      // it appears in the codebook — strict '>' would only ever select
+      // it at index 0.
+      if (bestId == Long.MinValue || java.lang.Double.compare(r, bestDot) > 0) {
+        bestDot = r; bestId = b.ids(j)
+      }
       j += 1
     }
     bestId

@@ -439,6 +439,13 @@ object Jpeg {
           if (u8(pos + 9) != 1) return None // one component
           if (u8(pos + 11) != 0x11) return None // 1x1 sampling
           if (width <= 0 || height <= 0 || width % 8 != 0 || height % 8 != 0) return None
+          // Dimension cap BEFORE allocation: a 2 KB hostile payload can
+          // declare 40000x40000 and the width*height Int array would be a
+          // ~6.4 GB allocation whose OutOfMemoryError is fatal (not
+          // caught by NonFatal), killing the executor despite the
+          // total-decode contract. 1<<24 px (16 MP) is far above any
+          // fixture and far below any heap hazard.
+          if (width.toLong * height.toLong > (1L << 24)) return None
           sofSeen = true
           pos += 2 + len
         case m if m >= 0xc1 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>

@@ -447,6 +447,11 @@ object Multimodal {
     if (!tag(12, "IHDR") || be32(8) != 13) return None
     val width = be32(16).toInt; val height = be32(20).toInt
     if (width <= 0 || height <= 0 || u8(24) != 8 || u8(25) != 0) return None
+    // Same dimension cap as the JPEG decoder: declared dims drive the
+    // (width+1)*height filter-buffer allocation before any IDAT byte is
+    // validated, and an OutOfMemoryError from a hostile 2 KB payload
+    // declaring 40000x40000 is fatal (NonFatal doesn't catch it).
+    if (width.toLong * height.toLong > (1L << 24)) return None
     val z = new java.io.ByteArrayOutputStream()
     var i = 33 // first chunk after IHDR
     while (i + 12 <= p.length && !tag(i + 4, "IEND")) {

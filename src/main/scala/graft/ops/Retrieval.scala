@@ -45,9 +45,31 @@ object Retrieval {
   private val gramsCache = new StageCache[(SparkSession, String)]
   private val dlCache = new StageCache[(SparkSession, String)]
   private[ops] def postingsBuilds = postingsCache.builds
-  def releaseStages(spark: SparkSession): Int =
+  def releaseStages(spark: SparkSession): Int = {
+    // The persisted-index artifact shares the session stages' lifecycle:
+    // releasing a session must also retire its on-disk index (and the
+    // map entry holding the SparkSession reference), or a corpus
+    // regenerated under the same dir would be served stale answers by
+    // q127 while q110/q124 rebuild from the new data.
+    val it = persistedIndexDirs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        deleteRecursively(java.nio.file.Paths.get(e.getValue))
+        it.remove()
+      }
+    }
     postingsCache.release(_._1 eq spark) + gramsCache.release(_._1 eq spark) +
       dlCache.release(_._1 eq spark)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 
   /** Session postings stage — the inverted-index artifact every BM25
     * call serves from: (doc_id, term, tf, dl), one tokenize→aggregate
@@ -187,6 +209,8 @@ object Retrieval {
     * via the same memoization discipline as the session stages. */
   private val persistedIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private[ops] def persistedIndexDirFor(spark: SparkSession, dir: String): Option[String] =
+    Option(persistedIndexDirs.get((spark, dir)))
 
   /** q127: [[bm25TopK]] served entirely from the persisted parquet
     * index — same oracle as q110/q124, which is the point: three

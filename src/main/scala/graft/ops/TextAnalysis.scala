@@ -426,7 +426,7 @@ object TextAnalysis {
     * symbol string — the shared kernel of the training loop
     * ([[bpeMergesOf]], per round) and the tokenizer
     * ([[tokenizedSymbolsOf]], per table entry). The accumulator is a
-    * (string, last-symbol) STRUCT: the original formulation re-split
+    * PLAIN STRING: the original formulation re-split
     * the whole accumulator per element to read its tail symbol
     * (`element_at(split(acc), -1)` — O(len²) string work per word per
     * merge), which made the 5-merge q128 chain the slowest query on the

@@ -106,6 +106,34 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.decode(png).isEmpty, "a PNG payload is not a JPEG")
   }
 
+  test("hostile declared dimensions are rejected before allocation") {
+    // A 2 KB payload declaring 40000x40000 would allocate ~6.4 GB of
+    // pixels if dims were trusted; OutOfMemoryError is fatal (NonFatal
+    // doesn't catch it), so the guard must fire BEFORE the allocation.
+    val rng = new Random(29)
+    val good = Jpeg.jpegBytes(16, 16, solidTiles(rng, 16, 16))
+    val sof = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    val huge = good.clone()
+    // height at SOF+5, width at SOF+7, both big-endian u16; 40000 % 8 == 0
+    huge(sof + 5) = (40000 >> 8).toByte; huge(sof + 6) = (40000 & 0xff).toByte
+    huge(sof + 7) = (40000 >> 8).toByte; huge(sof + 8) = (40000 & 0xff).toByte
+    assert(Jpeg.decode(huge).isEmpty, "40000x40000 must be rejected, not allocated")
+
+    val pngGood = Multimodal.pngBytes(16, 16, solidTiles(rng, 16, 16))
+    val pngHuge = pngGood.clone()
+    // IHDR width is be32 at offset 16, height at 20 (CRC is not checked)
+    pngHuge(16) = 0; pngHuge(17) = 0; pngHuge(18) = (40000 >> 8).toByte
+    pngHuge(19) = (40000 & 0xff).toByte
+    pngHuge(20) = 0; pngHuge(21) = 0; pngHuge(22) = (40000 >> 8).toByte
+    pngHuge(23) = (40000 & 0xff).toByte
+    assert(Multimodal.pngDecode(pngHuge).isEmpty,
+      "hostile PNG dims must be rejected before the filter-buffer allocation")
+  }
+
   test("imageDecode routes by magic bytes") {
     val rng = new Random(17)
     val px = solidTiles(rng, 16, 16)

@@ -72,4 +72,26 @@ class PostingsIndexPersistenceSpec extends AnyFunSuite {
       rm(new java.io.File(tmp))
     }
   }
+
+  test("releaseStages retires the q127 artifact: dir deleted, next use rebuilds") {
+    // The stale-index hazard: after a session release + corpus
+    // regeneration, q110/q124 rebuild from new data but a surviving
+    // persisted artifact would keep serving the OLD corpus — breaking
+    // the 'three serving shapes, one answer' contract. Release must
+    // drop the map entry AND delete the on-disk artifact.
+    Retrieval.bm25TopKPersisted(spark, dir).collect()
+    val first = Retrieval.persistedIndexDirFor(spark, dir)
+    assert(first.isDefined, "q127 must register its artifact dir")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(first.get)))
+    Retrieval.releaseStages(spark)
+    assert(Retrieval.persistedIndexDirFor(spark, dir).isEmpty,
+      "release must drop the persisted-index map entry")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(first.get)),
+      "release must delete the on-disk artifact")
+    Retrieval.bm25TopKPersisted(spark, dir).collect()
+    val second = Retrieval.persistedIndexDirFor(spark, dir)
+    assert(second.isDefined && second != first,
+      "next use must rebuild into a fresh artifact dir")
+    Retrieval.releaseStages(spark)
+  }
 }
