@@ -247,6 +247,15 @@ object SparkEntry {
     "q129_ann_ivf_two_level" -> ((s, d) =>
       Similarity.twoLevelIvfTopK(s, d, nCoarse = 8, nSub = 4,
         nProbe1 = 4, nProbe2 = 2, nQueries = 100)),
+    // the two-level recall gate (q62's discipline one level up): recall
+    // vs exact at the equal-probe budget AND a partial escalation, so
+    // the knob->recall relationship is itself hash-pinned
+    "q130_ann_recall_two_level" -> ((s, d) => Similarity.annRecallTwoLevel(s, d)),
+    // q129 served from the persisted on-disk artifact (the q127
+    // serving-shapes contract applied to ANN): same oracle, one answer
+    "q131_ann_ivf_two_level_persisted" -> ((s, d) =>
+      Similarity.twoLevelTopKPersisted(s, d, nCoarse = 8, nSub = 4,
+        nProbe1 = 4, nProbe2 = 2, nQueries = 100)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -446,11 +455,20 @@ object SparkEntry {
     * sub-seeds (row_number by vec_id within cell), one sub-Lloyd round
     * (within-cell assign → 1e6-scaled integer means → renormalize),
     * final within-cell assignment to the refined sub-centroids, then
-    * the two-stage probe: nProbe1 cells by best-sub-dot, nProbe2
-    * sub-lists per probed cell. Every rank uses the flat path's
-    * (round(dot, 6) DESC, id ASC) total tiebreak. */
+    * the coarse-FIRST two-stage probe: nProbe1 cells by COARSE-centroid
+    * dot (the refined `cents` relation — per-query cost nCoarse, not
+    * nCoarse x nSub), then nProbe2 sub-lists per probed cell by sub-dot.
+    * Every rank uses the flat path's (round(dot, 6) DESC, id ASC) total
+    * tiebreak. */
   private def twoLevelIvfCtes(nCoarse: Int, nSub: Int,
       nProbe1: Int, nProbe2: Int, nQueries: Int): String =
+    twoLevelIndexCtes(nCoarse, nSub) +
+      twoLevelProbeCtes(nProbe1, nProbe2, nQueries, prefix = "")
+
+  /** The two-level INDEX construction CTEs (through `cents`, `subcents`,
+    * `assigned2`) — shared by every probe chain over the same codebook,
+    * so q130's two probe configs pay one index build. */
+  private def twoLevelIndexCtes(nCoarse: Int, nSub: Int): String =
     ivfAssignCtes(nCoarse) + s""",
        |seeds AS (
        |  SELECT cent_id, CAST(rn - 1 AS BIGINT) AS sub_id, u AS su FROM (
@@ -484,34 +502,42 @@ object SparkEntry {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY round(sdot, 6) DESC, sub_id) AS srn
        |    FROM fd)
-       |  WHERE srn = 1),
-       |qd AS (
-       |  SELECT q.vec_id AS q_id, q.u AS qu, s.cent_id, s.sub_id,
-       |    ${cosSql("q.u", "s.scu")} AS sdot
-       |  FROM assigned2 q CROSS JOIN subcents s WHERE q.vec_id < $nQueries),
-       |cellbest AS (SELECT q_id, qu, cent_id, max(sdot) AS cell_best
-       |             FROM qd GROUP BY q_id, qu, cent_id),
-       |cells AS (
-       |  SELECT q_id, cent_id FROM (
+       |  WHERE srn = 1)""".stripMargin
+
+  /** The coarse-first two-stage probe CTEs over [[twoLevelIndexCtes]]'s
+    * relations, `prefix`ed so multiple probe budgets can share one index
+    * build (q130). Emits `${prefix}ranked`. */
+  private def twoLevelProbeCtes(nProbe1: Int, nProbe2: Int, nQueries: Int,
+      prefix: String): String =
+    s""",
+       |${prefix}qc AS (
+       |  SELECT q.vec_id AS q_id, q.u AS qu, c.cent_id, ${cosSql("q.u", "c.cu")} AS cdot
+       |  FROM assigned2 q CROSS JOIN cents c WHERE q.vec_id < $nQueries),
+       |${prefix}cells AS (
+       |  SELECT q_id, qu, cent_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY round(cell_best, 6) DESC, cent_id) AS crn
-       |    FROM cellbest)
+       |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
+       |    FROM ${prefix}qc)
        |  WHERE crn <= $nProbe1),
-       |probes2 AS (
+       |${prefix}qd AS (
+       |  SELECT c.q_id, c.qu, c.cent_id, s.sub_id,
+       |    ${cosSql("c.qu", "s.scu")} AS sdot
+       |  FROM ${prefix}cells c JOIN subcents s ON c.cent_id = s.cent_id),
+       |${prefix}probes2 AS (
        |  SELECT q_id, qu, cent_id, sub_id FROM (
-       |    SELECT qd.*, row_number() OVER (PARTITION BY qd.q_id, qd.cent_id
-       |      ORDER BY round(qd.sdot, 6) DESC, qd.sub_id) AS srn
-       |    FROM qd JOIN cells ON qd.q_id = cells.q_id AND qd.cent_id = cells.cent_id)
+       |    SELECT *, row_number() OVER (PARTITION BY q_id, cent_id
+       |      ORDER BY round(sdot, 6) DESC, sub_id) AS srn
+       |    FROM ${prefix}qd)
        |  WHERE srn <= $nProbe2),
-       |scored AS (
+       |${prefix}scored AS (
        |  SELECT q_id, a.vec_id AS neighbor_id, ${cosSql("qu", "a.u")} AS cos
-       |  FROM probes2 p JOIN assigned2 a USING (cent_id, sub_id)
+       |  FROM ${prefix}probes2 p JOIN assigned2 a USING (cent_id, sub_id)
        |  WHERE a.vec_id <> p.q_id),
-       |ranked AS (
+       |${prefix}ranked AS (
        |  SELECT q_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY q_id
        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
-       |  FROM scored)""".stripMargin
+       |  FROM ${prefix}scored)""".stripMargin
 
   /** Multi-round BPE CTE chain (mirrors TextAnalysis.bpeMerges round for
     * round): s0 = per-word char-symbol state over the frequency-weighted
@@ -1730,6 +1756,43 @@ object SparkEntry {
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
+    // q131 = q129's construction served from the persisted artifact:
+    // identical answers by design, so the oracle IS q129's
+    "q131_ann_ivf_two_level_persisted" -> (UnitVecCte +
+      twoLevelIvfCtes(nCoarse = 8, nSub = 4, nProbe1 = 4, nProbe2 = 2, nQueries = 100) + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // q130: exact top-3 CTEs (q62's) + ONE two-level index build + two
+    // prefixed probe chains at escalating budgets
+    "q130_ann_recall_two_level" -> (UnitVecCte + s"""
+        |, xscored AS (
+        |  SELECT q.vec_id AS q_id, e2.vec_id AS neighbor_id, ${cosSql("q.u", "e2.u")} AS cos
+        |  FROM u q JOIN u e2 ON e2.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 100),
+        |xranked AS (
+        |  SELECT q_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+        |  FROM xscored),
+        |exact AS (SELECT q_id, neighbor_id FROM xranked WHERE rank <= 3)""".stripMargin
+      + twoLevelIndexCtes(nCoarse = 8, nSub = 4)
+      + twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "a")
+      + twoLevelProbeCtes(nProbe1 = 6, nProbe2 = 3, nQueries = 100, prefix = "b") + """,
+        |a3 AS (SELECT q_id, neighbor_id FROM aranked WHERE rank <= 3),
+        |b3 AS (SELECT q_id, neighbor_id FROM branked WHERE rank <= 3)
+        |SELECT method, n_exact, n_hit, round(n_hit * 1.0 / n_exact, 4) AS recall
+        |FROM (
+        |  SELECT 'two_level_4x2' AS method, count(*) AS n_exact,
+        |    CAST(sum(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM exact x LEFT JOIN a3 a
+        |    ON x.q_id = a.q_id AND x.neighbor_id = a.neighbor_id
+        |  UNION ALL
+        |  SELECT 'two_level_6x3', count(*),
+        |    CAST(sum(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM exact x LEFT JOIN b3 b
+        |    ON x.q_id = b.q_id AND x.neighbor_id = b.neighbor_id)
+        |ORDER BY method""".stripMargin),
     "q62_ann_recall" -> (UnitVecCte + s"""
         |, xscored AS (
         |  SELECT q.vec_id AS q_id, e2.vec_id AS neighbor_id, ${cosSql("q.u", "e2.u")} AS cos

@@ -45,31 +45,14 @@ object Retrieval {
   private val gramsCache = new StageCache[(SparkSession, String)]
   private val dlCache = new StageCache[(SparkSession, String)]
   private[ops] def postingsBuilds = postingsCache.builds
-  def releaseStages(spark: SparkSession): Int = {
-    // The persisted-index artifact shares the session stages' lifecycle:
-    // releasing a session must also retire its on-disk index (and the
-    // map entry holding the SparkSession reference), or a corpus
-    // regenerated under the same dir would be served stale answers by
-    // q127 while q110/q124 rebuild from the new data.
-    val it = persistedIndexDirs.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) {
-        deleteRecursively(java.nio.file.Paths.get(e.getValue))
-        it.remove()
-      }
-    }
-    postingsCache.release(_._1 eq spark) + gramsCache.release(_._1 eq spark) +
+  def releaseStages(spark: SparkSession): Int =
+    // The persisted-index artifact shares the session stages' lifecycle
+    // ([[TempArtifacts]]): releasing a session also retires its on-disk
+    // index, or a corpus regenerated under the same dir would be served
+    // stale answers by q127 while q110/q124 rebuild from the new data.
+    persistedIndex.release(spark) +
+      postingsCache.release(_._1 eq spark) + gramsCache.release(_._1 eq spark) +
       dlCache.release(_._1 eq spark)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
 
   /** Session postings stage — the inverted-index artifact every BM25
     * call serves from: (doc_id, term, tf, dl), one tokenize→aggregate
@@ -207,10 +190,9 @@ object Retrieval {
     * use — the q127 gate entry: the determinism contract (a query
     * surface may be invoked repeatedly) meets the write-once lifecycle
     * via the same memoization discipline as the session stages. */
-  private val persistedIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val persistedIndex = new TempArtifacts("graft-bm25-index")
   private[ops] def persistedIndexDirFor(spark: SparkSession, dir: String): Option[String] =
-    Option(persistedIndexDirs.get((spark, dir)))
+    persistedIndex.peek(spark, dir)
 
   /** q127: [[bm25TopK]] served entirely from the persisted parquet
     * index — same oracle as q110/q124, which is the point: three
@@ -219,11 +201,7 @@ object Retrieval {
   def bm25TopKPersisted(spark: SparkSession, dir: String,
       queries: Seq[(Int, String)] = DefaultQueries,
       topK: Int = 5, salts: Int = 32): DataFrame = {
-    val indexDir = persistedIndexDirs.computeIfAbsent((spark, dir), { _ =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bm25-index").toString
-      savePostingsIndex(spark, dir, tmp)
-      tmp
-    })
+    val indexDir = persistedIndex.getOrCreate(spark, dir)(savePostingsIndex(spark, dir, _))
     bm25TopKFromIndex(spark, indexDir, queries, topK, salts)
   }
 

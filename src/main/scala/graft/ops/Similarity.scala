@@ -226,8 +226,10 @@ object Similarity {
       ivfCentCache.release(_._1 eq spark) +
       ivfAssignCache.release(_._1 eq spark) +
       twoLevelA1Cache.release(_._1 eq spark) +
+      twoLevelCoarseCentCache.release(_._1 eq spark) +
       twoLevelCentCache.release(_._1 eq spark) +
       twoLevelAssignCache.release(_._1 eq spark) +
+      persistedTwoLevel.release(spark) +
       releaseMomentsStages(spark)
   }
 
@@ -477,17 +479,79 @@ object Similarity {
     * probe the `nProbe1` nearest coarse cells, then the `nProbe2`
     * nearest sub-lists per probed cell; every rank uses the
     * (round(dot, 6) DESC, id ASC) total tiebreak of the flat path. */
+  /** A full two-level configuration: codebook shape + probe budget.
+    * Scanned rows per query ≈ nProbe1 · nProbe2 · targetList(1024) —
+    * bounded regardless of corpus size. */
+  case class TwoLevelConfig(nCoarse: Int, nSub: Int, nProbe1: Int, nProbe2: Int)
+
+  /** Derive the two-level configuration from corpus size — the
+    * [[adaptiveIvfConfig]] discipline applied one level up, for the
+    * regime past the flat path's 4096-centroid cap (n ≳ 4.19 M).
+    *
+    * Shape: hold total list count at n/1024 (the flat path's
+    * list-length target), split as nCoarse ≈ 4·√lists (clamped to
+    * [8, 4096] so the coarse codebook broadcasts forever) and
+    * nSub = ⌈lists / nCoarse⌉ — the 4× skew toward the coarse level
+    * keeps per-cell sub-books small (the bounded ≤8 MB plan-reference
+    * object) while the coarse probe stays one bounded argmax.
+    *
+    * Probes: measured, not asserted — `IvfCeilingProbe --sweep` on
+    * synthetic isotropic 64-dim corpora (the HARD case for recall; real
+    * text embeddings cluster and need fewer probes). The equal-budget
+    * config (4 × 2 = 8 lists, matching flat nProbe 8) degrades with n
+    * (recall@3 0.913 / 0.860 / 0.700 at 500 k / 2 M / 8 M — BASELINE.md
+    * round-9 table) because a miss can now happen at EITHER level;
+    * the sweep shows recall ≥ 0.95 is bought back with a fixed
+    * 16 × 4 = 64-list budget at every measured n (see BASELINE.md
+    * round-10 sweep table), i.e. ~64 k scanned rows per query at the
+    * 1024-row list target — 0.8 % of an 8 M corpus, shrinking as 1/n. */
+  private[graft] def adaptiveTwoLevelConfig(n: Long): TwoLevelConfig = {
+    val targetList = 1024L
+    val lists = math.max(16L, (n + targetList - 1) / targetList)
+    val nCoarse =
+      math.min(4096L, math.max(8L, math.round(math.sqrt(lists.toDouble) * 4.0))).toInt
+    // nSub is clamped at 4096 too: past n ≈ 7×10¹⁰ the per-cell
+    // sub-book would otherwise outgrow the bounded plan-reference
+    // budget (4096 × 64 doubles ≈ 2 MB per cell at the clamp). Beyond
+    // 4096 × 4096 lists the list length grows again — the next lever is
+    // a third level (or PQ residuals), not a wider sub-book.
+    val nSub = math.min(4096L, math.max(4L, (lists + nCoarse - 1) / nCoarse)).toInt
+    TwoLevelConfig(nCoarse, nSub, nProbe1 = 16, nProbe2 = 4)
+  }
+
   def twoLevelIvfTopK(spark: SparkSession, dir: String,
       nCoarse: Int = 8, nSub: Int = 4,
       nProbe1: Int = 4, nProbe2: Int = 2,
       nQueries: Int = 100, k: Int = 3): DataFrame = {
-    val (subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
-    twoLevelProbe(subCents, assigned, nProbe1, nProbe2, nQueries, k)
+    val (coarseCents, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+    twoLevelProbe(coarseCents, subCents, assigned, nProbe1, nProbe2, nQueries, k)
+  }
+
+  /** [[twoLevelIvfTopK]] at the corpus-derived [[adaptiveTwoLevelConfig]]
+    * — codebook shape AND probe budget from n. */
+  def twoLevelIvfTopKAdaptive(spark: SparkSession, dir: String,
+      nQueries: Int = 100, k: Int = 3): DataFrame = {
+    val c = adaptiveTwoLevelConfig(corpusCount(spark, dir))
+    twoLevelIvfTopK(spark, dir, c.nCoarse, c.nSub, c.nProbe1, c.nProbe2, nQueries, k)
   }
 
   private val twoLevelA1Cache = new StageCache[(SparkSession, String, Int, Int)]
+  private val twoLevelCoarseCentCache = new StageCache[(SparkSession, String, Int, Int)]
   private val twoLevelCentCache = new StageCache[(SparkSession, String, Int, Int)]
   private val twoLevelAssignCache = new StageCache[(SparkSession, String, Int, Int)]
+
+  /** Refined coarse codebook (cent_id, cu) — kept resident for the
+    * session: the serving path's first probe stage ranks cells against
+    * it (nCoarse dots per query), so it must outlive the build the way
+    * the flat path's [[ivfCentCache]] does. Bounded: ≤ 4096 × 64
+    * doubles (~2 MB). */
+  private def twoLevelCoarseCentStage(spark: SparkSession, dir: String,
+      nCoarse: Int, nSub: Int): DataFrame =
+    twoLevelCoarseCentCache.getOrBuild((spark, dir, nCoarse, nSub)) {
+      val built = ivfCentroidsOf(unitEmbeddings(spark, dir), nCoarse).cache()
+      built.count()
+      built
+    }
 
   /** Coarse assignment stage shared by the sub-codebook and final-
     * assignment builders (the [[ivfStage]] two-cache discipline,
@@ -496,17 +560,20 @@ object Similarity {
       nCoarse: Int, nSub: Int): DataFrame =
     twoLevelA1Cache.getOrBuild((spark, dir, nCoarse, nSub)) {
       val e = unitEmbeddings(spark, dir)
-      val built = assignNearest(e, ivfCentroidsOf(e, nCoarse)).cache()
+      val built =
+        assignNearest(e, twoLevelCoarseCentStage(spark, dir, nCoarse, nSub)).cache()
       built.count()
       built
     }
 
-  /** (sub-codebook, inverted file) for the two-level index:
-    * sub-codebook = (cent_id, sub_id, scu); inverted file =
-    * (vec_id, cent_id, sub_id, u). Session-cached like [[ivfStage]]. */
+  /** (coarse codebook, sub-codebook, inverted file) for the two-level
+    * index: coarse = (cent_id, cu); sub-codebook = (cent_id, sub_id,
+    * scu); inverted file = (vec_id, cent_id, sub_id, u).
+    * Session-cached like [[ivfStage]]. */
   private[graft] def twoLevelIvfStage(spark: SparkSession, dir: String,
-      nCoarse: Int, nSub: Int): (DataFrame, DataFrame) = {
+      nCoarse: Int, nSub: Int): (DataFrame, DataFrame, DataFrame) = {
     val key = (spark, dir, nCoarse, nSub)
+    val coarseCents = twoLevelCoarseCentStage(spark, dir, nCoarse, nSub)
     val subCents = twoLevelCentCache.getOrBuild(key) {
       val a1 = twoLevelCoarseStage(spark, dir, nCoarse, nSub)
       // per-cell sub-seeds: the nSub smallest vec_ids of the cell (a
@@ -557,34 +624,45 @@ object Similarity {
         .where(col("sub_id").isNotNull)
         .cache()
       built.count()
-      // bounded index resident; the coarse stage is no longer needed
+      // bounded index resident; the coarse ASSIGNMENT stage is no
+      // longer needed (the coarse CODEBOOK stays — the serving path's
+      // first probe ranks against it)
       twoLevelA1Cache.release(_ == key)
       built
     }
-    (subCents, assigned)
+    (coarseCents, subCents, assigned)
   }
 
-  private def twoLevelProbe(subCents: DataFrame, assigned: DataFrame,
+  /** The two-stage probe over a (coarse codebook, sub-codebook,
+    * inverted file) triple — shared by the session-stage path
+    * ([[twoLevelIvfTopK]]) and the persisted-index path
+    * ([[twoLevelTopKFromIndex]]), so both answer identically by
+    * construction.
+    *
+    * Coarse-FIRST: queries rank cells against the nCoarse coarse
+    * centroids, then rank sub-lists only within the nProbe1 probed
+    * cells — per-query cost nCoarse + nProbe1·nSub dots, NOT the
+    * nCoarse·nSub of scoring every sub-centroid up front (at the 8 M
+    * config, 354 + 16·23 ≈ 722 vs 8142 — and the gap widens with n
+    * since nCoarse·nSub grows as n/1024). Both codebooks are bounded
+    * (≤ 4096 and ≤ nProbe1·nSub rows joined per query), so the
+    * broadcasts are permanent non-cliffs. */
+  private def twoLevelProbe(coarseCents: DataFrame, subCents: DataFrame,
+      assigned: DataFrame,
       nProbe1: Int, nProbe2: Int, nQueries: Int, k: Int): DataFrame = {
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
-    // coarse probe: rank CELLS by the query's best sub-centroid dot in
-    // the cell? No — mirror the flat path: rank cells by the coarse
-    // geometry the sub-codebook preserves (max sub dot per cell), which
-    // needs no separate coarse relation in the serving path
-    val cellScore = q.join(subCents)
-      .select(col("q_id"), col("qu"), col("cent_id"), col("sub_id"),
-        dot(col("qu"), col("scu")).as("sdot"))
     val cw = Window.partitionBy("q_id")
-      .orderBy(round(col("cell_best"), 6).desc, col("cent_id"))
-    val cells = cellScore.groupBy("q_id", "qu", "cent_id")
-      .agg(max(col("sdot")).as("cell_best"))
+      .orderBy(round(col("cdot"), 6).desc, col("cent_id"))
+    val cells = q.join(broadcast(coarseCents))
+      .withColumn("cdot", dot(col("qu"), col("cu")))
       .withColumn("crn", row_number().over(cw))
       .where(col("crn") <= nProbe1)
-      .select(col("q_id"), col("cent_id"))
+      .select(col("q_id"), col("qu"), col("cent_id"))
     val sw = Window.partitionBy("q_id", "cent_id")
       .orderBy(round(col("sdot"), 6).desc, col("sub_id"))
-    val probes = cellScore.join(cells, Seq("q_id", "cent_id"))
+    val probes = cells.join(broadcast(subCents), Seq("cent_id"))
+      .withColumn("sdot", dot(col("qu"), col("scu")))
       .withColumn("srn", row_number().over(sw))
       .where(col("srn") <= nProbe2)
       .select(col("q_id"), col("qu"), col("cent_id"), col("sub_id"))
@@ -593,6 +671,64 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         dot(col("qu"), col("u")).as("cos"))
     rankTopK(scored, k)
+  }
+
+  /** Persist the trained two-level index — coarse codebook + sub-
+    * codebook + inverted file — as parquet: [[saveIvfIndex]]'s
+    * build-once / query-many lifecycle for the regime past the flat
+    * cap, where the build (566 s at 8 M vectors, vs flat's 2511 s) is
+    * exactly what a restarted query service must not re-pay. The
+    * inverted file is partitioned by cent_id (the COARSE key only:
+    * nCoarse ≤ 4096 directories — two-level partitioning would mint
+    * nCoarse·nSub ≈ n/1024 dirs, a small-file explosion at scale), so
+    * a probe of nProbe1 cells prunes to nProbe1 directories at scan
+    * time and the sub-list filter rides the row-group scan. */
+  def saveTwoLevelIndex(spark: SparkSession, dir: String, outDir: String,
+      nCoarse: Int = 8, nSub: Int = 4): Unit = {
+    val (coarseCents, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+    coarseCents.write.mode("overwrite").parquet(s"$outDir/coarse")
+    subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
+    assigned.write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$outDir/assignments")
+  }
+
+  /** Answer ANN queries from a persisted [[saveTwoLevelIndex]] artifact
+    * — same probe pipeline as the live stage, so answers are identical
+    * by construction (doubles round-trip parquet bit-exactly; pinned by
+    * IvfIndexPersistenceSpec's two-level case). */
+  def twoLevelTopKFromIndex(spark: SparkSession, indexDir: String,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, k: Int = 3): DataFrame =
+    twoLevelProbe(
+      spark.read.parquet(s"$indexDir/coarse"),
+      spark.read.parquet(s"$indexDir/subcents"),
+      spark.read.parquet(s"$indexDir/assignments")
+        // partition-discovery typing: restore the live stage's long
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+          col("sub_id"), col("u")),
+      nProbe1, nProbe2, nQueries, k)
+
+  private val persistedTwoLevel = new TempArtifacts("graft-ivf2-index")
+  private[ops] def persistedTwoLevelDirFor(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4): Option[String] =
+    persistedTwoLevel.peek(spark, s"$dir#$nCoarse:$nSub")
+
+  /** q131: [[twoLevelIvfTopK]] served entirely from the persisted
+    * on-disk index — the q127 serving-shapes contract applied to ANN:
+    * live session stage and restartable artifact, one pinned answer
+    * (both gates run under the same oracle SQL). Artifact lifecycle =
+    * [[TempArtifacts]]: built on first use, retired with the session's
+    * stages by [[releaseStages]]. */
+  def twoLevelTopKPersisted(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, k: Int = 3): DataFrame = {
+    // the artifact is shaped by (nCoarse, nSub): key the memo on them
+    // too, or a second config under the same dir would serve the first
+    // config's index
+    val indexDir = persistedTwoLevel.getOrCreate(spark, s"$dir#$nCoarse:$nSub")(
+      saveTwoLevelIndex(spark, dir, _, nCoarse, nSub))
+    twoLevelTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, k)
   }
 
   /** ANN via multi-table sign-LSH with multi-probe: `nTables` hash
@@ -812,6 +948,39 @@ object Similarity {
           round(col("n_hit") / col("n_exact"), 4).as("recall"))
     recallOf("ivf", ivfTopK(spark, dir, nQueries = nQueries, k = k))
       .unionAll(recallOf("lsh_mp", lshTopK(spark, dir, nQueries = nQueries, k = k)))
+      .orderBy("method")
+  }
+
+  /** q130: the two-level recall gate — recall@k of [[twoLevelIvfTopK]]
+    * vs exact brute force, hash-pinned under the DuckDB oracle the way
+    * q62 gates the flat-IVF and LSH rungs. Two rows: the EQUAL-budget
+    * probe config (4 × 2 = 8 of 32 lists — the flat path's nProbe-8
+    * budget, where the ceiling probe measured degradation with n) and a
+    * partial escalation (6 × 3 = 18 of 32), so the gate pins the
+    * knob→recall relationship itself — recall must rise with the probe
+    * budget — not just one point. (The adaptive config's own 16 × 4
+    * budget covers ALL 32 lists of the gate codebook — a degenerate
+    * full scan here; its ≥ 0.95 evidence at the multi-million-vector
+    * regime it exists for is the probe-sweep table in BASELINE.md.)
+    * The gate corpus codebook (8 coarse × 4 sub) matches q129. */
+  def annRecallTwoLevel(spark: SparkSession, dir: String,
+      nQueries: Int = 100, k: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame =
+      exact
+        .join(approx.select(col("q_id"), col("neighbor_id"), lit(1).as("hit")),
+          Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+          round(col("n_hit") / col("n_exact"), 4).as("recall"))
+    recallOf("two_level_4x2",
+        twoLevelIvfTopK(spark, dir, nCoarse = 8, nSub = 4,
+          nProbe1 = 4, nProbe2 = 2, nQueries = nQueries, k = k))
+      .unionAll(recallOf("two_level_6x3",
+        twoLevelIvfTopK(spark, dir, nCoarse = 8, nSub = 4,
+          nProbe1 = 6, nProbe2 = 3, nQueries = nQueries, k = k)))
       .orderBy("method")
   }
 

@@ -59,6 +59,57 @@ private[graft] final class StageCache[K] {
   }
 }
 
+/** Memoized per-(session, input-dir) ON-DISK artifacts — the persisted
+  * indexes (q127 BM25 postings, q131 two-level IVF). The determinism
+  * contract (a gated query may be invoked repeatedly) meets the
+  * write-once index lifecycle via the same memoization discipline as
+  * [[StageCache]], and [[release]] is the matching retirement: the
+  * artifact dir is DELETED with the session's stages, so a regenerated
+  * corpus under the same path can never be served stale answers by the
+  * persisted serving shape while the live shapes rebuild. */
+private[ops] final class TempArtifacts(prefix: String) {
+  private val dirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** The artifact dir for (session, input dir), built on first use. */
+  def getOrCreate(spark: SparkSession, dir: String)(build: String => Unit): String =
+    dirs.computeIfAbsent((spark, dir), { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
+      build(tmp)
+      tmp
+    })
+
+  /** Visible for specs: the registered artifact dir, if any. */
+  def peek(spark: SparkSession, dir: String): Option[String] =
+    Option(dirs.get((spark, dir)))
+
+  /** Drop every artifact owned by `spark`: map entry removed (releasing
+    * the session reference) and the on-disk dir deleted. */
+  def release(spark: SparkSession): Int = {
+    val it = dirs.entrySet().iterator()
+    var n = 0
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        TempArtifacts.deleteRecursively(java.nio.file.Paths.get(e.getValue))
+        it.remove()
+        n += 1
+      }
+    }
+    n
+  }
+}
+
+private[ops] object TempArtifacts {
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
+
 /** Umbrella release over every stage registry in the library, keyed by
   * session: `StageRegistry.releaseSession(spark)` after finishing a
   * dataset returns executor storage memory to the pool. */

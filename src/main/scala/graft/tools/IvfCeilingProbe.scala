@@ -104,7 +104,7 @@ object IvfCeilingProbe {
       df.count(); df
     }
     println(f"[probe] two-level recall@$k = ${recallOf(exact, two, nExact)}%.3f")
-    val (_, assigned2) = Similarity.twoLevelIvfStage(spark, dir, nCoarse, nSub)
+    val (_, _, assigned2) = Similarity.twoLevelIvfStage(spark, dir, nCoarse, nSub)
     listStats(assigned2, Seq("cent_id", "sub_id"))
     val twoQuery = timed("two-level query only (warm index)") {
       Similarity.twoLevelIvfTopK(spark, dir, nCoarse, nSub,
@@ -112,6 +112,29 @@ object IvfCeilingProbe {
     }
     println(s"[probe] done n=$n flatWarmQuery/twoWarmQuery inline above " +
       s"($flatQuery/$twoQuery rows)")
+
+    // --- probe sweep: the recall buy-back measurement ---------------
+    // The index is warm (session stages cached); each (nProbe1, nProbe2)
+    // point is query-side only. Rows: recall@k, warm query wall, and
+    // scanned rows (lists probed x mean list length) — the evidence
+    // behind adaptiveTwoLevelConfig's probe constants: pick the minimum
+    // scanned-rows config with recall >= 0.95 at every measured n.
+    if (args.contains("sweep")) {
+      val meanList = n.toDouble / (nCoarse.toLong * nSub)
+      println(f"[probe] sweep: nCoarse=$nCoarse nSub=$nSub meanList=$meanList%.0f")
+      println("[probe] nProbe1\tnProbe2\tlists\t~rows/query\trecall@3\twall_s")
+      for (p1 <- Seq(4, 8, 16, 32, 64) if p1 <= nCoarse;
+           p2 <- Seq(2, 4, 8) if p2 <= nSub) {
+        val t0 = System.nanoTime()
+        val df = Similarity.twoLevelIvfTopK(spark, dir, nCoarse, nSub,
+          p1, p2, nQueries, k).cache()
+        df.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val r = recallOf(exact, df, nExact)
+        df.unpersist(blocking = false)
+        println(f"[probe] $p1\t$p2\t${p1 * p2}\t${p1 * p2 * meanList}%.0f\t$r%.3f\t$wall%.1f")
+      }
+    }
     spark.stop()
   }
 }

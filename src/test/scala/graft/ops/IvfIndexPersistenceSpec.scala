@@ -41,4 +41,50 @@ class IvfIndexPersistenceSpec extends AnyFunSuite {
       rm(new java.io.File(tmp))
     }
   }
+
+  test("a saved two-level index answers identically to the live session stage") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2-test").toString
+    try {
+      Similarity.saveTwoLevelIndex(spark, dir, tmp, nCoarse = 8, nSub = 4)
+      val live = rows(Similarity.twoLevelIvfTopK(spark, dir, nCoarse = 8, nSub = 4,
+        nProbe1 = 4, nProbe2 = 2, nQueries = 50))
+      val loaded = rows(Similarity.twoLevelTopKFromIndex(spark, tmp,
+        nProbe1 = 4, nProbe2 = 2, nQueries = 50))
+      assert(live.nonEmpty)
+      assert(live == loaded, "persisted two-level answers diverged from the live stage")
+      // layout: partitioned by the COARSE key only (nCoarse dirs, never
+      // the nCoarse x nSub small-file explosion) — a probe of nProbe1
+      // cells prunes to nProbe1 directories
+      val parts = new java.io.File(s"$tmp/assignments").listFiles()
+        .filter(_.getName.startsWith("cent_id=")).map(_.getName).toSet
+      assert(parts.size <= 8 && parts.nonEmpty,
+        s"expected <= 8 coarse partitions, got ${parts.size}")
+      assert(!new java.io.File(s"$tmp/assignments").listFiles()
+        .exists(_.getName.startsWith("sub_id=")),
+        "sub_id must not be a partition key (small-file explosion at scale)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("q131 lifecycle: memoized artifact, retired by releaseStages") {
+    Similarity.twoLevelTopKPersisted(spark, dir).collect()
+    val first = Similarity.persistedTwoLevelDirFor(spark, dir)
+    assert(first.isDefined, "q131 must register its artifact dir")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(first.get)))
+    Similarity.releaseStages(spark)
+    assert(Similarity.persistedTwoLevelDirFor(spark, dir).isEmpty,
+      "release must drop the persisted-index map entry")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(first.get)),
+      "release must delete the on-disk artifact")
+    Similarity.twoLevelTopKPersisted(spark, dir).collect()
+    val second = Similarity.persistedTwoLevelDirFor(spark, dir)
+    assert(second.isDefined && second != first,
+      "next use must rebuild into a fresh artifact dir")
+    Similarity.releaseStages(spark)
+  }
 }

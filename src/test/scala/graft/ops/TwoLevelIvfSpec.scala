@@ -57,7 +57,7 @@ class TwoLevelIvfSpec extends AnyFunSuite {
     // this corpus is ~0.79; 0.6 is the regression floor, not the target
     assert(recall >= 0.6, f"two-level recall@3 $recall%.3f below floor")
 
-    val (subCents, assigned) = Similarity.twoLevelIvfStage(spark, dir, 8, 4)
+    val (_, subCents, assigned) = Similarity.twoLevelIvfStage(spark, dir, 8, 4)
     // containment: every assigned (cell, sub) exists in the sub-codebook
     val orphans = assigned.select("cent_id", "sub_id").distinct()
       .join(subCents.select("cent_id", "sub_id"), Seq("cent_id", "sub_id"), "left_anti")
