@@ -214,6 +214,9 @@ object SparkEntry {
     // the magic-byte router — every even↔odd pair is a PNG↔JPEG
     // re-encode, the duplicate class a per-format family cannot see
     "q126_cross_format_image_dups" -> ((s, d) => Multimodal.crossFormatDups(s, d)),
+    // the three-codec family: PNG / JPEG / GIF by doc_id mod 3, so the
+    // planted pairs include GIF<->PNG and GIF<->JPEG re-encodes
+    "q132_cross_format_trio_dups" -> ((s, d) => Multimodal.crossFormatTrioDups(s, d)),
     // the q119 eval sweep as an API: pages id-range batches and unions
     // verdicts. The gate pins a FIXED window (ids < 600 in pages of
     // 200): exactly 3 real pages at EVERY scale factor — multi-page
@@ -1476,6 +1479,15 @@ object SparkEntry {
     // reads each aHash block straight from the tile rule: block b =
     // codePoint(b mod len) mod 256
     "q126_cross_format_image_dups" ->
+      perceptualDupChain(
+        """blk AS (SELECT doc_id,
+          |    [CAST(cps[(b % len(cps)) + 1] AS BIGINT) for b in range(0, 64)] AS blocks
+          |  FROM c)""".stripMargin,
+        idx => s"blocks[$idx + 1] > mean"),
+    // q132: same oracle chain — PNG and GIF round-trip losslessly and
+    // the JPEG solid-tile class exactly, so all THREE containers decode
+    // back to the tile-rule pixels and the oracle never sees a format
+    "q132_cross_format_trio_dups" ->
       perceptualDupChain(
         """blk AS (SELECT doc_id,
           |    [CAST(cps[(b % len(cps)) + 1] AS BIGINT) for b in range(0, 64)] AS blocks

@@ -676,6 +676,7 @@ object Multimodal {
     if (p.length < 2) None
     else if ((p(0) & 0xff) == 0x89 && p(1) == 'P') pngDecode(p)
     else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) Jpeg.decode(p)
+    else if (p(0) == 'G' && p(1) == 'I') Gif.decode(p)
     else None
 
   /** The q121/q125 pipeline over DECODED payloads — drives the given
@@ -759,6 +760,57 @@ object Multimodal {
                 acQuant = 16 + math.floorMod(id, 7).toInt,
                 restartInterval = math.floorMod(id, 3).toInt,
                 comment = "re-encode pass " * math.floorMod(id, 3).toInt)
+          val (w, h, gray) = imageDecode(payload)
+            .getOrElse(throw new IllegalStateException(s"unparseable image for doc $id"))
+          val (hi, lo) = aHash64(gray, w, h)
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+    perceptualDupsOfHashes(hashes, maxHamming, maxBandPopulation)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q132: the cross-format family widened to all THREE real codecs —
+    * doc_id mod 3 picks the container (0 → PNG, 1 → baseline JPEG,
+    * 2 → GIF), so the planted near-dup pairs include GIF↔PNG and
+    * GIF↔JPEG re-encodes, the pairs [[crossFormatDups]]'s two-format
+    * split can never produce and a GIF-blind router would drop
+    * entirely (the q126 argument, third leg). Encoder knobs are
+    * doc-varied per format (PNG filter/level/chunking, JPEG quant/
+    * restart/comment, GIF sub-block size / periodic LZW clear /
+    * interlace / comment) so byte equality is destroyed even within a
+    * format. GIF is lossless and the JPEG solid-tile round trip exact,
+    * so the oracle stays the q126 tile rule verbatim. */
+  def crossFormatTrioDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBandPopulation: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val px = solidPixelsOf(text)
+          val payload = (math.floorMod(id, 3): @unchecked) match {
+            case 0 =>
+              pngBytes(64, 64, px,
+                filterType = math.floorMod(id, 5).toInt,
+                level = math.floorMod(id, 9).toInt + 1,
+                chunk = if (math.floorMod(id, 4) == 0) Int.MaxValue else 256)
+            case 1 =>
+              Jpeg.jpegBytes(64, 64, px,
+                dcQuant = 1 << math.floorMod(id, 4).toInt,
+                acQuant = 16 + math.floorMod(id, 7).toInt,
+                restartInterval = math.floorMod(id, 3).toInt,
+                comment = "re-encode pass " * math.floorMod(id, 3).toInt)
+            case 2 =>
+              Gif.gifBytes(64, 64, px,
+                chunk = if (math.floorMod(id, 4) == 0) 255 else 64,
+                clearEvery = math.floorMod(id, 3).toInt * 200,
+                interlace = math.floorMod(id, 2) == 0,
+                comment = "gif re-encode " * math.floorMod(id, 3).toInt)
+          }
           val (w, h, gray) = imageDecode(payload)
             .getOrElse(throw new IllegalStateException(s"unparseable image for doc $id"))
           val (hi, lo) = aHash64(gray, w, h)
