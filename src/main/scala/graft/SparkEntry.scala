@@ -239,6 +239,10 @@ object SparkEntry {
     // restartable-service lifecycle, pinned to the same oracle as
     // q110/q124: three serving shapes, one answer
     "q127_bm25_persisted" -> ((s, d) => Retrieval.bm25TopKPersisted(s, d)),
+    // the incrementally-built index (base 70% persisted, 30% delta
+    // appended per term bucket): merged answers must equal full-rebuild
+    // answers under q110's own oracle
+    "q133_bm25_incremental" -> ((s, d) => Retrieval.bm25TopKIncremental(s, d)),
     // apply a BPE merge table to the corpus (the train->apply loop q122
     // starts): per-word greedy fold per merge, in table order, then the
     // corpus-wide symbol histogram
@@ -1547,6 +1551,8 @@ object SparkEntry {
     // exactly, so the on-disk index must reproduce q110's relation to
     // the hash or the artifact lost information
     "q127_bm25_persisted" -> Bm25TopKSql,
+    // q133: the incremental merge must be answer-invisible — same oracle
+    "q133_bm25_incremental" -> Bm25TopKSql,
     // q116: mirrors Multimodal.frameDups — 100-char frame slices,
     // md5 frame hashes, distinct per payload, cap never binds at this
     // SF (as q32's band cap), pairs sharing >= 3 frames

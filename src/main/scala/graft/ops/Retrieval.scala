@@ -67,20 +67,28 @@ object Retrieval {
     * are emitted even for empty docs via a left join from documents. */
   private def postingsStage(spark: SparkSession, dir: String): DataFrame =
     postingsCache.getOrBuild((spark, dir)) {
-      val toks = Tables.documents(spark, dir)
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
-      val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-      val tf = toks
-        .select(col("doc_id"), explode(col("toks")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      // left join keeps token-less docs visible to the stats consumer
-      // (null term, tf 0) without perturbing term joins (null ≠ any term)
-      val built = dl.join(tf, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("term"), coalesce(col("tf"), lit(0L)).as("tf"), col("dl"))
-        .cache()
+      val built = postingsOf(Tables.documents(spark, dir)).cache()
       built.count()
       built
     }
+
+  /** The postings build over ANY (doc_id, text) relation — factored out
+    * of the session stage so the incremental path ([[appendPostingsDelta]])
+    * can run it on a delta batch alone: the artifact rows are PER-DOC
+    * (tf is within-doc, dl is per-doc), so base ∪ delta is row-identical
+    * to a full rebuild by construction. */
+  private def postingsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // left join keeps token-less docs visible to the stats consumer
+    // (null term, tf 0) without perturbing term joins (null ≠ any term)
+    dl.join(tf, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("term"), coalesce(col("tf"), lit(0L)).as("tf"), col("dl"))
+  }
 
   /** q110: BM25 top-k per query (k1=1.2, b=0.75, Robertson-ish idf with
     * the +1 floor so weights stay positive). Output:
@@ -155,6 +163,69 @@ object Retrieval {
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$outDir/postings")
     dlStage(spark, dir).write.mode("overwrite").parquet(s"$outDir/dl")
+  }
+
+  /** Persist an index from an arbitrary (doc_id, text) base relation —
+    * the starting point of the incremental lifecycle (the full-corpus
+    * [[savePostingsIndex]] specialization serves q127). */
+  def savePostingsIndexOf(docs: DataFrame, outDir: String,
+      termBuckets: Int = 64): Unit = {
+    require(termBuckets > 0, "bucket count must be positive")
+    val p = postingsOf(docs)
+    p.where(col("term").isNotNull)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$outDir/postings")
+    p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/dl")
+  }
+
+  /** Merge a delta batch of NEW documents into a persisted
+    * [[savePostingsIndex]]/[[savePostingsIndexOf]] artifact — the daily-
+    * ingest shape a production contamination/retrieval service actually
+    * runs (q96's delta model applied to the index): the delta's
+    * postings land as APPENDED files in exactly the term buckets its
+    * vocabulary hashes to, dl rows append alongside, and nothing
+    * already on disk is rewritten — dynamic-partition append touches
+    * only the delta's partitions, so merge cost ∝ |delta|, never
+    * ∝ |index|. Because every artifact row is per-doc (tf within-doc,
+    * dl per-doc) and delta doc_ids are new, base ∪ delta is
+    * row-identical to a full rebuild — [[bm25TopKFromIndex]] answers
+    * over the merged artifact are therefore EQUAL to full-rebuild
+    * answers, which is what the q133 gate pins under q110's own oracle
+    * (corpus stats n_docs/Σdl re-derive from the merged dl relation at
+    * query time, so they update for free). Callers own the "new docs
+    * only" contract: re-merging an already-indexed doc_id would double
+    * its postings (the same contract as any append-only log). */
+  def appendPostingsDelta(deltaDocs: DataFrame, indexDir: String,
+      termBuckets: Int = 64): Unit = {
+    require(termBuckets > 0, "bucket count must be positive")
+    val p = postingsOf(deltaDocs)
+    p.where(col("term").isNotNull)
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$indexDir/postings")
+    p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+      .write.mode("append").parquet(s"$indexDir/dl")
+  }
+
+  /** q133: BM25 served from an INCREMENTALLY BUILT index — the corpus is
+    * split by q96's deterministic delta rule (pmod(doc_id·2654435761,
+    * 100) < batchPct = the incoming batch), the base 70 % is persisted,
+    * the 30 % delta merged via [[appendPostingsDelta]], and the merged
+    * artifact serves the batch. Gated under q110's oracle: merged-index
+    * answers ≡ full-rebuild answers ≡ live answers — the fourth serving
+    * shape, one pinned answer. */
+  def bm25TopKIncremental(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)] = DefaultQueries,
+      topK: Int = 5, salts: Int = 32, batchPct: Int = 30): DataFrame = {
+    val indexDir = persistedIndex.getOrCreate(spark, s"$dir#incremental:$batchPct") { tmp =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"))
+      savePostingsIndexOf(docs.where(!col("incoming")).select("doc_id", "text"), tmp)
+      appendPostingsDelta(docs.where(col("incoming")).select("doc_id", "text"), tmp)
+    }
+    bm25TopKFromIndex(spark, indexDir, queries, topK, salts)
   }
 
   /** Serve BM25 from a persisted [[savePostingsIndex]] artifact — NO

@@ -73,6 +73,48 @@ class PostingsIndexPersistenceSpec extends AnyFunSuite {
     }
   }
 
+  test("an incremental merge equals a full rebuild, without rewriting base files") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25-inc").toString
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25-full").toString
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(100)) < 30).as("incoming"))
+      Retrieval.savePostingsIndexOf(docs.where(!col("incoming"))
+        .select("doc_id", "text"), base)
+      def files(): Map[String, Long] = {
+        val b = java.nio.file.Paths.get(base)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(b).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => (b.relativize(p).toString,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      }
+      val before = files()
+      Retrieval.appendPostingsDelta(docs.where(col("incoming"))
+        .select("doc_id", "text"), base)
+      val after = files()
+      // append-only: every base file survives byte-untouched (same path,
+      // same mtime), and the delta only ADDS files
+      assert(before.forall { case (p, m) => after.get(p).contains(m) },
+        "a base file was rewritten by the delta merge")
+      assert(after.size > before.size, "the delta appended no files")
+
+      // merged-index answers == full-rebuild answers, row for row
+      Retrieval.savePostingsIndex(spark, dir, full)
+      val merged = Retrieval.bm25TopKFromIndex(spark, base).collect().toSeq
+      val rebuilt = Retrieval.bm25TopKFromIndex(spark, full).collect().toSeq
+      assert(merged.nonEmpty)
+      assert(merged == rebuilt, "merged index diverged from the full rebuild")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base)); rm(new java.io.File(full))
+    }
+  }
+
   test("releaseStages retires the q127 artifact: dir deleted, next use rebuilds") {
     // The stale-index hazard: after a session release + corpus
     // regeneration, q110/q124 rebuild from new data but a surviving
