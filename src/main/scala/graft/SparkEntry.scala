@@ -217,6 +217,10 @@ object SparkEntry {
     // the three-codec family: PNG / JPEG / GIF by doc_id mod 3, so the
     // planted pairs include GIF<->PNG and GIF<->JPEG re-encodes
     "q132_cross_format_trio_dups" -> ((s, d) => Multimodal.crossFormatTrioDups(s, d)),
+    // the audio leg of the multimodal dedup trio: frame-energy gradient
+    // fingerprint over real PCM WAV payloads — pairs the gain-scaled
+    // re-encodes that exact payload hashing (q116) provably misses
+    "q134_perceptual_audio_dups" -> ((s, d) => Multimodal.perceptualAudioDups(s, d)),
     // the q119 eval sweep as an API: pages id-range batches and unions
     // verdicts. The gate pins a FIXED window (ids < 600 in pages of
     // 200): exactly 3 real pages at EVERY scale factor — multi-page
@@ -1488,6 +1492,16 @@ object SparkEntry {
           |    [CAST(cps[(b % len(cps)) + 1] AS BIGINT) for b in range(0, 64)] AS blocks
           |  FROM c)""".stripMargin,
         idx => s"blocks[$idx + 1] > mean"),
+    // q134: the energy-gradient rule reads straight off the frame-amp
+    // rule — gain and frame width cancel in every energy comparison
+    // ((a*g)^2 > (b*g)^2 <=> a > b in exact integer math), so the
+    // oracle is the q121 chain with dHash's adjacent rule in 1-D
+    "q134_perceptual_audio_dups" ->
+      perceptualDupChain(
+        """blk AS (SELECT doc_id,
+          |    [CAST(cps[(b % len(cps)) + 1] AS BIGINT) for b in range(0, 64)] AS blocks
+          |  FROM c)""".stripMargin,
+        idx => s"blocks[($idx) + 1] > blocks[((($idx) + 1) % 64) + 1]"),
     // q132: same oracle chain — PNG and GIF round-trip losslessly and
     // the JPEG solid-tile class exactly, so all THREE containers decode
     // back to the tile-rule pixels and the oracle never sees a format

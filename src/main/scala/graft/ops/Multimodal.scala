@@ -207,6 +207,150 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Parse a PCM WAV payload down to its SAMPLES — the decode step the
+    * metadata-only [[audioHeader]] stops short of: same chunk walk, but
+    * the `data` chunk's 16-bit little-endian samples come back as ints.
+    * Crawl-safe like every decoder here: total (None on garbage), every
+    * position strictly advances, and the sample count is capped before
+    * allocation. Only 16-bit PCM is decoded (the dominant uncompressed
+    * wild format; other depths answer None rather than mis-scale). */
+  def pcmSamples(p: Array[Byte]): Option[(Long, Long, Array[Int])] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def tag(i: Int, s: String): Boolean =
+      (0 until 4).forall(j => u8(i + j) == s.charAt(j))
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var rate = -1L; var ch = -1L; var bits = -1L
+    var dataOff = -1; var dataLen = -1L
+    while (i + 8 <= p.length && (rate < 0 || dataLen < 0)) {
+      val sz = le32(i + 4)
+      if (tag(i, "fmt ") && sz >= 16 && i + 24 <= p.length) {
+        ch = le16(i + 10).toLong; rate = le32(i + 12); bits = le16(i + 22).toLong
+      } else if (tag(i, "data")) {
+        dataOff = i + 8
+        dataLen = math.min(sz, (p.length - i - 8).toLong)
+      }
+      if (sz > p.length) i = p.length
+      else i += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0 || dataLen < 0) return None
+    val n = (dataLen / 2).toInt
+    if (n > (1 << 24)) return None // sample cap before allocation
+    val samples = new Array[Int](n)
+    var j = 0
+    while (j < n) {
+      samples(j) = (le16(dataOff + 2 * j) << 16) >> 16 // sign-extend Int16
+      j += 1
+    }
+    Some((rate, ch, samples))
+  }
+
+  /** 64-frame energy-gradient audio fingerprint: the samples are split
+    * into 64 equal frames, frame energy = Σ sample² (exact Long), and
+    * bit b = energy(b) > energy((b+1) mod 64) — [[dHash64]]'s adjacent-
+    * comparison rule in one dimension. GAIN-INVARIANT by construction:
+    * scaling every sample by g > 0 scales every energy by g², which
+    * preserves strict order exactly (integer math, no rounding), so a
+    * re-mastered / volume-normalized copy lands on the identical
+    * fingerprint while its payload hash (q116's exact rung) changes
+    * completely. Same (hi, lo) packing as [[aHash64]], so the banding,
+    * cap, and oracle tail are shared verbatim. */
+  private[graft] def audioFingerprint(samples: Array[Int]): Option[(Long, Long)] = {
+    val n = samples.length
+    if (n < 64) return None
+    val frame = n / 64
+    val energies = new Array[Long](64)
+    var f = 0
+    while (f < 64) {
+      var s = 0L
+      var i = f * frame
+      val end = i + frame
+      while (i < end) { val v = samples(i).toLong; s += v * v; i += 1 }
+      energies(f) = s
+      f += 1
+    }
+    Some(packBits(b => energies(b) > energies((b + 1) % 64)))
+  }
+
+  /** Deterministic 64-frame amplitude synthesis from document text:
+    * frame f amplitude = codePoint(f mod len) mod 256 — [[solidPixelsOf]]
+    * in one dimension, shared verbatim with the q134 oracle's
+    * `unicode(text[i]) % 256` comprehension. */
+  private[graft] def frameAmpsOf(text: String): Array[Int] = {
+    val cps = text.codePoints().toArray
+    Array.tabulate(64)(f => cps(f % cps.length) % 256)
+  }
+
+  /** q134: PERCEPTUAL audio dedup — the rung q116's exact payload
+    * hashing cannot reach: a gain-scaled or re-mastered copy of the
+    * same recording is byte-unrelated to its source, but its frame-
+    * energy ORDER is untouched, so the energy-gradient fingerprint
+    * pairs them at hamming 0. Completes the multimodal dedup trio
+    * (text MinHash/SimHash, image aHash/dHash, audio energy-gradient).
+    *
+    * Pipeline = q121's verbatim with an audio front end: synthesize a
+    * real PCM WAV per doc (frame amplitudes from the text rule; GAIN,
+    * sample rate, frame width and a trailing LIST chunk varied by
+    * doc_id, so byte equality is destroyed even between same-text docs),
+    * parse it back with the real chunk-walking [[pcmSamples]] decoder,
+    * fingerprint, then the shared banded/capped/hamming-verified pair
+    * stage. The oracle computes fingerprints straight from the text
+    * rule: energies are F·(amp·gain)² and gain/width cancel in every
+    * comparison, so the banded chain reads amp order directly — the
+    * q126 argument with gain in place of quantization. */
+  def perceptualAudioDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3, maxBandPopulation: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val hashes = Tables.documents(spark, dir)
+      .where(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val amps = frameAmpsOf(text)
+          val gain = 1 + math.floorMod(id, 4).toInt
+          val rate = 8000 + math.floorMod(id, 3).toInt * 4000
+          val spf = 8 << math.floorMod(id, 2).toInt // 8 or 16 samples/frame
+          val data = new Array[Byte](64 * spf * 2)
+          var f = 0
+          while (f < 64) {
+            val v = amps(f) * gain
+            var s = 0
+            while (s < spf) {
+              val off = (f * spf + s) * 2
+              data(off) = (v & 0xff).toByte
+              data(off + 1) = ((v >> 8) & 0xff).toByte
+              s += 1
+            }
+            f += 1
+          }
+          val wav0 = wavBytes(rate, 1, 16, data)
+          val wav =
+            if (math.floorMod(id, 3) == 0) {
+              // trailing LIST chunk (tag, size=4 LE, "INFO"): a legal
+              // RIFF tail the chunk walk must tolerate
+              val junk = "LIST".getBytes("US-ASCII") ++
+                Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+              val out = java.util.Arrays.copyOf(wav0, wav0.length + junk.length)
+              System.arraycopy(junk, 0, out, wav0.length, junk.length)
+              out
+            } else wav0
+          val (_, _, samples) = pcmSamples(wav)
+            .getOrElse(throw new IllegalStateException(s"unparseable WAV for doc $id"))
+          val (hi, lo) = audioFingerprint(samples)
+            .getOrElse(throw new IllegalStateException(s"unfingerprintable doc $id"))
+          (id, hi, lo)
+        }
+      }
+      .toDF("doc_id", "hi", "lo")
+    perceptualDupsOfHashes(hashes, maxHamming, maxBandPopulation)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Minimal ISO-BMFF (MP4) writer: `ftyp` + `moov`/`mvhd` (version 0)
     * + `mdat`. Big-endian box sizes, canonical 108-byte mvhd. Synthesis
     * counterpart of [[videoHeader]], as [[wavBytes]] is for
