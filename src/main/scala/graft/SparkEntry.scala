@@ -124,6 +124,10 @@ object SparkEntry {
     // sign-LSH buckets (adaptive config like q38) — q36 is the bounded
     // exact baseline, this is what runs over the full corpus
     "q95_embedding_neardup_lsh" -> ((s, d) => Similarity.nearDupLsh(s, d)),
+    // embedding-space decontamination: the paraphrase hole in the
+    // lexical rungs — eval-vs-corpus ANN via the q95 signature stage,
+    // cosine-verified, q69-style per-doc verdict
+    "q135_semantic_contamination" -> ((s, d) => Similarity.semanticContamination(s, d)),
     // delta-vs-corpus near-dedup: today's batch (hash split) killed
     // against the historical corpus through the shared confirmed-pair
     // stage, then within-batch — the daily-ingest shape
@@ -1125,6 +1129,23 @@ object SparkEntry {
     // config (8x8 — the same n<=4096 plateau argument as q38's oracle);
     // no probes, no cap (gate-scale bucket populations sit far under the
     // Spark side's 1000 cap, the q32 precedent)
+    // q135: the same signature construction, eval side split out; the
+    // verdict aggregate mirrors the Spark plan (distinct pair before
+    // count, round-4 cosine before both the threshold and the max)
+    "q135_semantic_contamination" -> (UnitVecCte + lshBucketCtes(bits = 8, nTables = 8) + s""",
+        |scand AS (
+        |  SELECT DISTINCT t.vec_id, e.vec_id AS eval_id
+        |  FROM tb t JOIN tb e USING (tbl, bucket)
+        |  WHERE e.vec_id % 97 = 0 AND t.vec_id % 97 <> 0),
+        |sv AS (
+        |  SELECT c.vec_id, c.eval_id, round(${cosSql("x.u", "y.u")}, 4) AS cos_sim
+        |  FROM scand c
+        |  JOIN u x ON x.vec_id = c.vec_id
+        |  JOIN u y ON y.vec_id = c.eval_id)
+        |SELECT vec_id, count(*) AS n_eval_hits, max(cos_sim) AS max_cos_sim
+        |FROM sv WHERE cos_sim >= 0.4
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin),
     "q95_embedding_neardup_lsh" -> (UnitVecCte + lshBucketCtes(bits = 8, nTables = 8) + s""",
         |ncand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

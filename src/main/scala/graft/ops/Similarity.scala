@@ -891,6 +891,56 @@ object Similarity {
       .distinct()
   }
 
+  /** q135: EMBEDDING-SPACE decontamination — the semantic hole in the
+    * lexical rungs: a PARAPHRASED eval item shares no word-5-gram, so
+    * q69/q99's gram joins are provably blind to it (SemanticContamSpec
+    * constructs exactly that pair), and its term profile need not rank
+    * under q119's BM25 — but its embedding sits at high cosine to the
+    * eval item. Eval set = `vec_id % 97 == 0` (q69's held-out rule on
+    * the embeddings table).
+    *
+    * Scale shape: candidates come from the SAME sign-LSH signature
+    * stage as q95 — eval band rows are tiny and BROADCAST against the
+    * population-capped corpus bands, so the corpus never crosses the
+    * eval set and never shuffles for candidate generation; pair volume
+    * is bounded by |eval| × capped bucket population. Exact cosine
+    * verifies at `threshold`, then the verdict aggregates per train
+    * vector like q69's: how many eval items it collides with and how
+    * close the worst collision is. */
+  def semanticContamination(spark: SparkSession, dir: String,
+      threshold: Double = 0.4, bits: Int = 0, nTables: Int = 0,
+      maxBucketPopulation: Int = 1000): DataFrame = {
+    val (bitsEff, nTablesEff) =
+      if (bits > 0 && nTables > 0) (bits, nTables)
+      else adaptiveLshConfig(corpusCount(spark, dir))
+    semanticContaminationOf(lshSigStage(spark, dir, bitsEff, nTablesEff),
+      threshold, maxBucketPopulation)
+  }
+
+  /** The q135 pipeline over any (vec_id, u, buckets) signature relation
+    * — split out so the planted-paraphrase spec can drive it with a
+    * handmade near-identical (eval, train) embedding pair. */
+  private[graft] def semanticContaminationOf(sig: DataFrame,
+      threshold: Double, maxBucketPopulation: Int): DataFrame = {
+    val bands = sig.select(col("vec_id").as("doc_id"), col("u"),
+      posexplode(col("buckets")).as(Seq("band", "band_key")))
+    val evalBands = bands.where(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("u").as("eu"),
+        col("band"), col("band_key"))
+    val trainBands =
+      Dedup.capBands(bands.where(col("doc_id") % 97 =!= 0), maxBucketPopulation)
+    trainBands.join(broadcast(evalBands), Seq("band", "band_key"))
+      .select(col("doc_id").as("vec_id"), col("eval_id"), col("u"), col("eu"))
+      // a pair colliding in several tables must score once, not per table
+      .dropDuplicates("vec_id", "eval_id")
+      .select(col("vec_id"), col("eval_id"),
+        round(dot(col("u"), col("eu")), 4).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos_sim")).as("max_cos_sim"))
+      .orderBy("vec_id")
+  }
+
   /** q102: semantic-dedup pruning profile — the DECISION layer on top of
     * the q95 pair relation, per the SemDeDup recipe (Abbas et al. 2023,
     * arXiv:2303.09540: embed, group into buckets, drop all but one of
