@@ -972,7 +972,9 @@ object Multimodal {
     * .imageDupCandidates]]) can never key differently, exactly as
     * [[Dedup.bandsOf]] is shared by the text ladder's two sides. */
   private[graft] def perceptualBands(hashes: DataFrame): DataFrame =
-    hashes.select(col("doc_id"), col("hi"), col("lo"),
+    // star-select: every input column rides along (the streaming gate
+    // carries an event-time ts the batch relations don't have)
+    hashes.select(col("*"),
       posexplode(array(
         shiftright(col("hi"), 16), col("hi").bitwiseAND(lit(65535L)),
         shiftright(col("lo"), 16), col("lo").bitwiseAND(lit(65535L))))

@@ -20,6 +20,12 @@ final case class BandOriginal(orig_id: Long, orig_ts: Long)
 final case class NearDupHit(doc_id: Long, band: Int, band_key: String,
     orig_id: Long)
 
+/** One arriving media payload with its event time — the image gate's
+  * input row ([[graft.ops.MediaRecord]] plus the ts the state machine
+  * clocks on). */
+final case class MediaTsRecord(doc_id: Long, ts: java.sql.Timestamp,
+    payload: Array[Byte])
+
 /** Streaming front-end of the corpus-curation pipeline: the same
   * quality / PII / fingerprint operators that run batch-side (q23, q70,
   * q31) applied to a document STREAM — the shape an ingest pipeline has
@@ -259,6 +265,59 @@ object DocumentsStreaming {
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
       .withWatermark("ts", watermark)
       .as[BandKeyRow]
+    statefulBandGate(keyed, stateTtlMs, maxKeyPopulation)
+  }
+
+  /** IMAGE twin of [[nearDupStateful]] — cross-trigger memory for
+    * perceptual band keys, closing the gap [[imageDupCandidates]]
+    * deliberately leaves (it gates against a STATIC corpus index, so an
+    * image duplicate whose original arrived in an earlier trigger sails
+    * through until the next index rebuild — the exact structural hole
+    * the text ladder closed with `nearDupStateful`). Arriving payloads
+    * decode and aHash per row ([[graft.ops.Multimodal.imageDecode]] —
+    * format-blind: PNG, JPEG or GIF), band with the exact shared
+    * [[graft.ops.Multimodal.perceptualBands]] construction (batch pair
+    * stage, static gate and stateful gate can never key differently),
+    * and flow into the SAME one-pass bounded state machine (band_key
+    * rendered to string — injective, so keying semantics are
+    * unchanged): first arrival claims the key, later arrivals in any
+    * trigger emit hits, TTL evicts, hot keys drop whole. Undecodable
+    * payloads pass silently — the crawl-garbage contract. */
+  def imageDupStateful(media: DataFrame, watermark: String = "10 minutes",
+      stateTtlMs: Long = 10L * 60 * 1000,
+      maxKeyPopulation: Int = 1000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media
+      .select(col("doc_id"), col("ts"), col("payload"))
+      .as[MediaTsRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          graft.ops.Multimodal.imageDecode(r.payload).collect {
+            case (w, h, g) if w % 8 == 0 && h % 8 == 0 =>
+              val (hi, lo) = graft.ops.Multimodal.aHash64(g, w, h)
+              (r.doc_id, r.ts, hi, lo)
+          }
+        }
+      }
+      .toDF("doc_id", "ts", "hi", "lo")
+    val keyed = graft.ops.Multimodal.perceptualBands(hashes)
+      .select(col("doc_id"), col("ts"), col("band").cast("int").as("band"),
+        col("band_key").cast("string").as("band_key"))
+      .withWatermark("ts", watermark)
+      .as[BandKeyRow]
+    statefulBandGate(keyed, stateTtlMs, maxKeyPopulation)
+  }
+
+  /** The shared one-pass bounded state machine behind BOTH stateful
+    * gates ([[nearDupStateful]] text bands, [[imageDupStateful]]
+    * perceptual bands) — extracted so the claim/emit/TTL/hot-key
+    * semantics cannot drift between modalities. */
+  private def statefulBandGate(
+      keyed: org.apache.spark.sql.Dataset[BandKeyRow],
+      stateTtlMs: Long, maxKeyPopulation: Int): DataFrame = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
     keyed
       .groupByKey(r => (r.band, r.band_key))
       .flatMapGroupsWithState[BandOriginal, NearDupHit](

@@ -95,4 +95,50 @@ class ImageDupStreamSpec extends AnyFunSuite {
     val hits = DocumentsStreaming.imageDupCandidates(arrival.toDF(), index).count()
     assert(hits == 4L, s"a re-encode of a held image must hit all 4 bands, got $hits")
   }
+
+  test("stateful gate: an image duplicate in a LATER trigger than its original is caught") {
+    import spark.implicits._
+    // The structural hole the stream-static index gate leaves: the
+    // original arrives in trigger 1, its re-encode (in a DIFFERENT
+    // container) in trigger 2 — no index rebuild in between, so only
+    // cross-trigger state can connect them.
+    val dir = Files.createTempDirectory("graft-imagedup-state")
+    val pxA = solidTiles(41); val pxB = solidTiles(42)
+    Seq(MediaRecord(1L, Multimodal.pngBytes(64, 64, pxA, filterType = 1)),
+        MediaRecord(2L, Multimodal.pngBytes(64, 64, pxB)))
+      .toDS().toDF().coalesce(1)
+      .write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, payload BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.resolve("in").toString)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val q = DocumentsStreaming.imageDupStateful(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("imagedup_state").start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = spark.table("imagedup_state").count()
+      assert(afterFirst == 0, s"originals must not self-flag ($afterFirst hits)")
+
+      // trigger 2: 11 = JPEG re-encode of trigger-1's PNG 1 (cross-
+      // format AND cross-trigger), 12 = GIF re-encode of 2, 13 = novel,
+      // 14 = undecodable garbage
+      Seq(MediaRecord(11L, Jpeg.jpegBytes(64, 64, pxA, dcQuant = 4,
+            comment = "resurfaced later")),
+          MediaRecord(12L, graft.ops.Gif.gifBytes(64, 64, pxB, interlace = true)),
+          MediaRecord(13L, Multimodal.pngBytes(64, 64, solidTiles(77))),
+          MediaRecord(14L, "still not an image".getBytes("UTF-8")))
+        .toDS().toDF().coalesce(1) // ONE file -> one trigger
+        .write.mode("append").parquet(dir.resolve("in").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val hits = spark.table("imagedup_state")
+      .select("doc_id", "orig_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(hits == Set((11L, 1L), (12L, 2L)), s"got $hits")
+    // identical decoded pixels collide on ALL 4 perceptual bands
+    assert(spark.table("imagedup_state").where(col("doc_id") === 11L).count() == 4)
+  }
 }
