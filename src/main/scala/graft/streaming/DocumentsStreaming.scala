@@ -309,10 +309,47 @@ object DocumentsStreaming {
     statefulBandGate(keyed, stateTtlMs, maxKeyPopulation)
   }
 
-  /** The shared one-pass bounded state machine behind BOTH stateful
-    * gates ([[nearDupStateful]] text bands, [[imageDupStateful]]
-    * perceptual bands) — extracted so the claim/emit/TTL/hot-key
-    * semantics cannot drift between modalities. */
+  /** AUDIO leg of the stateful gate family — completes the modality ×
+    * execution-mode matrix (text/image/audio × batch/stream): a
+    * gain-scaled re-master of a recording whose original arrived in an
+    * earlier trigger is byte-unrelated to it (q116's exact rung misses
+    * it) but lands on the identical gain-invariant energy-gradient
+    * fingerprint ([[graft.ops.Multimodal.audioFingerprint]] — the q134
+    * batch kernel, shared verbatim), so its perceptual bands collide in
+    * state. Arriving WAV payloads chunk-walk through the real
+    * [[graft.ops.Multimodal.pcmSamples]] decoder; unparseable or
+    * sub-64-sample payloads pass silently — the crawl-garbage
+    * contract. */
+  def audioDupStateful(media: DataFrame, watermark: String = "10 minutes",
+      stateTtlMs: Long = 10L * 60 * 1000,
+      maxKeyPopulation: Int = 1000): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media
+      .select(col("doc_id"), col("ts"), col("payload"))
+      .as[MediaTsRecord]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          for {
+            (_, _, samples) <- graft.ops.Multimodal.pcmSamples(r.payload)
+            (hi, lo) <- graft.ops.Multimodal.audioFingerprint(samples)
+          } yield (r.doc_id, r.ts, hi, lo)
+        }
+      }
+      .toDF("doc_id", "ts", "hi", "lo")
+    val keyed = graft.ops.Multimodal.perceptualBands(hashes)
+      .select(col("doc_id"), col("ts"), col("band").cast("int").as("band"),
+        col("band_key").cast("string").as("band_key"))
+      .withWatermark("ts", watermark)
+      .as[BandKeyRow]
+    statefulBandGate(keyed, stateTtlMs, maxKeyPopulation)
+  }
+
+  /** The shared one-pass bounded state machine behind ALL stateful
+    * gates ([[nearDupStateful]] text bands, [[imageDupStateful]] /
+    * [[audioDupStateful]] perceptual bands) — extracted so the
+    * claim/emit/TTL/hot-key semantics cannot drift between
+    * modalities. */
   private def statefulBandGate(
       keyed: org.apache.spark.sql.Dataset[BandKeyRow],
       stateTtlMs: Long, maxKeyPopulation: Int): DataFrame = {
