@@ -271,6 +271,14 @@ object SparkEntry {
     "q131_ann_ivf_two_level_persisted" -> ((s, d) =>
       Similarity.twoLevelTopKPersisted(s, d, nCoarse = 8, nSub = 4,
         nProbe1 = 4, nProbe2 = 2, nQueries = 100)),
+    // the incremental ANN lifecycle (q133's shape for the vector
+    // index): base split trains + persists the index, the delta batch
+    // merges under FROZEN codebooks, the merged artifact serves —
+    // merged ≡ monolithic, pinned by an oracle that trains on the base
+    // split while assigning the full corpus
+    "q136_ann_ivf_two_level_incremental" -> ((s, d) =>
+      Similarity.twoLevelIncremental(s, d, nCoarse = 8, nSub = 4,
+        nProbe1 = 4, nProbe2 = 2, nQueries = 100, k = 3, batchPct = 30)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -435,11 +443,12 @@ object SparkEntry {
     * the two-level extension ([[twoLevelIvfCtes]]). Ends with
     * `assigned` (the inverted file) and `adist` (per-vector centroid
     * dots, reused by the flat probe ladder). */
-  private def ivfAssignCtes(nCentroids: Int): String =
-    s""", cents0 AS (SELECT vec_id AS cent_id, u AS cu FROM u WHERE vec_id < $nCentroids),
+  private def ivfAssignCtes(nCentroids: Int, trainPred: String = "TRUE"): String =
+    s""", cents0 AS (SELECT vec_id AS cent_id, u AS cu FROM u
+       |             WHERE vec_id < $nCentroids AND $trainPred),
        |a0 AS (
        |  SELECT u.vec_id, u.u, cent_id, ${cosSql("u.u", "cu")} AS cdot
-       |  FROM u CROSS JOIN cents0),
+       |  FROM (SELECT * FROM u WHERE $trainPred) u CROSS JOIN cents0),
        |assigned0 AS (
        |  SELECT vec_id, u, cent_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -483,17 +492,19 @@ object SparkEntry {
   /** The two-level INDEX construction CTEs (through `cents`, `subcents`,
     * `assigned2`) — shared by every probe chain over the same codebook,
     * so q130's two probe configs pay one index build. */
-  private def twoLevelIndexCtes(nCoarse: Int, nSub: Int): String =
-    ivfAssignCtes(nCoarse) + s""",
+  private def twoLevelIndexCtes(nCoarse: Int, nSub: Int,
+      trainPred: String = "TRUE"): String =
+    ivfAssignCtes(nCoarse, trainPred) + s""",
        |seeds AS (
        |  SELECT cent_id, CAST(rn - 1 AS BIGINT) AS sub_id, u AS su FROM (
        |    SELECT cent_id, vec_id, u,
        |      row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS rn
-       |    FROM assigned)
+       |    FROM assigned WHERE $trainPred)
        |  WHERE rn <= $nSub),
        |sd AS (
        |  SELECT a.vec_id, a.cent_id, a.u, s.sub_id, ${cosSql("a.u", "s.su")} AS sdot
-       |  FROM assigned a JOIN seeds s USING (cent_id)),
+       |  FROM (SELECT * FROM assigned WHERE $trainPred) a
+       |  JOIN seeds s USING (cent_id)),
        |sl0 AS (
        |  SELECT vec_id, cent_id, u, sub_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -1143,7 +1154,7 @@ object SparkEntry {
         |  JOIN u x ON x.vec_id = c.vec_id
         |  JOIN u y ON y.vec_id = c.eval_id)
         |SELECT vec_id, count(*) AS n_eval_hits, max(cos_sim) AS max_cos_sim
-        |FROM sv WHERE cos_sim >= 0.4
+        |FROM sv WHERE cos_sim >= 0.35
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin),
     "q95_embedding_neardup_lsh" -> (UnitVecCte + lshBucketCtes(bits = 8, nTables = 8) + s""",
@@ -1813,6 +1824,17 @@ object SparkEntry {
     // identical answers by design, so the oracle IS q129's
     "q131_ann_ivf_two_level_persisted" -> (UnitVecCte +
       twoLevelIvfCtes(nCoarse = 8, nSub = 4, nProbe1 = 4, nProbe2 = 2, nQueries = 100) + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // q136 = the two-level chain with the codebook CTEs TRAINED on the
+    // base split (q96's delta rule) while the inverted file assigns the
+    // FULL corpus — the merge-equals-monolith contract of the
+    // incremental index, expressed directly in the oracle
+    "q136_ann_ivf_two_level_incremental" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4,
+        trainPred = "(vec_id * 2654435761) % 100 >= 30") +
+      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "") + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),

@@ -576,53 +576,13 @@ object Similarity {
     val coarseCents = twoLevelCoarseCentStage(spark, dir, nCoarse, nSub)
     val subCents = twoLevelCentCache.getOrBuild(key) {
       val a1 = twoLevelCoarseStage(spark, dir, nCoarse, nSub)
-      // per-cell sub-seeds: the nSub smallest vec_ids of the cell (a
-      // per-cell window — partitions are cells, never the corpus)
-      val sw = Window.partitionBy("cent_id").orderBy("vec_id")
-      val seeds = a1.withColumn("rn", row_number().over(sw))
-        .where(col("rn") <= nSub)
-        .select(col("cent_id"), (col("rn") - 1).cast("long").as("sub_id"),
-          col("u").as("su"))
-      // one sub-Lloyd round, all within-cell: assign to the nearest seed
-      // of the OWN cell via the codegen'd per-cell argmax (the
-      // assignNearest expression with the cell id as the codebook key —
-      // per-row work is nSub dots, and the whole nCoarse·nSub seed set
-      // is a bounded ≤ 8 MB plan reference, never a joined relation)
-      val seedBooks = graft.functions.CodebookFunctions.cellBooks(
-        seeds.collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).toSeq, dim = 64)
-      val s0 = a1
-        .select(col("cent_id"),
-          graft.functions.CodebookFunctions
-            .nearestInCodebook(col("cent_id"), col("u"), seedBooks).as("sub_id"),
-          col("u"))
-        .where(col("sub_id").isNotNull)
-      val built = s0
-        .select(col("cent_id"), col("sub_id"), posexplode(col("u")))
-        .groupBy("cent_id", "sub_id", "pos")
-        .agg((sum(round(col("col") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("m"))
-        .groupBy("cent_id", "sub_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cent_id"), col("sub_id"),
-          unitVec(transform(col("pm"), p => p.getField("m"))).as("scu"))
-        .cache()
+      val built = buildSubCents(a1, nSub).cache()
       built.count()
       built
     }
     val assigned = twoLevelAssignCache.getOrBuild(key) {
       val a1 = twoLevelCoarseStage(spark, dir, nCoarse, nSub)
-      // final inverted file: nearest refined sub-centroid within the
-      // cell, via the same codegen'd per-cell argmax
-      val subBooks = graft.functions.CodebookFunctions.cellBooks(
-        subCents.collect().map(r =>
-          (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).toSeq, dim = 64)
-      val built = a1
-        .select(col("vec_id"), col("cent_id"),
-          graft.functions.CodebookFunctions
-            .nearestInCodebook(col("cent_id"), col("u"), subBooks).as("sub_id"),
-          col("u"))
-        .where(col("sub_id").isNotNull)
-        .cache()
+      val built = buildAssigned2(a1, subCents).cache()
       built.count()
       // bounded index resident; the coarse ASSIGNMENT stage is no
       // longer needed (the coarse CODEBOOK stays — the serving path's
@@ -631,6 +591,58 @@ object Similarity {
       built
     }
     (coarseCents, subCents, assigned)
+  }
+
+  /** Sub-codebook train over a coarse-assigned relation — per-cell
+    * sub-seeds (the nSub smallest vec_ids of the cell — a per-cell
+    * window, partitions are cells, never the corpus), then one
+    * sub-Lloyd round, all within-cell: assign to the nearest seed of
+    * the OWN cell via the codegen'd per-cell argmax (the assignNearest
+    * expression with the cell id as the codebook key — per-row work is
+    * nSub dots, and the whole nCoarse·nSub seed set is a bounded
+    * ≤ 8 MB plan reference, never a joined relation). Pure builder:
+    * shared by the session-staged path ([[twoLevelIvfStage]]) and the
+    * incremental artifact build ([[saveTwoLevelIndexOf]]). */
+  private def buildSubCents(a1: DataFrame, nSub: Int): DataFrame = {
+    val sw = Window.partitionBy("cent_id").orderBy("vec_id")
+    val seeds = a1.withColumn("rn", row_number().over(sw))
+      .where(col("rn") <= nSub)
+      .select(col("cent_id"), (col("rn") - 1).cast("long").as("sub_id"),
+        col("u").as("su"))
+    val seedBooks = graft.functions.CodebookFunctions.cellBooks(
+      seeds.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).toSeq, dim = 64)
+    val s0 = a1
+      .select(col("cent_id"),
+        graft.functions.CodebookFunctions
+          .nearestInCodebook(col("cent_id"), col("u"), seedBooks).as("sub_id"),
+        col("u"))
+      .where(col("sub_id").isNotNull)
+    s0
+      .select(col("cent_id"), col("sub_id"), posexplode(col("u")))
+      .groupBy("cent_id", "sub_id", "pos")
+      .agg((sum(round(col("col") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("m"))
+      .groupBy("cent_id", "sub_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cent_id"), col("sub_id"),
+        unitVec(transform(col("pm"), p => p.getField("m"))).as("scu"))
+  }
+
+  /** Final inverted-file rows for a coarse-assigned relation: nearest
+    * refined sub-centroid within the own cell, via the same codegen'd
+    * per-cell argmax. Pure builder — per-ROW work, so assigning a
+    * delta batch under a frozen codebook ([[appendTwoLevelDelta]])
+    * produces exactly the rows a monolithic assignment would. */
+  private def buildAssigned2(a1: DataFrame, subCents: DataFrame): DataFrame = {
+    val subBooks = graft.functions.CodebookFunctions.cellBooks(
+      subCents.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray)).toSeq, dim = 64)
+    a1
+      .select(col("vec_id"), col("cent_id"),
+        graft.functions.CodebookFunctions
+          .nearestInCodebook(col("cent_id"), col("u"), subBooks).as("sub_id"),
+        col("u"))
+      .where(col("sub_id").isNotNull)
   }
 
   /** The two-stage probe over a (coarse codebook, sub-codebook,
@@ -690,6 +702,83 @@ object Similarity {
     subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
     assigned.write.mode("overwrite").partitionBy("cent_id")
       .parquet(s"$outDir/assignments")
+  }
+
+  /** Persist a two-level index TRAINED AND BUILT from an arbitrary
+    * (vec_id, u) relation — the starting point of the incremental ANN
+    * lifecycle ([[saveTwoLevelIndex]]'s full-corpus shape serves q131),
+    * exactly as [[Retrieval.savePostingsIndexOf]] is to
+    * `savePostingsIndex`. One-shot: no session caches (it runs once
+    * inside an artifact memo), the coarse codebook is materialized
+    * locally once and reused for both the assignment and the write. */
+  def saveTwoLevelIndexOf(vecs: DataFrame, outDir: String,
+      nCoarse: Int = 8, nSub: Int = 4): Unit = {
+    val cents = ivfCentroidsOf(vecs, nCoarse).cache()
+    cents.count()
+    val a1 = assignNearest(vecs, cents).cache()
+    a1.count()
+    val subCents = buildSubCents(a1, nSub).cache()
+    subCents.count()
+    cents.write.mode("overwrite").parquet(s"$outDir/coarse")
+    subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
+    buildAssigned2(a1, subCents).write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$outDir/assignments")
+    cents.unpersist(blocking = false)
+    a1.unpersist(blocking = false)
+    subCents.unpersist(blocking = false)
+  }
+
+  /** Merge a delta batch of NEW vectors into a persisted
+    * [[saveTwoLevelIndexOf]] artifact under the FROZEN codebooks — the
+    * daily-ingest shape of a production ANN service (q96's delta model
+    * applied to the vector index, [[Retrieval.appendPostingsDelta]]'s
+    * exact analog): the codebooks are read back (bounded: ≤ 4096 coarse
+    * + nCoarse·nSub sub rows), the delta is assigned per ROW (coarse
+    * argmax, then within-cell sub argmax — the same two codegen'd
+    * argmaxes the monolithic build runs), and the new inverted-file
+    * rows land as APPENDED files in exactly the cent_id partitions the
+    * delta hashes to — dynamic-partition append touches only those
+    * directories, so merge cost ∝ |delta|, never ∝ |index|. Because
+    * assignment is per-row and delta vec_ids are new, base ∪ delta is
+    * row-identical to assigning the full corpus under the same frozen
+    * codebooks — merged-index answers ≡ monolithic answers, which is
+    * what the q136 gate pins. Codebook DRIFT is the caller's contract
+    * (as in every production IVF service): the codebook is frozen
+    * between periodic retrains, and the q130 recall gate measures what
+    * the codebook quality buys. */
+  def appendTwoLevelDelta(deltaVecs: DataFrame, indexDir: String): Unit = {
+    val spark = deltaVecs.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/coarse")
+    val subCents = spark.read.parquet(s"$indexDir/subcents")
+    val a1 = assignNearest(deltaVecs, cents)
+    buildAssigned2(a1, subCents)
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$indexDir/assignments")
+  }
+
+  /** q136: two-level ANN served from an INCREMENTALLY BUILT index —
+    * the corpus is split by q96's deterministic delta rule
+    * (pmod(vec_id·2654435761, 100) < batchPct = the incoming batch),
+    * the base is trained + persisted via [[saveTwoLevelIndexOf]], the
+    * delta merged under the frozen codebooks via
+    * [[appendTwoLevelDelta]], and the merged artifact serves the
+    * queries through the exact probe pipeline every other two-level
+    * mode uses. Gated hash-exact against an oracle whose codebook CTEs
+    * train on the base split while assigning the full corpus — the
+    * merge-equals-monolith contract, pinned end to end. */
+  def twoLevelIncremental(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, k: Int = 3, batchPct: Int = 30): DataFrame = {
+    val indexDir = persistedTwoLevel.getOrCreate(
+      spark, s"$dir#incr:$nCoarse:$nSub:$batchPct") { tmp =>
+      val e = unitEmbeddings(spark, dir).withColumn("incoming",
+        pmod(col("vec_id") * lit(2654435761L), lit(100)) < batchPct)
+      saveTwoLevelIndexOf(
+        e.where(!col("incoming")).select("vec_id", "u"), tmp, nCoarse, nSub)
+      appendTwoLevelDelta(e.where(col("incoming")).select("vec_id", "u"), tmp)
+    }
+    twoLevelTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, k)
   }
 
   /** Answer ANN queries from a persisted [[saveTwoLevelIndex]] artifact
@@ -908,7 +997,7 @@ object Similarity {
     * vector like q69's: how many eval items it collides with and how
     * close the worst collision is. */
   def semanticContamination(spark: SparkSession, dir: String,
-      threshold: Double = 0.4, bits: Int = 0, nTables: Int = 0,
+      threshold: Double = 0.35, bits: Int = 0, nTables: Int = 0,
       maxBucketPopulation: Int = 1000): DataFrame = {
     val (bitsEff, nTablesEff) =
       if (bits > 0 && nTables > 0) (bits, nTables)
