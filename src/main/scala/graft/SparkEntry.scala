@@ -279,6 +279,14 @@ object SparkEntry {
     "q136_ann_ivf_two_level_incremental" -> ((s, d) =>
       Similarity.twoLevelIncremental(s, d, nCoarse = 8, nSub = 4,
         nProbe1 = 4, nProbe2 = 2, nQueries = 100, k = 3, batchPct = 30)),
+    // product quantization: the code assignment itself (training +
+    // encoding pinned cell for cell) ...
+    "q137_pq_codes" -> ((s, d) => Similarity.pqCodes(s, d)),
+    // ... and the full IVFADC + exact-re-rank serving pipeline: the
+    // candidate scan touches only the compressed (m codes/vector)
+    // inverted file; exact vectors are fetched for the bounded
+    // shortlist alone
+    "q138_ann_ivfpq_rerank" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -529,6 +537,56 @@ object SparkEntry {
        |      ORDER BY round(sdot, 6) DESC, sub_id) AS srn
        |    FROM fd)
        |  WHERE srn = 1)""".stripMargin
+
+  /** PQ training + encoding CTEs, mirrored against
+    * [[graft.ops.Similarity.trainPqBook]] / [[graft.functions.PqOps]]
+    * cell for cell: seeds = sub-slices of `vec_id < k` (code = vec_id),
+    * argmin-L2 assignment with the (round(d2, 6) ASC, code ASC) total
+    * tiebreak and the kernel's EXPLICIT diff·diff (never pow — pow is
+    * not guaranteed to be a plain multiply), 1e6-scaled integer means,
+    * empty cells keeping their seed via LEFT JOIN + coalesce. Ends with
+    * `prcb`(j, code, cv) and `pcodes`(vec_id, j, code); comprehension
+    * ranges are row-dependent (`len(...)`) per the DuckDB lateral-bind
+    * quirk. */
+  private def pqCtes(m: Int, k: Int): String = {
+    val dsub = 64 / m
+    def d2Sql(vec: String, j: String, cb: String): String =
+      s"list_sum([(($vec[($j * $dsub) + i] - $cb[i]) * ($vec[($j * $dsub) + i] - $cb[i])) " +
+        s"for i in range(1, len($cb) + 1)])"
+    s""",
+       |jr AS (SELECT unnest(range(0, $m)) AS j),
+       |pseeds AS (
+       |  SELECT jr.j, vec_id AS code,
+       |    [u[(jr.j * $dsub) + i] for i in range(1, (len(u) // $m) + 1)] AS sv
+       |  FROM u CROSS JOIN jr WHERE vec_id < $k),
+       |pd0 AS (
+       |  SELECT u.vec_id, s.j, s.code, ${d2Sql("u.u", "s.j", "s.sv")} AS d2
+       |  FROM u CROSS JOIN pseeds s),
+       |pcodes0 AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY round(d2, 6) ASC, code ASC) AS rn FROM pd0)
+       |  WHERE rn = 1),
+       |pmm AS (
+       |  SELECT c.j, c.code, dr.d,
+       |    sum(CAST(round(u.u[(c.j * $dsub) + dr.d] * 1000000) AS BIGINT)) /
+       |      (count(*) * 1000000.0) AS mv
+       |  FROM pcodes0 c JOIN u ON u.vec_id = c.vec_id
+       |  CROSS JOIN (SELECT unnest(range(1, $dsub + 1)) AS d) dr
+       |  GROUP BY c.j, c.code, dr.d),
+       |pml AS (SELECT j, code, list(mv ORDER BY d) AS cv FROM pmm GROUP BY j, code),
+       |prcb AS (
+       |  SELECT p.j, p.code, coalesce(m.cv, p.sv) AS cv
+       |  FROM pseeds p LEFT JOIN pml m ON m.j = p.j AND m.code = p.code),
+       |pfd AS (
+       |  SELECT u.vec_id, r.j, r.code, ${d2Sql("u.u", "r.j", "r.cv")} AS d2
+       |  FROM u CROSS JOIN prcb r),
+       |pcodes AS (
+       |  SELECT vec_id, j, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
+       |      ORDER BY round(d2, 6) ASC, code ASC) AS rn FROM pfd)
+       |  WHERE rn = 1)""".stripMargin
+  }
 
   /** The coarse-first two-stage probe CTEs over [[twoLevelIndexCtes]]'s
     * relations, `prefix`ed so multiple probe budgets can share one index
@@ -1837,6 +1895,48 @@ object SparkEntry {
       twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "") + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // q137: PQ training + encoding pinned directly — every (vector,
+    // subspace) code must match the oracle's argmin-L2 over the
+    // mirrored one-Lloyd-round codebook
+    "q137_pq_codes" -> (UnitVecCte + pqCtes(m = 8, k = 64) + """
+        |SELECT vec_id, j AS subspace, code FROM pcodes
+        |WHERE vec_id < 200
+        |ORDER BY vec_id, subspace""".stripMargin),
+    // q138: IVFADC + exact re-rank — two-level index CTEs + PQ CTEs +
+    // the pq-prefixed probe cells, candidates scored by per-subspace
+    // integer-micro ADC partials (order-free cross-engine sum), ADC
+    // top-16 shortlist, exact-cosine top-3
+    "q138_ann_ivfpq_rerank" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) +
+      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "pq") + s""",
+        |padcj AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id, c.j,
+        |    CAST(round(list_sum([p.qu[(c.j * 8) + i] * r.cv[i]
+        |      for i in range(1, len(r.cv) + 1)]) * 1000000) AS BIGINT) AS pmic
+        |  FROM pqprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
+        |  JOIN pcodes c ON c.vec_id = a.vec_id
+        |  JOIN prcb r ON r.j = c.j AND r.code = c.code
+        |  WHERE a.vec_id <> p.q_id),
+        |padc AS (SELECT q_id, neighbor_id, sum(pmic) / 1000000.0 AS adc
+        |         FROM padcj GROUP BY q_id, neighbor_id),
+        |pshort AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc DESC, neighbor_id) AS arn
+        |    FROM padc) WHERE arn <= 16),
+        |pex AS (
+        |  SELECT s.q_id, s.neighbor_id, ${cosSql("x.u", "y.u")} AS cos
+        |  FROM pshort s
+        |  JOIN u x ON x.vec_id = s.q_id
+        |  JOIN u y ON y.vec_id = s.neighbor_id),
+        |pxranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM pex)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM pxranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
     // q130: exact top-3 CTEs (q62's) + ONE two-level index build + two
     // prefixed probe chains at escalating budgets

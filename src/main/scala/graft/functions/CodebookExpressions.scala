@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -111,6 +111,130 @@ object NearestInCodebook {
   }
 }
 
+/** Product-quantization codebook: `m` subspaces × `k` codes × `dsub`
+  * dims each, flat at `flat[(j*k + c)*dsub + d]`. Bounded plan
+  * reference: 8 × 16 × 8 doubles = 8 KB at the gate config, ≤ 1 MB at
+  * a production 16 × 256 × 8 — never a joined or broadcast relation.
+  * The POINT of PQ (Jégou et al. 2011, TPAMI "Product Quantization for
+  * Nearest Neighbor Search"): the inverted file stores `m` small ints
+  * per vector instead of `dim` doubles — 64 × less scan bandwidth and
+  * cache footprint at serving time, which is what keeps a 10⁹-vector
+  * index memory-resident on a realistic cluster. */
+final class PqBook(val m: Int, val k: Int, val dsub: Int, val flat: Array[Double])
+  extends Serializable {
+  require(flat.length == m * k * dsub, "flat block must be m x k x dsub")
+  override def equals(o: Any): Boolean = o match {
+    case b: PqBook => m == b.m && k == b.k && dsub == b.dsub &&
+      java.util.Arrays.equals(flat, b.flat)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(flat) * 31 + m * 7 + k
+}
+
+/** Codegen'd PQ encoder: per subspace j, the code of the centroid with
+  * the LOWEST `round(ΣΔ², 6)` (lowest code on ties — mirrored by the
+  * oracle's `ORDER BY round(d2, 6) ASC, code ASC`). L2, not dot: PQ
+  * sub-vectors are not unit (slices of unit vectors), so dot-argmax
+  * would favor large-norm centroids; L2 is the standard PQ metric. One
+  * fused projection over the corpus, m·k·dsub mults per row, inside
+  * WholeStageCodegen — the [[NearestInCodebook]] argument applied to
+  * quantization. */
+case class PqEncode(child: Expression, book: PqBook) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(vec: Any): Any =
+    PqOps.encode(book, vec.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqbook", book, classOf[PqBook].getName)
+    defineCodeGen(ctx, ev, v => s"graft.functions.PqOps.encode($bookRef, $v)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
+}
+
+/** Codegen'd asymmetric-distance (ADC) dot estimate in MICRO units:
+  * Σⱼ round(⟨qu_j, cb[j][codes[j]]⟩ · 1e6) as a Long. The per-subspace
+  * partials are quantized to integer micros BEFORE the cross-subspace
+  * sum so the accumulation is association-free — the exact cross-engine
+  * FP discipline every scaled mean in this repo uses, here doubling as
+  * the fixed-point ADC accumulate real serving kernels run. Callers
+  * divide by 1e6 for the score (exact: |Σ| ≪ 2⁵³). */
+case class PqAdcMicros(left: Expression, right: Expression, book: PqBook)
+  extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(qu: Any, codes: Any): Any =
+    PqOps.adcMicros(book, qu.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bookRef = ctx.addReferenceObj("pqbook", book, classOf[PqBook].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"graft.functions.PqOps.adcMicros($bookRef, $q, $c)")
+  }
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc_micros"
+}
+
+object PqOps {
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** Per-subspace argmin-L2 codes. Tie/NaN contract: codes ascend, a
+    * candidate wins only with a strictly SMALLER rounded d2 under
+    * Double.compare total order (NaN greatest) — identical to
+    * `row_number() OVER (ORDER BY round(d2, 6) ASC, code ASC)`. */
+  def encode(b: PqBook, vec: ArrayData): ArrayData = {
+    val codes = new Array[Long](b.m)
+    var j = 0
+    while (j < b.m) {
+      var bestCode = -1L
+      var bestD2 = 0.0
+      var c = 0
+      while (c < b.k) {
+        var d2 = 0.0
+        var d = 0
+        val off = (j * b.k + c) * b.dsub
+        val voff = j * b.dsub
+        while (d < b.dsub) {
+          val diff = vec.getDouble(voff + d) - b.flat(off + d)
+          d2 += diff * diff
+          d += 1
+        }
+        val r = round6(d2)
+        if (bestCode < 0 || java.lang.Double.compare(r, bestD2) < 0) {
+          bestD2 = r; bestCode = c
+        }
+        c += 1
+      }
+      codes(j) = bestCode
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  /** Σⱼ round(partial_j · 1e6): the per-subspace dot runs d ascending
+    * (a fixed left-assoc chain — the oracle mirrors it term for term),
+    * then quantizes, so the Long sum is order-free. */
+  def adcMicros(b: PqBook, qu: ArrayData, codes: ArrayData): Long = {
+    var total = 0L
+    var j = 0
+    while (j < b.m) {
+      val c = codes.getLong(j).toInt
+      val off = (j * b.k + c) * b.dsub
+      val voff = j * b.dsub
+      var pdot = 0.0
+      var d = 0
+      while (d < b.dsub) { pdot += qu.getDouble(voff + d) * b.flat(off + d); d += 1 }
+      // HALF_UP (away from zero), NOT math.round (floor(x+0.5)): the
+      // partials are signed and SQL round() sends -0.5 to -1
+      total += java.math.BigDecimal.valueOf(pdot * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      j += 1
+    }
+    total
+  }
+}
+
 object CodebookFunctions {
   /** Build the single-cell (flat) codebook map: cell 0 holds every
     * entry. */
@@ -139,4 +263,10 @@ object CodebookFunctions {
   def nearestInCodebook(cell: Column, vec: Column,
       books: java.util.HashMap[java.lang.Long, CellBook]): Column =
     Bridge.column(NearestInCodebook(Bridge.expression(cell), Bridge.expression(vec), books))
+
+  def pqEncode(vec: Column, book: PqBook): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), book))
+
+  def pqAdcMicros(qu: Column, codes: Column, book: PqBook): Column =
+    Bridge.column(PqAdcMicros(Bridge.expression(qu), Bridge.expression(codes), book))
 }

@@ -222,7 +222,9 @@ object Similarity {
     * rebuilds. */
   def releaseStages(spark: SparkSession): Int = {
     corpusCountCache.keySet.removeIf(_._1 eq spark)
-    lshSigCache.release(_._1 eq spark) +
+    pqBookCache.keySet.removeIf(_._1 eq spark)
+    pqCodesCache.release(_._1 eq spark) +
+      lshSigCache.release(_._1 eq spark) +
       ivfCentCache.release(_._1 eq spark) +
       ivfAssignCache.release(_._1 eq spark) +
       twoLevelA1Cache.release(_._1 eq spark) +
@@ -664,6 +666,19 @@ object Similarity {
       nProbe1: Int, nProbe2: Int, nQueries: Int, k: Int): DataFrame = {
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
+    val scored = probes.join(assigned, Seq("cent_id", "sub_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        dot(col("qu"), col("u")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** The coarse-first cell/sub-list selection shared by the exact
+    * two-level probe and the PQ/ADC probe ([[pqAdcTopK]]): (q_id, qu,
+    * cent_id, sub_id) — which bounded lists each query scans. */
+  private def probedLists(coarseCents: DataFrame, subCents: DataFrame,
+      q: DataFrame, nProbe1: Int, nProbe2: Int): DataFrame = {
     val cw = Window.partitionBy("q_id")
       .orderBy(round(col("cdot"), 6).desc, col("cent_id"))
     val cells = q.join(broadcast(coarseCents))
@@ -678,11 +693,7 @@ object Similarity {
       .withColumn("srn", row_number().over(sw))
       .where(col("srn") <= nProbe2)
       .select(col("q_id"), col("qu"), col("cent_id"), col("sub_id"))
-    val scored = probes.join(assigned, Seq("cent_id", "sub_id"))
-      .where(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        dot(col("qu"), col("u")).as("cos"))
-    rankTopK(scored, k)
+    probes
   }
 
   /** Persist the trained two-level index — coarse codebook + sub-
@@ -779,6 +790,124 @@ object Similarity {
       appendTwoLevelDelta(e.where(col("incoming")).select("vec_id", "u"), tmp)
     }
     twoLevelTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, k)
+  }
+
+  // --- Product quantization (IVFADC) --------------------------------
+
+  private val pqBookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), graft.functions.PqBook]()
+  private val pqCodesCache = new StageCache[(SparkSession, String, Int, Int)]
+
+  /** Train the PQ sub-quantizers: the unit corpus is cut into `m`
+    * contiguous `dsub`-dim subspaces; each gets an independent `k`-code
+    * codebook via the repo's one deterministic Lloyd round — seeds are
+    * the sub-slices of the vectors with `vec_id < k` (the
+    * [[ivfCentroidsOf]] seeding rule), assignment is argmin-L2
+    * (standard PQ: sub-vectors are NOT unit, dot-argmax would chase
+    * norms), refinement is the 1e6-scaled integer mean (order-free
+    * cross-engine), and a code whose cell receives no vectors keeps its
+    * seed (the oracle's LEFT JOIN + coalesce). The trained book is a
+    * plain JVM object of m·k·dsub doubles (8 KB at the 8×16 gate
+    * config) — a plan reference, never a relation. */
+  private def trainPqBook(spark: SparkSession, dir: String,
+      m: Int, k: Int): graft.functions.PqBook =
+    pqBookCache.computeIfAbsent((spark, dir, m, k), { _ =>
+      val dim = 64
+      val dsub = dim / m
+      val e = unitEmbeddings(spark, dir)
+      val seedRows = e.where(col("vec_id") < k).select("vec_id", "u").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val flat0 = new Array[Double](m * k * dsub)
+      for (j <- 0 until m; (id, u) <- seedRows; d <- 0 until dsub)
+        flat0((j * k + id.toInt) * dsub + d) = u(j * dsub + d)
+      val book0 = new graft.functions.PqBook(m, k, dsub, flat0)
+      val means = e
+        .select(posexplode(graft.functions.CodebookFunctions
+          .pqEncode(col("u"), book0)).as(Seq("j", "code")), col("u"))
+        .select(col("j"), col("code"),
+          posexplode(slice(col("u"), col("j") * dsub + 1, lit(dsub))).as(Seq("d", "v")))
+        .groupBy("j", "code", "d")
+        .agg((sum(round(col("v") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("mv"))
+        .collect() // bounded: ≤ m·k·dsub rows (1024 at the gate config)
+      val flat = flat0.clone() // empty cells keep their seed
+      means.foreach { r =>
+        flat((r.getInt(0) * k + r.getLong(1).toInt) * dsub + r.getInt(2)) = r.getDouble(3)
+      }
+      new graft.functions.PqBook(m, k, dsub, flat)
+    })
+
+  /** The COMPRESSED inverted file: (vec_id, cent_id, sub_id, codes) —
+    * the two-level cell assignment plus m PQ codes per vector, and NO
+    * vector column. This is the relation a 10⁹-vector service keeps
+    * resident: 8 codes ≈ 8–64 B/row against the 512 B/row of raw
+    * doubles; the exact vectors are touched only by the bounded re-rank
+    * join. Session-cached like every index stage. */
+  private def pqCodesStage(spark: SparkSession, dir: String,
+      nCoarse: Int, nSub: Int, m: Int, k: Int): DataFrame =
+    pqCodesCache.getOrBuild((spark, dir, nCoarse * 10000 + nSub, m * 10000 + k)) {
+      val book = trainPqBook(spark, dir, m, k)
+      val (_, _, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+      val built = assigned.select(col("vec_id"), col("cent_id"), col("sub_id"),
+        graft.functions.CodebookFunctions.pqEncode(col("u"), book).as("codes"))
+        .cache()
+      built.count()
+      built
+    }
+
+  /** q137: the PQ code assignment itself, exploded to (vec_id,
+    * subspace, code) for a fixed id window — pins training (seeding,
+    * Lloyd round, empty-cell rule) AND encoding (argmin-L2, rounding,
+    * tiebreak) cell for cell under the DuckDB oracle. */
+  def pqCodes(spark: SparkSession, dir: String, m: Int = 8, k: Int = 64,
+      nRows: Int = 200): DataFrame = {
+    val book = trainPqBook(spark, dir, m, k)
+    unitEmbeddings(spark, dir).where(col("vec_id") < nRows)
+      .select(col("vec_id"),
+        posexplode(graft.functions.CodebookFunctions.pqEncode(col("u"), book))
+          .as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("code"))
+      .orderBy("vec_id", "subspace")
+  }
+
+  /** q138: IVFADC with exact re-rank — the full production PQ serving
+    * pipeline (Jégou et al. 2011; the FAISS IVFPQ+refine shape):
+    * coarse-first cell probe (shared [[probedLists]] stage), candidates
+    * scored ASYMMETRICALLY from their codes alone
+    * ([[graft.functions.PqAdcMicros]] — the scan touches the compressed
+    * inverted file, never the vector column), ADC top-`rerank`
+    * shortlist per query, then ONE bounded join back to the exact
+    * vectors (nQueries × rerank rows) for the final exact-cosine top-k.
+    * Scale shape: per-query work = nCoarse + nProbe1·nSub dots +
+    * (probed rows) code lookups + rerank exact dots; the corpus-sized
+    * relation in the plan carries m bytes of codes per row, not the
+    * 64-double vector. */
+  def pqAdcTopK(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
+    val book = trainPqBook(spark, dir, m, k)
+    val (coarseCents, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+    val codes = pqCodesStage(spark, dir, nCoarse, nSub, m, k)
+    val q = assigned.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
+    val adc = probes.join(codes, Seq("cent_id", "sub_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        // exact integer micros / the same literal both engines: the
+        // double is identical bit for bit, DESC ranks need no round
+        (graft.functions.CodebookFunctions.pqAdcMicros(col("qu"), col("codes"), book) /
+          lit(1e6)).as("adc"))
+    val aw = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val short = adc.withColumn("arn", row_number().over(aw))
+      .where(col("arn") <= rerank)
+      .select(col("q_id"), col("neighbor_id"))
+    val scored = short
+      .join(broadcast(q), Seq("q_id")) // nQueries rows — bounded
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("u").as("nu")),
+        Seq("neighbor_id")) // the one exact-vector fetch: shortlist-sized
+      .select(col("q_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+    rankTopK(scored, topK)
   }
 
   /** Answer ANN queries from a persisted [[saveTwoLevelIndex]] artifact
