@@ -287,6 +287,9 @@ object SparkEntry {
     // inverted file; exact vectors are fetched for the bounded
     // shortlist alone
     "q138_ann_ivfpq_rerank" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
+    // q138 served from the persisted COMPRESSED artifact (codes scan +
+    // cold exact-vector refine store): same oracle, one answer
+    "q139_ann_ivfpq_persisted" -> ((s, d) => Similarity.pqTopKPersisted(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -587,6 +590,41 @@ object SparkEntry {
        |      ORDER BY round(d2, 6) ASC, code ASC) AS rn FROM pfd)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** q138's oracle: IVFADC + exact re-rank over the shared two-level
+    * index + PQ CTEs. Shared verbatim by q139 (persisted artifact —
+    * identical answers by design). */
+  private lazy val Q138Sql: String = UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) +
+      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "pq") + s""",
+        |padcj AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id, c.j,
+        |    CAST(round(list_sum([p.qu[(c.j * 8) + i] * r.cv[i]
+        |      for i in range(1, len(r.cv) + 1)]) * 1000000) AS BIGINT) AS pmic
+        |  FROM pqprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
+        |  JOIN pcodes c ON c.vec_id = a.vec_id
+        |  JOIN prcb r ON r.j = c.j AND r.code = c.code
+        |  WHERE a.vec_id <> p.q_id),
+        |padc AS (SELECT q_id, neighbor_id, sum(pmic) / 1000000.0 AS adc
+        |         FROM padcj GROUP BY q_id, neighbor_id),
+        |pshort AS (
+        |  SELECT q_id, neighbor_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id
+        |      ORDER BY adc DESC, neighbor_id) AS arn
+        |    FROM padc) WHERE arn <= 16),
+        |pex AS (
+        |  SELECT s.q_id, s.neighbor_id, ${cosSql("x.u", "y.u")} AS cos
+        |  FROM pshort s
+        |  JOIN u x ON x.vec_id = s.q_id
+        |  JOIN u y ON y.vec_id = s.neighbor_id),
+        |pxranked AS (
+        |  SELECT q_id, neighbor_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM pex)
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM pxranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin
 
   /** The coarse-first two-stage probe CTEs over [[twoLevelIndexCtes]]'s
     * relations, `prefix`ed so multiple probe budgets can share one index
@@ -1907,37 +1945,10 @@ object SparkEntry {
     // the pq-prefixed probe cells, candidates scored by per-subspace
     // integer-micro ADC partials (order-free cross-engine sum), ADC
     // top-16 shortlist, exact-cosine top-3
-    "q138_ann_ivfpq_rerank" -> (UnitVecCte +
-      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) +
-      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "pq") + s""",
-        |padcj AS (
-        |  SELECT p.q_id, a.vec_id AS neighbor_id, c.j,
-        |    CAST(round(list_sum([p.qu[(c.j * 8) + i] * r.cv[i]
-        |      for i in range(1, len(r.cv) + 1)]) * 1000000) AS BIGINT) AS pmic
-        |  FROM pqprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
-        |  JOIN pcodes c ON c.vec_id = a.vec_id
-        |  JOIN prcb r ON r.j = c.j AND r.code = c.code
-        |  WHERE a.vec_id <> p.q_id),
-        |padc AS (SELECT q_id, neighbor_id, sum(pmic) / 1000000.0 AS adc
-        |         FROM padcj GROUP BY q_id, neighbor_id),
-        |pshort AS (
-        |  SELECT q_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY adc DESC, neighbor_id) AS arn
-        |    FROM padc) WHERE arn <= 16),
-        |pex AS (
-        |  SELECT s.q_id, s.neighbor_id, ${cosSql("x.u", "y.u")} AS cos
-        |  FROM pshort s
-        |  JOIN u x ON x.vec_id = s.q_id
-        |  JOIN u y ON y.vec_id = s.neighbor_id),
-        |pxranked AS (
-        |  SELECT q_id, neighbor_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM pex)
-        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
-        |FROM pxranked WHERE rank <= 3
-        |ORDER BY q_id, rank""".stripMargin),
+    "q138_ann_ivfpq_rerank" -> Q138Sql,
+    // q139 = q138 served from the persisted compressed artifact:
+    // identical answers by design, so the oracle IS q138's
+    "q139_ann_ivfpq_persisted" -> Q138Sql,
     // q130: exact top-3 CTEs (q62's) + ONE two-level index build + two
     // prefixed probe chains at escalating budgets
     "q130_ann_recall_two_level" -> (UnitVecCte + s"""

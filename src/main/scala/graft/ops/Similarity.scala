@@ -232,6 +232,7 @@ object Similarity {
       twoLevelCentCache.release(_._1 eq spark) +
       twoLevelAssignCache.release(_._1 eq spark) +
       persistedTwoLevel.release(spark) +
+      persistedPq.release(spark) +
       releaseMomentsStages(spark)
   }
 
@@ -908,6 +909,91 @@ object Similarity {
         Seq("neighbor_id")) // the one exact-vector fetch: shortlist-sized
       .select(col("q_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
     rankTopK(scored, topK)
+  }
+
+  /** Persist the COMPRESSED serving artifact: coarse + sub codebooks,
+    * the PQ book as a (j, code, cv) relation, the codes-only inverted
+    * file (cent_id-partitioned like every IVF artifact here), and the
+    * exact vectors as a separate vec_id-keyed side file — the refine
+    * store the re-rank fetches from, deliberately NOT part of the scan
+    * path. At 10⁹ vectors the codes file is what must stay hot
+    * (~8–64 B/row); the vectors file is cold point-lookup storage. */
+  def savePqIndex(spark: SparkSession, dir: String, outDir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64): Unit = {
+    import spark.implicits._
+    val (coarseCents, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+    val book = trainPqBook(spark, dir, m, k)
+    coarseCents.write.mode("overwrite").parquet(s"$outDir/coarse")
+    subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
+    (0 until book.m).flatMap(j => (0 until book.k).map { c =>
+      (j.toLong, c.toLong,
+        (0 until book.dsub).map(d => book.flat((j * book.k + c) * book.dsub + d)).toSeq)
+    }).toDF("j", "code", "cv")
+      .write.mode("overwrite").parquet(s"$outDir/pqbook")
+    pqCodesStage(spark, dir, nCoarse, nSub, m, k)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
+    assigned.select(col("vec_id"), col("u"))
+      .write.mode("overwrite").parquet(s"$outDir/vectors")
+  }
+
+  /** Serve IVFADC+rerank entirely from a [[savePqIndex]] artifact —
+    * answers identical to the live [[pqAdcTopK]] by construction
+    * (shared probe pipeline; doubles round-trip parquet bit-exactly,
+    * and codes are integers). */
+  def pqTopKFromIndex(spark: SparkSession, indexDir: String,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
+    val bookRows = spark.read.parquet(s"$indexDir/pqbook")
+      .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getSeq[Double](2)))
+      .toMap
+    val m = bookRows.keys.map(_._1).max + 1
+    val k = bookRows.keys.map(_._2).max + 1
+    val dsub = bookRows.head._2.length
+    val flat = new Array[Double](m * k * dsub)
+    bookRows.foreach { case ((j, c), cv) =>
+      var d = 0
+      while (d < dsub) { flat((j * k + c) * dsub + d) = cv(d); d += 1 }
+    }
+    val book = new graft.functions.PqBook(m, k, dsub, flat)
+    val coarseCents = spark.read.parquet(s"$indexDir/coarse")
+    val subCents = spark.read.parquet(s"$indexDir/subcents")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+        col("sub_id"), col("codes"))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val q = vectors.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
+    val adc = probes.join(codes, Seq("cent_id", "sub_id"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (graft.functions.CodebookFunctions.pqAdcMicros(col("qu"), col("codes"), book) /
+          lit(1e6)).as("adc"))
+    val aw = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+    val short = adc.withColumn("arn", row_number().over(aw))
+      .where(col("arn") <= rerank)
+      .select(col("q_id"), col("neighbor_id"))
+    val scored = short
+      .join(broadcast(q), Seq("q_id"))
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("u").as("nu")),
+        Seq("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"), dot(col("qu"), col("nu")).as("cos"))
+    rankTopK(scored, topK)
+  }
+
+  private val persistedPq = new TempArtifacts("graft-pq-index")
+
+  /** q139: [[pqAdcTopK]] served entirely from the persisted compressed
+    * artifact — the q127/q131 serving-shapes contract applied to the PQ
+    * path: live stage and restartable on-disk index, one pinned answer
+    * (both gates run under q138's oracle). */
+  def pqTopKPersisted(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
+    val indexDir = persistedPq.getOrCreate(spark, s"$dir#$nCoarse:$nSub:$m:$k")(
+      savePqIndex(spark, dir, _, nCoarse, nSub, m, k))
+    pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
   }
 
   /** Answer ANN queries from a persisted [[saveTwoLevelIndex]] artifact

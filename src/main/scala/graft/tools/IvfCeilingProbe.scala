@@ -74,19 +74,23 @@ object IvfCeilingProbe {
     }
     val nExact = exact.count()
 
-    // flat adaptive config (the cap binds past ~4.19M)
-    val flatCents = 0 // adaptive
-    spark.catalog.clearCache()
-    graft.ops.StageRegistry.releaseSession(spark)
-    exact.cache().count()
-    val flat = timed(s"flat IVF build+query (adaptive cap)") {
-      val df = Similarity.ivfTopK(spark, dir, flatCents, nProbe = 8, nQueries, k).cache()
-      df.count(); df
-    }
-    println(f"[probe] flat recall@$k = ${recallOf(exact, flat, nExact)}%.3f")
-    listStats(Similarity.ivfAssignments(spark, dir, flatCents), Seq("cent_id"))
-    val flatQuery = timed("flat query only (warm index)") {
-      Similarity.ivfTopK(spark, dir, flatCents, nProbe = 8, nQueries, k).count()
+    // "sweeponly": skip the flat section (2511 s of build at 8 M that
+    // the probe-budget sweep doesn't consume — its baseline is exact)
+    val flatQuery: Long = if (args.contains("sweeponly")) -1L else {
+      // flat adaptive config (the cap binds past ~4.19M)
+      val flatCents = 0 // adaptive
+      spark.catalog.clearCache()
+      graft.ops.StageRegistry.releaseSession(spark)
+      exact.cache().count()
+      val flat = timed(s"flat IVF build+query (adaptive cap)") {
+        val df = Similarity.ivfTopK(spark, dir, flatCents, nProbe = 8, nQueries, k).cache()
+        df.count(); df
+      }
+      println(f"[probe] flat recall@$k = ${recallOf(exact, flat, nExact)}%.3f")
+      listStats(Similarity.ivfAssignments(spark, dir, flatCents), Seq("cent_id"))
+      timed("flat query only (warm index)") {
+        Similarity.ivfTopK(spark, dir, flatCents, nProbe = 8, nQueries, k).count()
+      }
     }
 
     // two-level config with ~the same probed-list COUNT (8 lists) but
@@ -119,7 +123,7 @@ object IvfCeilingProbe {
     // scanned rows (lists probed x mean list length) — the evidence
     // behind adaptiveTwoLevelConfig's probe constants: pick the minimum
     // scanned-rows config with recall >= 0.95 at every measured n.
-    if (args.contains("sweep")) {
+    if (args.contains("sweep") || args.contains("sweeponly")) {
       val meanList = n.toDouble / (nCoarse.toLong * nSub)
       println(f"[probe] sweep: nCoarse=$nCoarse nSub=$nSub meanList=$meanList%.0f")
       println("[probe] nProbe1\tnProbe2\tlists\t~rows/query\trecall@3\twall_s")

@@ -23,6 +23,36 @@ class PqSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("a saved PQ index answers identically to the live IVFADC stage") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-test").toString
+    try {
+      Similarity.savePqIndex(spark, dir, tmp)
+      val live = Similarity.pqAdcTopK(spark, dir, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      val loaded = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      assert(live.nonEmpty && live == loaded,
+        "persisted-PQ answers diverged from the live stage")
+      // the compression claim at this config: the codes inverted file is
+      // an order of magnitude smaller than the exact vectors store
+      def bytes(sub: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else f.length()
+        walk(new java.io.File(s"$tmp/$sub"))
+      }
+      val (codes, vectors) = (bytes("codes"), bytes("vectors"))
+      assert(codes * 3 < vectors,
+        s"codes file ($codes B) not meaningfully smaller than vectors ($vectors B)")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("IVFADC + exact re-rank recovers the probed exact top-k") {
     // the honest comparison is against the EXACT probe over the same
     // probed cells (q129's result): ADC only reorders candidates WITHIN
