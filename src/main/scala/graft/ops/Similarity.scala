@@ -204,9 +204,11 @@ object Similarity {
     * hyperplane set is fixed at the embedding table's 64 dims; shorter
     * vectors would silently project against the weight prefix
     * ([[graft.functions.DotProduct]] sums the shorter length). */
-  private[ops] def lshSignaturesOf(unit: DataFrame, bits: Int, nTables: Int): DataFrame = {
+  private[graft] def lshSignaturesOf(unit: DataFrame, bits: Int, nTables: Int): DataFrame = {
     val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t, bits, dim = 64))
-    unit.select(col("vec_id"), col("u"), array(bucketCols: _*).as("buckets"))
+    // star-select: every input column rides along (the streaming gate
+    // carries an event-time ts the batch (vec_id, u) relations don't)
+    unit.select(col("*"), array(bucketCols: _*).as("buckets"))
   }
 
   private def lshSigStage(spark: SparkSession, dir: String,
@@ -519,7 +521,26 @@ object Similarity {
     // 4096 × 4096 lists the list length grows again — the next lever is
     // a third level (or PQ residuals), not a wider sub-book.
     val nSub = math.min(4096L, math.max(4L, (lists + nCoarse - 1) / nCoarse)).toInt
-    TwoLevelConfig(nCoarse, nSub, nProbe1 = 16, nProbe2 = 4)
+    // Probe budget: MEASURED, not asserted (IvfCeilingProbe sweeps at
+    // 2 M and 8 M, BASELINE.md round-10 tables). Both sweeps show
+    // recall@3 is a function of nProbe2 ALONE — the true neighbor's
+    // COARSE cell ranks in the top-2 probed cells at every measured n,
+    // and every recall point below 1.0 (0.700–0.940) is the neighbor's
+    // SUB-list ranking below the nProbe2 cut inside a probed cell. So
+    // the cheapest recall-1.0 budget is "scan whole top-nProbe1 cells":
+    // nProbe2 = nSub, nProbe1 small — measured 1.000 recall at
+    // (4, nSub) for BOTH 2 M (45 k rows/query, 2.3 %) and 8 M (90 k,
+    // 1.1 %), where the former (16, 4) default measured 0.900 / 0.727.
+    // nProbe1 grows as nCoarse/64 past the measured regime (a finer
+    // coarse grid spreads neighbors over more cells); at ≤ 64 total
+    // lists the index is small enough that a full scan is the honest
+    // config (and keeps tiny corpora exact). Past ~10⁸ vectors the
+    // whole-cell scan is the regime where ADC scoring (q138's PQ path)
+    // replaces exact dots — the probe SHAPE stays this one.
+    val nProbe1 =
+      if (nCoarse.toLong * nSub <= 64) nCoarse
+      else math.max(4, nCoarse / 64)
+    TwoLevelConfig(nCoarse, nSub, nProbe1, nProbe2 = nSub)
   }
 
   def twoLevelIvfTopK(spark: SparkSession, dir: String,

@@ -345,11 +345,43 @@ object DocumentsStreaming {
     statefulBandGate(keyed, stateTtlMs, maxKeyPopulation)
   }
 
+  /** EMBEDDING leg of the stateful gate family — the cross-trigger
+    * memory for SEMANTIC near-duplicates (batch q95's hole): a
+    * paraphrase/re-embed of a document whose original arrived in an
+    * earlier trigger shares no bytes, no text n-grams and no perceptual
+    * bands, but its embedding lands in the same sign-LSH buckets.
+    * Bucket keys come from the exact
+    * [[graft.ops.Similarity.lshSignaturesOf]] construction the batch
+    * pair stage uses (seeded integer hyperplanes — the batch index,
+    * the q95 join and this gate can never key differently), table id =
+    * band, bucket = band_key, into the same one-pass bounded state
+    * machine. The raw embedding is NOT normalized first: sign-LSH keys
+    * are scale-invariant (a positive gain flips no dot sign), so the
+    * buckets match the batch stage's unit-vector keys by construction
+    * and the stream skips a per-row sqrt. */
+  def embeddingDupStateful(vecs: DataFrame, bits: Int = 8, nTables: Int = 8,
+      watermark: String = "10 minutes",
+      stateTtlMs: Long = 10L * 60 * 1000,
+      maxKeyPopulation: Int = 1000): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val unit = vecs.select(col("doc_id").as("vec_id"), col("ts"),
+      transform(col("embedding"), x => x.cast("double")).as("u"))
+    val keyed = graft.ops.Similarity.lshSignaturesOf(unit, bits, nTables)
+      .select(col("vec_id").as("doc_id"), col("ts"),
+        posexplode(col("buckets")).as(Seq("band", "band_key")))
+      .select(col("doc_id"), col("ts"), col("band").cast("int").as("band"),
+        col("band_key").cast("string").as("band_key"))
+      .withWatermark("ts", watermark)
+      .as[BandKeyRow]
+    statefulBandGate(keyed, stateTtlMs, maxKeyPopulation)
+  }
+
   /** The shared one-pass bounded state machine behind ALL stateful
     * gates ([[nearDupStateful]] text bands, [[imageDupStateful]] /
-    * [[audioDupStateful]] perceptual bands) — extracted so the
-    * claim/emit/TTL/hot-key semantics cannot drift between
-    * modalities. */
+    * [[audioDupStateful]] perceptual bands, [[embeddingDupStateful]]
+    * sign-LSH buckets) — extracted so the claim/emit/TTL/hot-key
+    * semantics cannot drift between modalities. */
   private def statefulBandGate(
       keyed: org.apache.spark.sql.Dataset[BandKeyRow],
       stateTtlMs: Long, maxKeyPopulation: Int): DataFrame = {

@@ -127,8 +127,12 @@ object IvfCeilingProbe {
       val meanList = n.toDouble / (nCoarse.toLong * nSub)
       println(f"[probe] sweep: nCoarse=$nCoarse nSub=$nSub meanList=$meanList%.0f")
       println("[probe] nProbe1\tnProbe2\tlists\t~rows/query\trecall@3\twall_s")
-      for (p1 <- Seq(4, 8, 16, 32, 64) if p1 <= nCoarse;
-           p2 <- Seq(2, 4, 8) if p2 <= nSub) {
+      // p2 = nSub is the "whole probed cell" point: the 2 M sweep showed
+      // recall is a function of p2 ALONE (saturating at 0.94 with p2 = 8
+      // of 12) — the loss is within-cell sub-RANKING, not missed cells,
+      // so scanning entire top-p1 cells is the recall ceiling per p1
+      for (p1 <- Seq(2, 4, 8, 16, 32, 64) if p1 <= nCoarse;
+           p2 <- Seq(2, 4, 8, nSub).distinct if p2 <= nSub) {
         val t0 = System.nanoTime()
         val df = Similarity.twoLevelIvfTopK(spark, dir, nCoarse, nSub,
           p1, p2, nQueries, k).cache()

@@ -14,20 +14,24 @@ import graft.TestSpark
 class AdaptiveTwoLevelSpec extends AnyFunSuite {
 
   test("codebook shape: list count ~ n/1024, coarse side 4x sqrt, both clamped") {
+    // probe budgets are the measured recall-1.0 policy: whole probed
+    // cells (nProbe2 = nSub), nProbe1 = max(4, nCoarse/64) — see the
+    // BASELINE.md round-10 sweep tables (recall is a function of
+    // nProbe2 alone; (4, nSub) measured 1.000 at 2 M AND 8 M)
     // gate corpus (500 vectors): the floor config
     assert(Similarity.adaptiveTwoLevelConfig(500L) ==
-      Similarity.TwoLevelConfig(16, 4, 16, 4))
+      Similarity.TwoLevelConfig(16, 4, 16, 4)) // 64 lists: full scan
     // 100x corpus (200 k vectors): 56 x 4 = 224 lists (target 196)
     assert(Similarity.adaptiveTwoLevelConfig(200000L) ==
-      Similarity.TwoLevelConfig(56, 4, 16, 4))
+      Similarity.TwoLevelConfig(56, 4, 4, 4))
     // 2 M (ceiling-probe point): 177 x 12 = 2124 lists — exactly the
     // list count the round-9 probe table reports at 2 M
     assert(Similarity.adaptiveTwoLevelConfig(2000000L) ==
-      Similarity.TwoLevelConfig(177, 12, 16, 4))
+      Similarity.TwoLevelConfig(177, 12, 4, 12))
     // 8 M (past the flat 4096 cap — the regime this config exists for):
     // 354 x 23 = 8142 lists, ~983-row lists at any n
     assert(Similarity.adaptiveTwoLevelConfig(8000000L) ==
-      Similarity.TwoLevelConfig(354, 23, 16, 4))
+      Similarity.TwoLevelConfig(354, 23, 5, 23))
     // 10^9: coarse still under its cap (3953), lists ~ n/1024 held
     val b = Similarity.adaptiveTwoLevelConfig(1000000000L)
     assert(b.nCoarse == 3953 && b.nSub == 248)

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The stateful embedding gate must connect a re-embedded/paraphrased
+  * arrival to an original from an EARLIER trigger via sign-LSH buckets
+  * — the semantic duplicate class every lexical and perceptual gate is
+  * blind to. A positively-scaled copy of an embedding (same direction)
+  * keys to the identical bucket in EVERY table (sign-LSH is
+  * scale-invariant), so it must collide on all nTables bands. */
+class EmbeddingDupStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("stateful gate: a same-direction embedding in a LATER trigger is caught") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-embdup-state")
+    val rng = new Random(93)
+    def vec(): Array[Float] = Array.fill(64)(rng.nextFloat() * 2 - 1)
+    val a = vec(); val b = vec()
+    // trigger 1: two originals
+    Seq((1L, a.toSeq), (2L, b.toSeq)).toDF("doc_id", "embedding")
+      .coalesce(1).write.parquet(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema("doc_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.resolve("in").toString)
+      .withColumn("ts", timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val q = DocumentsStreaming.embeddingDupStateful(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("embdup_state").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("embdup_state").count() == 0, "originals must not self-flag")
+
+      // trigger 2: 11 = doc 1's embedding at gain 3 (same direction,
+      // different bytes — every dot sign unchanged), 12 = novel
+      Seq((11L, a.map(_ * 3f).toSeq), (12L, vec().toSeq))
+        .toDF("doc_id", "embedding").coalesce(1)
+        .write.mode("append").parquet(dir.resolve("in").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val hits = spark.table("embdup_state")
+      .select("doc_id", "orig_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(hits.contains((11L, 1L)), s"scaled re-embed not caught: $hits")
+    assert(!hits.exists(_._1 == 12L) ||
+      spark.table("embdup_state").where(col("doc_id") === 12L).count() < 8,
+      "a novel vector must not collide on every table")
+    // same direction => identical bucket in ALL 8 tables
+    assert(spark.table("embdup_state")
+      .where(col("doc_id") === 11L && col("orig_id") === 1L).count() == 8)
+  }
+}
