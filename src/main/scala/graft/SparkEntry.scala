@@ -557,14 +557,22 @@ object SparkEntry {
       s"list_sum([(($vec[($j * $dsub) + i] - $cb[i]) * ($vec[($j * $dsub) + i] - $cb[i])) " +
         s"for i in range(1, len($cb) + 1)])"
     s""",
+       |resid0 AS (
+       |  SELECT a.vec_id, a.cent_id, a.sub_id, a.u, s.scu,
+       |    ${cosSql("a.u", "s.scu")} AS proj
+       |  FROM assigned2 a JOIN subcents s USING (cent_id, sub_id)),
+       |resid AS (
+       |  SELECT vec_id, cent_id, sub_id, proj,
+       |    [u[i] - proj * scu[i] for i in range(1, len(u) + 1)] AS r
+       |  FROM resid0),
        |jr AS (SELECT unnest(range(0, $m)) AS j),
        |pseeds AS (
        |  SELECT jr.j, vec_id AS code,
-       |    [u[(jr.j * $dsub) + i] for i in range(1, (len(u) // $m) + 1)] AS sv
-       |  FROM u CROSS JOIN jr WHERE vec_id < $k),
+       |    [r[(jr.j * $dsub) + i] for i in range(1, (len(r) // $m) + 1)] AS sv
+       |  FROM resid CROSS JOIN jr WHERE vec_id < $k),
        |pd0 AS (
-       |  SELECT u.vec_id, s.j, s.code, ${d2Sql("u.u", "s.j", "s.sv")} AS d2
-       |  FROM u CROSS JOIN pseeds s),
+       |  SELECT v.vec_id, s.j, s.code, ${d2Sql("v.r", "s.j", "s.sv")} AS d2
+       |  FROM resid v CROSS JOIN pseeds s),
        |pcodes0 AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
@@ -572,9 +580,9 @@ object SparkEntry {
        |  WHERE rn = 1),
        |pmm AS (
        |  SELECT c.j, c.code, dr.d,
-       |    sum(CAST(round(u.u[(c.j * $dsub) + dr.d] * 1000000) AS BIGINT)) /
+       |    sum(CAST(round(v.r[(c.j * $dsub) + dr.d] * 1000000) AS BIGINT)) /
        |      (count(*) * 1000000.0) AS mv
-       |  FROM pcodes0 c JOIN u ON u.vec_id = c.vec_id
+       |  FROM pcodes0 c JOIN resid v ON v.vec_id = c.vec_id
        |  CROSS JOIN (SELECT unnest(range(1, $dsub + 1)) AS d) dr
        |  GROUP BY c.j, c.code, dr.d),
        |pml AS (SELECT j, code, list(mv ORDER BY d) AS cv FROM pmm GROUP BY j, code),
@@ -582,8 +590,8 @@ object SparkEntry {
        |  SELECT p.j, p.code, coalesce(m.cv, p.sv) AS cv
        |  FROM pseeds p LEFT JOIN pml m ON m.j = p.j AND m.code = p.code),
        |pfd AS (
-       |  SELECT u.vec_id, r.j, r.code, ${d2Sql("u.u", "r.j", "r.cv")} AS d2
-       |  FROM u CROSS JOIN prcb r),
+       |  SELECT v.vec_id, r.j, r.code, ${d2Sql("v.r", "r.j", "r.cv")} AS d2
+       |  FROM resid v CROSS JOIN prcb r),
        |pcodes AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
@@ -605,13 +613,22 @@ object SparkEntry {
         |  JOIN pcodes c ON c.vec_id = a.vec_id
         |  JOIN prcb r ON r.j = c.j AND r.code = c.code
         |  WHERE a.vec_id <> p.q_id),
-        |padc AS (SELECT q_id, neighbor_id, sum(pmic) / 1000000.0 AS adc
+        |padc AS (SELECT q_id, neighbor_id, sum(pmic) / 1000000.0 AS radc
         |         FROM padcj GROUP BY q_id, neighbor_id),
+        |pbase AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor_id, ${cosSql("p.qu", "s.scu")} AS bdot
+        |  FROM pqprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
+        |  JOIN subcents s ON s.cent_id = p.cent_id AND s.sub_id = p.sub_id
+        |  WHERE a.vec_id <> p.q_id),
         |pshort AS (
         |  SELECT q_id, neighbor_id FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY q_id
-        |      ORDER BY adc DESC, neighbor_id) AS arn
-        |    FROM padc) WHERE arn <= 16),
+        |    SELECT b.q_id, b.neighbor_id,
+        |      row_number() OVER (PARTITION BY b.q_id
+        |        ORDER BY round(v.proj * b.bdot + d.radc, 6) DESC,
+        |          b.neighbor_id) AS arn
+        |    FROM pbase b JOIN padc d USING (q_id, neighbor_id)
+        |    JOIN resid v ON v.vec_id = b.neighbor_id)
+        |  WHERE arn <= 16),
         |pex AS (
         |  SELECT s.q_id, s.neighbor_id, ${cosSql("x.u", "y.u")} AS cos
         |  FROM pshort s
@@ -1937,7 +1954,10 @@ object SparkEntry {
     // q137: PQ training + encoding pinned directly — every (vector,
     // subspace) code must match the oracle's argmin-L2 over the
     // mirrored one-Lloyd-round codebook
-    "q137_pq_codes" -> (UnitVecCte + pqCtes(m = 8, k = 64) + """
+    // residual PQ: the two-level index CTEs define the residuals the
+    // codes quantize, so they precede pqCtes
+    "q137_pq_codes" -> (UnitVecCte + twoLevelIndexCtes(nCoarse = 8, nSub = 4) +
+      pqCtes(m = 8, k = 64) + """
         |SELECT vec_id, j AS subspace, code FROM pcodes
         |WHERE vec_id < 200
         |ORDER BY vec_id, subspace""".stripMargin),

@@ -820,73 +820,100 @@ object Similarity {
     (SparkSession, String, Int, Int), graft.functions.PqBook]()
   private val pqCodesCache = new StageCache[(SparkSession, String, Int, Int)]
 
-  /** Train the PQ sub-quantizers: the unit corpus is cut into `m`
-    * contiguous `dsub`-dim subspaces; each gets an independent `k`-code
+  /** PROJECTION residuals of the inverted file: (vec_id, cent_id,
+    * sub_id, proj, r) with proj = ⟨u, scu⟩ and r = u − proj·scu — the
+    * cosine analog of IVFPQ's residual encoding (Jégou et al. 2011
+    * §III). The codebase's centroids are UNIT-normalized (they rank by
+    * dot), so the naive r = u − scu is norm-INCREASING on weakly
+    * clustered data (|u − scu|² = 2 − 2proj ≈ 1.4² at proj ≈ 0.1 —
+    * measured to HALVE recall at 500 k vs raw-u codes); the projection
+    * residual is the norm-MINIMIZING subtraction (|r|² = 1 − proj² ≤ 1,
+    * r ⊥ scu), strictly no worse than quantizing u itself and far
+    * better the more clustered the corpus. The decomposition is an
+    * exact identity: cos(q, u) = proj·⟨q, scu⟩ + ⟨q, r⟩ — the first
+    * term is computed EXACTLY at serving time (proj is one stored
+    * float/row; ⟨q, scu⟩ is one dot per probed LIST), so quantization
+    * error lives only in the ⟨q, r̂⟩ term. */
+  private def residualsOf(assigned: DataFrame, subCents: DataFrame): DataFrame =
+    assigned.join(broadcast(subCents), Seq("cent_id", "sub_id"))
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("u"), col("scu"),
+        dot(col("u"), col("scu")).as("proj"))
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("proj"),
+        zip_with(col("u"), col("scu"), (a, b) => a - col("proj") * b).as("r"))
+
+  /** Train the PQ sub-quantizers on the RESIDUALS: each of the `m`
+    * contiguous `dsub`-dim subspaces gets an independent `k`-code
     * codebook via the repo's one deterministic Lloyd round — seeds are
-    * the sub-slices of the vectors with `vec_id < k` (the
+    * the residual sub-slices of the vectors with `vec_id < k` (the
     * [[ivfCentroidsOf]] seeding rule), assignment is argmin-L2
-    * (standard PQ: sub-vectors are NOT unit, dot-argmax would chase
-    * norms), refinement is the 1e6-scaled integer mean (order-free
-    * cross-engine), and a code whose cell receives no vectors keeps its
-    * seed (the oracle's LEFT JOIN + coalesce). The trained book is a
-    * plain JVM object of m·k·dsub doubles (8 KB at the 8×16 gate
-    * config) — a plan reference, never a relation. */
+    * (standard PQ: residual sub-vectors are not unit, dot-argmax would
+    * chase norms), refinement is the 1e6-scaled integer mean
+    * (order-free cross-engine), and a code whose cell receives no
+    * vectors keeps its seed (the oracle's LEFT JOIN + coalesce). The
+    * trained book is a plain JVM object of m·k·dsub doubles (32 KB at
+    * the 8×64 gate config) — a plan reference, never a relation. Keyed
+    * on (nCoarse, nSub) too: residuals are defined by the cell
+    * assignment. */
   private def trainPqBook(spark: SparkSession, dir: String,
-      m: Int, k: Int): graft.functions.PqBook =
-    pqBookCache.computeIfAbsent((spark, dir, m, k), { _ =>
+      nCoarse: Int, nSub: Int, m: Int, k: Int): graft.functions.PqBook =
+    pqBookCache.computeIfAbsent((spark, s"$dir#$nCoarse:$nSub", m, k), { _ =>
       val dim = 64
       val dsub = dim / m
-      val e = unitEmbeddings(spark, dir)
-      val seedRows = e.where(col("vec_id") < k).select("vec_id", "u").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val (_, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+      val resid = residualsOf(assigned, subCents)
+      val seedRows = resid.where(col("vec_id") < k).select("vec_id", "r").collect()
+        .map(row => (row.getLong(0), row.getSeq[Double](1).toArray)).sortBy(_._1)
       val flat0 = new Array[Double](m * k * dsub)
-      for (j <- 0 until m; (id, u) <- seedRows; d <- 0 until dsub)
-        flat0((j * k + id.toInt) * dsub + d) = u(j * dsub + d)
+      for (j <- 0 until m; (id, r) <- seedRows; d <- 0 until dsub)
+        flat0((j * k + id.toInt) * dsub + d) = r(j * dsub + d)
       val book0 = new graft.functions.PqBook(m, k, dsub, flat0)
-      val means = e
+      val means = resid
         .select(posexplode(graft.functions.CodebookFunctions
-          .pqEncode(col("u"), book0)).as(Seq("j", "code")), col("u"))
+          .pqEncode(col("r"), book0)).as(Seq("j", "code")), col("r"))
         .select(col("j"), col("code"),
-          posexplode(slice(col("u"), col("j") * dsub + 1, lit(dsub))).as(Seq("d", "v")))
+          posexplode(slice(col("r"), col("j") * dsub + 1, lit(dsub))).as(Seq("d", "v")))
         .groupBy("j", "code", "d")
         .agg((sum(round(col("v") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("mv"))
-        .collect() // bounded: ≤ m·k·dsub rows (1024 at the gate config)
+        .collect() // bounded: ≤ m·k·dsub rows (4096 at the gate config)
       val flat = flat0.clone() // empty cells keep their seed
-      means.foreach { r =>
-        flat((r.getInt(0) * k + r.getLong(1).toInt) * dsub + r.getInt(2)) = r.getDouble(3)
+      means.foreach { row =>
+        flat((row.getInt(0) * k + row.getLong(1).toInt) * dsub + row.getInt(2)) =
+          row.getDouble(3)
       }
       new graft.functions.PqBook(m, k, dsub, flat)
     })
 
   /** The COMPRESSED inverted file: (vec_id, cent_id, sub_id, codes) —
-    * the two-level cell assignment plus m PQ codes per vector, and NO
-    * vector column. This is the relation a 10⁹-vector service keeps
-    * resident: 8 codes ≈ 8–64 B/row against the 512 B/row of raw
+    * the two-level cell assignment plus m residual PQ codes per vector,
+    * and NO vector column. This is the relation a 10⁹-vector service
+    * keeps resident: 8 codes ≈ 8–64 B/row against the 512 B/row of raw
     * doubles; the exact vectors are touched only by the bounded re-rank
     * join. Session-cached like every index stage. */
   private def pqCodesStage(spark: SparkSession, dir: String,
       nCoarse: Int, nSub: Int, m: Int, k: Int): DataFrame =
     pqCodesCache.getOrBuild((spark, dir, nCoarse * 10000 + nSub, m * 10000 + k)) {
-      val book = trainPqBook(spark, dir, m, k)
-      val (_, _, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
-      val built = assigned.select(col("vec_id"), col("cent_id"), col("sub_id"),
-        graft.functions.CodebookFunctions.pqEncode(col("u"), book).as("codes"))
+      val book = trainPqBook(spark, dir, nCoarse, nSub, m, k)
+      val (_, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
+      val built = residualsOf(assigned, subCents)
+        .select(col("vec_id"), col("cent_id"), col("sub_id"), col("proj"),
+          graft.functions.CodebookFunctions.pqEncode(col("r"), book).as("codes"))
         .cache()
       built.count()
       built
     }
 
-  /** q137: the PQ code assignment itself, exploded to (vec_id,
-    * subspace, code) for a fixed id window — pins training (seeding,
-    * Lloyd round, empty-cell rule) AND encoding (argmin-L2, rounding,
-    * tiebreak) cell for cell under the DuckDB oracle. */
-  def pqCodes(spark: SparkSession, dir: String, m: Int = 8, k: Int = 64,
+  /** q137: the residual-PQ code assignment itself, exploded to (vec_id,
+    * subspace, code) for a fixed id window — pins the residual
+    * construction AND training (seeding, Lloyd round, empty-cell rule)
+    * AND encoding (argmin-L2, rounding, tiebreak) cell for cell under
+    * the DuckDB oracle. */
+  def pqCodes(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
       nRows: Int = 200): DataFrame = {
-    val book = trainPqBook(spark, dir, m, k)
-    unitEmbeddings(spark, dir).where(col("vec_id") < nRows)
+    pqCodesStage(spark, dir, nCoarse, nSub, m, k)
+      .where(col("vec_id") < nRows)
       .select(col("vec_id"),
-        posexplode(graft.functions.CodebookFunctions.pqEncode(col("u"), book))
-          .as(Seq("subspace", "code")))
+        posexplode(col("codes")).as(Seq("subspace", "code")))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("code"))
       .orderBy("vec_id", "subspace")
   }
@@ -907,20 +934,26 @@ object Similarity {
       nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
       nProbe1: Int = 4, nProbe2: Int = 2,
       nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
-    val book = trainPqBook(spark, dir, m, k)
+    val book = trainPqBook(spark, dir, nCoarse, nSub, m, k)
     val (coarseCents, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
     val codes = pqCodesStage(spark, dir, nCoarse, nSub, m, k)
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
+    // residual decomposition: cos ≈ ⟨qu, scu⟩ + ⟨qu, r̂⟩ — the first
+    // term is per probed LIST (one exact dot against the bounded
+    // sub-centroid), only the second is quantized; both terms are
+    // bit-identical cross-engine (index-order dot chain + exact
+    // integer micros), so the rank needs only the house round-6
     val adc = probes.join(codes, Seq("cent_id", "sub_id"))
       .where(col("vec_id") =!= col("q_id"))
+      .join(broadcast(subCents), Seq("cent_id", "sub_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        // exact integer micros / the same literal both engines: the
-        // double is identical bit for bit, DESC ranks need no round
-        (graft.functions.CodebookFunctions.pqAdcMicros(col("qu"), col("codes"), book) /
-          lit(1e6)).as("adc"))
-    val aw = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+        (col("proj") * dot(col("qu"), col("scu")) +
+          graft.functions.CodebookFunctions.pqAdcMicros(col("qu"), col("codes"), book) /
+            lit(1e6)).as("adc"))
+    val aw = Window.partitionBy("q_id")
+      .orderBy(round(col("adc"), 6).desc, col("neighbor_id"))
     val short = adc.withColumn("arn", row_number().over(aw))
       .where(col("arn") <= rerank)
       .select(col("q_id"), col("neighbor_id"))
@@ -943,7 +976,7 @@ object Similarity {
       nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64): Unit = {
     import spark.implicits._
     val (coarseCents, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
-    val book = trainPqBook(spark, dir, m, k)
+    val book = trainPqBook(spark, dir, nCoarse, nSub, m, k)
     coarseCents.write.mode("overwrite").parquet(s"$outDir/coarse")
     subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
     (0 until book.m).flatMap(j => (0 until book.k).map { c =>
@@ -980,17 +1013,20 @@ object Similarity {
     val subCents = spark.read.parquet(s"$indexDir/subcents")
     val codes = spark.read.parquet(s"$indexDir/codes")
       .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
-        col("sub_id"), col("codes"))
+        col("sub_id"), col("proj"), col("codes"))
     val vectors = spark.read.parquet(s"$indexDir/vectors")
     val q = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
     val adc = probes.join(codes, Seq("cent_id", "sub_id"))
       .where(col("vec_id") =!= col("q_id"))
+      .join(broadcast(subCents), Seq("cent_id", "sub_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        (graft.functions.CodebookFunctions.pqAdcMicros(col("qu"), col("codes"), book) /
-          lit(1e6)).as("adc"))
-    val aw = Window.partitionBy("q_id").orderBy(col("adc").desc, col("neighbor_id"))
+        (col("proj") * dot(col("qu"), col("scu")) +
+          graft.functions.CodebookFunctions.pqAdcMicros(col("qu"), col("codes"), book) /
+            lit(1e6)).as("adc"))
+    val aw = Window.partitionBy("q_id")
+      .orderBy(round(col("adc"), 6).desc, col("neighbor_id"))
     val short = adc.withColumn("arn", row_number().over(aw))
       .where(col("arn") <= rerank)
       .select(col("q_id"), col("neighbor_id"))
