@@ -288,8 +288,23 @@ object SparkEntry {
     // shortlist alone
     "q138_ann_ivfpq_rerank" -> ((s, d) => Similarity.pqAdcTopK(s, d)),
     // q138 served from the persisted COMPRESSED artifact (codes scan +
-    // cold exact-vector refine store): same oracle, one answer
+    // cold exact-vector refine store): same oracle, one answer.
+    // Load-once serving: the artifact relations are session-cached on
+    // first use, so repeated batches pay the probe, not the full reload
     "q139_ann_ivfpq_persisted" -> ((s, d) => Similarity.pqTopKPersisted(s, d)),
+    // the IVFADC recall gate (q130's discipline for the compressed
+    // path): recall vs exact brute force at two probe budgets, each row
+    // carrying its within_bound quality verdict — the production m/k
+    // point's quality claim as gated evidence, not a probe table
+    "q140_ann_ivfpq_recall" -> ((s, d) => Similarity.annRecallPq(s, d)),
+    // the incremental PQ lifecycle (q136's frozen-codebook delta
+    // contract through the compressed layers): base trains all three
+    // codebook levels, delta encodes under them, merged artifact serves
+    "q141_ann_ivfpq_incremental" -> ((s, d) => Similarity.pqIncremental(s, d)),
+    // the delete half of the index lifecycle: base + delta + tombstoned
+    // 10% served from the merged artifact must equal a rebuild on the
+    // surviving corpus under q110's oracle
+    "q142_bm25_tombstones" -> ((s, d) => Retrieval.bm25TopKWithTombstones(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -542,16 +557,21 @@ object SparkEntry {
        |  WHERE srn = 1)""".stripMargin
 
   /** PQ training + encoding CTEs, mirrored against
-    * [[graft.ops.Similarity.trainPqBook]] / [[graft.functions.PqOps]]
-    * cell for cell: seeds = sub-slices of `vec_id < k` (code = vec_id),
-    * argmin-L2 assignment with the (round(d2, 6) ASC, code ASC) total
-    * tiebreak and the kernel's EXPLICIT diff·diff (never pow — pow is
-    * not guaranteed to be a plain multiply), 1e6-scaled integer means,
-    * empty cells keeping their seed via LEFT JOIN + coalesce. Ends with
-    * `prcb`(j, code, cv) and `pcodes`(vec_id, j, code); comprehension
-    * ranges are row-dependent (`len(...)`) per the DuckDB lateral-bind
-    * quirk. */
-  private def pqCtes(m: Int, k: Int): String = {
+    * [[graft.ops.Similarity.trainPqBookOf]] / [[graft.functions.PqOps]]
+    * cell for cell: seeds = sub-slices of the training rows with
+    * `vec_id < k`, codes = DENSE ranks over ascending seed vec_ids
+    * (≡ vec_id on a full corpus; on a training split the rank skips the
+    * held-out ids exactly as the Scala builder does), argmin-L2
+    * assignment with the (round(d2, 6) ASC, code ASC) total tiebreak
+    * and the kernel's EXPLICIT diff·diff (never pow — pow is not
+    * guaranteed to be a plain multiply), 1e6-scaled integer means,
+    * empty cells keeping their seed via LEFT JOIN + coalesce.
+    * `trainPred` restricts BOTH seeding and the Lloyd means to the
+    * training split (the q141 incremental contract) while `pcodes`
+    * still encodes every row. Ends with `prcb`(j, code, cv) and
+    * `pcodes`(vec_id, j, code); comprehension ranges are row-dependent
+    * (`len(...)`) per the DuckDB lateral-bind quirk. */
+  private def pqCtes(m: Int, k: Int, trainPred: String = "TRUE"): String = {
     val dsub = 64 / m
     def d2Sql(vec: String, j: String, cb: String): String =
       s"list_sum([(($vec[($j * $dsub) + i] - $cb[i]) * ($vec[($j * $dsub) + i] - $cb[i])) " +
@@ -565,14 +585,18 @@ object SparkEntry {
        |  SELECT vec_id, cent_id, sub_id, proj,
        |    [u[i] - proj * scu[i] for i in range(1, len(u) + 1)] AS r
        |  FROM resid0),
+       |ptrain AS (SELECT * FROM resid WHERE $trainPred),
        |jr AS (SELECT unnest(range(0, $m)) AS j),
+       |pseed0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, r
+       |  FROM ptrain WHERE vec_id < $k),
        |pseeds AS (
-       |  SELECT jr.j, vec_id AS code,
+       |  SELECT jr.j, code,
        |    [r[(jr.j * $dsub) + i] for i in range(1, (len(r) // $m) + 1)] AS sv
-       |  FROM resid CROSS JOIN jr WHERE vec_id < $k),
+       |  FROM pseed0 CROSS JOIN jr),
        |pd0 AS (
        |  SELECT v.vec_id, s.j, s.code, ${d2Sql("v.r", "s.j", "s.sv")} AS d2
-       |  FROM resid v CROSS JOIN pseeds s),
+       |  FROM ptrain v CROSS JOIN pseeds s),
        |pcodes0 AS (
        |  SELECT vec_id, j, code FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, j
@@ -599,46 +623,58 @@ object SparkEntry {
        |  WHERE rn = 1)""".stripMargin
   }
 
-  /** q138's oracle: IVFADC + exact re-rank over the shared two-level
-    * index + PQ CTEs. Shared verbatim by q139 (persisted artifact —
-    * identical answers by design). */
-  private lazy val Q138Sql: String = UnitVecCte +
-      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) +
-      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "pq") + s""",
-        |padcj AS (
+  /** The IVFADC + exact-re-rank chain over [[pqCtes]]'s relations,
+    * `prefix`ed so multiple probe budgets can share one index + PQ
+    * build (q140, as [[twoLevelProbeCtes]] is to q130): coarse-first
+    * probe cells, candidates scored by per-subspace integer-micro ADC
+    * partials (order-free cross-engine sum) plus the exact
+    * proj·⟨q, scu⟩ term, ADC top-`rerank` shortlist, exact-cosine
+    * re-rank. Emits `${prefix}xranked`. */
+  private def pqAdcCtes(nProbe1: Int, nProbe2: Int, nQueries: Int,
+      rerank: Int, prefix: String): String =
+    twoLevelProbeCtes(nProbe1, nProbe2, nQueries, prefix = s"${prefix}q") + s""",
+        |${prefix}adcj AS (
         |  SELECT p.q_id, a.vec_id AS neighbor_id, c.j,
         |    CAST(round(list_sum([p.qu[(c.j * 8) + i] * r.cv[i]
         |      for i in range(1, len(r.cv) + 1)]) * 1000000) AS BIGINT) AS pmic
-        |  FROM pqprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
+        |  FROM ${prefix}qprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
         |  JOIN pcodes c ON c.vec_id = a.vec_id
         |  JOIN prcb r ON r.j = c.j AND r.code = c.code
         |  WHERE a.vec_id <> p.q_id),
-        |padc AS (SELECT q_id, neighbor_id, sum(pmic) / 1000000.0 AS radc
-        |         FROM padcj GROUP BY q_id, neighbor_id),
-        |pbase AS (
+        |${prefix}adc AS (SELECT q_id, neighbor_id, sum(pmic) / 1000000.0 AS radc
+        |         FROM ${prefix}adcj GROUP BY q_id, neighbor_id),
+        |${prefix}base AS (
         |  SELECT p.q_id, a.vec_id AS neighbor_id, ${cosSql("p.qu", "s.scu")} AS bdot
-        |  FROM pqprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
+        |  FROM ${prefix}qprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
         |  JOIN subcents s ON s.cent_id = p.cent_id AND s.sub_id = p.sub_id
         |  WHERE a.vec_id <> p.q_id),
-        |pshort AS (
+        |${prefix}short AS (
         |  SELECT q_id, neighbor_id FROM (
         |    SELECT b.q_id, b.neighbor_id,
         |      row_number() OVER (PARTITION BY b.q_id
         |        ORDER BY round(v.proj * b.bdot + d.radc, 6) DESC,
         |          b.neighbor_id) AS arn
-        |    FROM pbase b JOIN padc d USING (q_id, neighbor_id)
+        |    FROM ${prefix}base b JOIN ${prefix}adc d USING (q_id, neighbor_id)
         |    JOIN resid v ON v.vec_id = b.neighbor_id)
-        |  WHERE arn <= 16),
-        |pex AS (
+        |  WHERE arn <= $rerank),
+        |${prefix}ex AS (
         |  SELECT s.q_id, s.neighbor_id, ${cosSql("x.u", "y.u")} AS cos
-        |  FROM pshort s
+        |  FROM ${prefix}short s
         |  JOIN u x ON x.vec_id = s.q_id
         |  JOIN u y ON y.vec_id = s.neighbor_id),
-        |pxranked AS (
+        |${prefix}xranked AS (
         |  SELECT q_id, neighbor_id, cos,
         |    CAST(row_number() OVER (PARTITION BY q_id
         |      ORDER BY round(cos, 6) DESC, neighbor_id) AS BIGINT) AS rank
-        |  FROM pex)
+        |  FROM ${prefix}ex)""".stripMargin
+
+  /** q138's oracle: IVFADC + exact re-rank over the shared two-level
+    * index + PQ CTEs. Shared verbatim by q139 (persisted artifact —
+    * identical answers by design); q141 reuses the chain with the
+    * codebooks trained on the base split. */
+  private lazy val Q138Sql: String = UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) +
+      pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 16, prefix = "p") + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM pxranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin
@@ -746,15 +782,19 @@ object SparkEntry {
     * the unordered SUM as 1e6-scaled longs, rank tiebreak total
     * (sm desc, doc_id). Shared verbatim by q124 (indexed serving mode):
     * both Spark modes are row-identical by contract, so both gate
-    * against the same SQL. */
-  private val Bm25TopKSql =
-    """WITH q(query_id, qtext) AS (VALUES
+    * against the same SQL. `docsPred` restricts the corpus — q142's
+    * tombstone gate runs the same SQL over the surviving docs, which IS
+    * the "deletes ≡ rebuild on the filtered corpus" contract. */
+  private def bm25TopKSqlOver(docsPred: String): String =
+    s"""WITH q(query_id, qtext) AS (VALUES
       |    (1, 'spark table scan'), (2, 'window agg group'),
       |    (3, 'customer query fast'), (4, 'vector stream merge')),
       |qt AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
-      |         unnest(regexp_extract_all(qtext, '\S+')) AS term FROM q),
-      |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
-      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS dl FROM documents),
+      |         unnest(regexp_extract_all(qtext, '\\S+')) AS term FROM q),
+      |w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS term
+      |      FROM documents WHERE $docsPred),
+      |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
+      |       FROM documents WHERE $docsPred),
       |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
       |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
       |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
@@ -773,6 +813,8 @@ object SparkEntry {
       |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank FROM agg)
       |SELECT query_id, doc_id, round(sm / 1000000.0, 4) AS score, rank
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val Bm25TopKSql = bm25TopKSqlOver("TRUE")
 
   /** The perceptual-dup oracle chain shared by q121 (aHash) and q125
     * (dHash): 16×16 pixels from the code-point rule, the 8×8 integer
@@ -1712,6 +1754,10 @@ object SparkEntry {
     "q127_bm25_persisted" -> Bm25TopKSql,
     // q133: the incremental merge must be answer-invisible — same oracle
     "q133_bm25_incremental" -> Bm25TopKSql,
+    // q142: base − deleted + delta must equal a rebuild on the
+    // surviving corpus — the SAME ranking SQL, corpus pre-filtered by
+    // the tombstone rule (mirrors Retrieval.bm25TopKWithTombstones)
+    "q142_bm25_tombstones" -> bm25TopKSqlOver("(doc_id * 7919) % 100 >= 10"),
     // q116: mirrors Multimodal.frameDups — 100-char frame slices,
     // md5 frame hashes, distinct per payload, cap never binds at this
     // SF (as q32's band cap), pairs sharing >= 3 frames
@@ -1969,6 +2015,80 @@ object SparkEntry {
     // q139 = q138 served from the persisted compressed artifact:
     // identical answers by design, so the oracle IS q138's
     "q139_ann_ivfpq_persisted" -> Q138Sql,
+    // q140: brute-force exact CTEs (q62's) + ONE index + PQ build, two
+    // EXACT probe chains (c/d — the quantization references) and two
+    // ADC chains (a/b) at the same budgets; quant_recall (ADC vs the
+    // exact same-budget probe) carries the within_bound floor,
+    // e2e_recall (vs brute force) rides along as evidence — the
+    // verdict column is recomputed identically by the oracle
+    "q140_ann_ivfpq_recall" -> (UnitVecCte + s"""
+        |, xscored AS (
+        |  SELECT q.vec_id AS q_id, e2.vec_id AS neighbor_id, ${cosSql("q.u", "e2.u")} AS cos
+        |  FROM u q JOIN u e2 ON e2.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 100),
+        |xranked AS (
+        |  SELECT q_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+        |  FROM xscored),
+        |exact AS (SELECT q_id, neighbor_id FROM xranked WHERE rank <= 3)""".stripMargin
+      + twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64)
+      + twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "c")
+      + twoLevelProbeCtes(nProbe1 = 6, nProbe2 = 3, nQueries = 100, prefix = "d")
+      + pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 16, prefix = "a")
+      + pqAdcCtes(nProbe1 = 6, nProbe2 = 3, nQueries = 100, rerank = 16, prefix = "b")
+      + pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 64, prefix = "e") + """,
+        |a3 AS (SELECT q_id, neighbor_id FROM axranked WHERE rank <= 3),
+        |b3 AS (SELECT q_id, neighbor_id FROM bxranked WHERE rank <= 3),
+        |e3 AS (SELECT q_id, neighbor_id FROM exranked WHERE rank <= 3),
+        |c3 AS (SELECT q_id, neighbor_id FROM cranked WHERE rank <= 3),
+        |d3 AS (SELECT q_id, neighbor_id FROM dranked WHERE rank <= 3)
+        |SELECT method, n_ref, quant_hit,
+        |  round(quant_hit * 1.0 / n_ref, 4) AS quant_recall,
+        |  e2e_hit, round(e2e_hit * 1.0 / n_ref, 4) AS e2e_recall,
+        |  CAST(CASE WHEN round(quant_hit * 1.0 / n_ref, 4) >=
+        |    (CASE method WHEN 'pq_4x2_r64' THEN 0.9 ELSE 0.7 END)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+        |FROM (
+        |  SELECT 'pq_4x2_r16' AS method,
+        |    (SELECT count(*) FROM c3) AS n_ref,
+        |    (SELECT CAST(sum(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM c3 x LEFT JOIN a3 a
+        |       ON x.q_id = a.q_id AND x.neighbor_id = a.neighbor_id) AS quant_hit,
+        |    (SELECT CAST(sum(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM exact x LEFT JOIN a3 a
+        |       ON x.q_id = a.q_id AND x.neighbor_id = a.neighbor_id) AS e2e_hit
+        |  UNION ALL
+        |  SELECT 'pq_6x3_r16',
+        |    (SELECT count(*) FROM d3),
+        |    (SELECT CAST(sum(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM d3 x LEFT JOIN b3 b
+        |       ON x.q_id = b.q_id AND x.neighbor_id = b.neighbor_id),
+        |    (SELECT CAST(sum(CASE WHEN b.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM exact x LEFT JOIN b3 b
+        |       ON x.q_id = b.q_id AND x.neighbor_id = b.neighbor_id)
+        |  UNION ALL
+        |  SELECT 'pq_4x2_r64',
+        |    (SELECT count(*) FROM c3),
+        |    (SELECT CAST(sum(CASE WHEN e.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM c3 x LEFT JOIN e3 e
+        |       ON x.q_id = e.q_id AND x.neighbor_id = e.neighbor_id),
+        |    (SELECT CAST(sum(CASE WHEN e.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM exact x LEFT JOIN e3 e
+        |       ON x.q_id = e.q_id AND x.neighbor_id = e.neighbor_id))
+        |ORDER BY method""".stripMargin),
+    // q141 = the IVFADC chain with ALL THREE codebook levels (coarse,
+    // sub, PQ) trained on the base split while encoding the full
+    // corpus — q136's merge-equals-monolith contract carried through
+    // the compressed layers
+    "q141_ann_ivfpq_incremental" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4,
+        trainPred = "(vec_id * 2654435761) % 100 >= 30") +
+      pqCtes(m = 8, k = 64, trainPred = "(vec_id * 2654435761) % 100 >= 30") +
+      pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 16, prefix = "p") + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM pxranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
     // q130: exact top-3 CTEs (q62's) + ONE two-level index build + two
     // prefixed probe chains at escalating budgets
     "q130_ann_recall_two_level" -> (UnitVecCte + s"""

@@ -194,19 +194,84 @@ object Retrieval {
     * over the merged artifact are therefore EQUAL to full-rebuild
     * answers, which is what the q133 gate pins under q110's own oracle
     * (corpus stats n_docs/Σdl re-derive from the merged dl relation at
-    * query time, so they update for free). Callers own the "new docs
-    * only" contract: re-merging an already-indexed doc_id would double
-    * its postings (the same contract as any append-only log). */
+    * query time, so they update for free). Replay-safe: doc_ids already
+    * in the artifact's dl relation are anti-joined out of the delta up
+    * front — one column-pruned scan of the per-doc dl file plus a join
+    * ∝ |delta| — so the retry/replay a production ingest eventually
+    * does is a no-op instead of silently doubling the doc's postings
+    * (PostingsIndexPersistenceSpec pins the replayed merge). */
   def appendPostingsDelta(deltaDocs: DataFrame, indexDir: String,
       termBuckets: Int = 64): Unit = {
     require(termBuckets > 0, "bucket count must be positive")
-    val p = postingsOf(deltaDocs)
+    val spark = deltaDocs.sparkSession
+    // materialized BEFORE the appends: the second write's source must
+    // not re-read the dl file it is itself appending to
+    val fresh = deltaDocs.join(
+      spark.read.parquet(s"$indexDir/dl").select("doc_id"),
+      Seq("doc_id"), "left_anti").cache()
+    fresh.count()
+    val p = postingsOf(fresh)
     p.where(col("term").isNotNull)
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$indexDir/postings")
     p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
       .write.mode("append").parquet(s"$indexDir/dl")
+    fresh.unpersist(blocking = false)
+  }
+
+  /** Retire documents from a persisted postings artifact — the delete
+    * half of the index lifecycle (takedowns, re-crawled URLs, licence
+    * pulls) q133's append-only half lacks. Tombstones, not rewrites:
+    * the delete set lands as appended rows in `$indexDir/tombstones`
+    * (cost ∝ |deletes|, nothing on disk rewritten — the same
+    * append-economics argument as the postings delta), and serving
+    * anti-joins it out ([[bm25TopKFromIndex]]): postings after the
+    * term-bucket prune (so the anti-join touches only probed rows) and
+    * the dl relation before corpus stats (so n_docs/avgdl/df shrink
+    * exactly as a rebuild's would — base − deleted + delta ≡ rebuild,
+    * which is what the q142 gate pins under q110's oracle). Idempotent
+    * by construction: anti-join semantics make a twice-deleted doc_id
+    * harmless. A production index compacts when the tombstone fraction
+    * crosses a threshold (rewrite only the touched term buckets); the
+    * serve-time anti-join is the correct shape between compactions. */
+  def tombstoneDocs(deletedIds: DataFrame, indexDir: String): Unit =
+    deletedIds.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** The artifact's tombstone relation, empty if none were ever
+    * written. */
+  private def tombstonesOf(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    // Hadoop FS, not java.nio: the artifact may live on HDFS/S3
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$indexDir/tombstones").select("doc_id").distinct())
+    else None
+  }
+
+  /** q142: BM25 over the FULL index lifecycle — base build + delta
+    * append + tombstoned deletes, served from the merged artifact.
+    * The corpus splits by q96's delta rule (30 % incoming), and a
+    * deterministic 10 % delete set (spanning BOTH base and delta docs —
+    * deletes must work against appended rows too) is tombstoned. Gated
+    * under q110's oracle over the surviving corpus: base − deleted +
+    * delta ≡ full rebuild on (corpus − deleted). */
+  def bm25TopKWithTombstones(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)] = DefaultQueries,
+      topK: Int = 5, salts: Int = 32, batchPct: Int = 30,
+      deletePct: Int = 10): DataFrame = {
+    val indexDir = persistedIndex.getOrCreate(
+      spark, s"$dir#tomb:$batchPct:$deletePct") { tmp =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"))
+      savePostingsIndexOf(docs.where(!col("incoming")).select("doc_id", "text"), tmp)
+      appendPostingsDelta(docs.where(col("incoming")).select("doc_id", "text"), tmp)
+      tombstoneDocs(
+        docs.where(pmod(col("doc_id") * lit(7919L), lit(100)) < deletePct)
+          .select("doc_id"), tmp)
+    }
+    bm25TopKFromIndex(spark, indexDir, queries, topK, salts)
   }
 
   /** q133: BM25 served from an INCREMENTALLY BUILT index — the corpus is
@@ -248,10 +313,21 @@ object Retrieval {
     val buckets = queryTerms
       .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // local relation: no corpus scan
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val postingsLive = spark.read.parquet(s"$indexDir/postings")
       .where(col("term_bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"))
-    val dl = spark.read.parquet(s"$indexDir/dl")
+    val dlLive = spark.read.parquet(s"$indexDir/dl")
+    // tombstoned docs drop out at serve time: postings AFTER the bucket
+    // prune (the anti-join touches only probed rows), dl BEFORE corpus
+    // stats (n_docs/avgdl/df shrink exactly as a rebuild's would). No
+    // forced broadcast — a delete set can grow unboundedly between
+    // compactions; AQE picks the build side
+    val (postings, dl) = tombstonesOf(spark, indexDir) match {
+      case Some(dead) =>
+        (postingsLive.join(dead, Seq("doc_id"), "left_anti"),
+          dlLive.join(dead, Seq("doc_id"), "left_anti"))
+      case None => (postingsLive, dlLive)
+    }
     bm25Rank(
       sys.error("the persisted-index path must not touch the corpus"),
       Some((postings, dl)), queryTerms, topK, salts, excludeSelf = false)

@@ -47,7 +47,7 @@ object Similarity {
     * index-order summation. */
   private def dot(a: Column, b: Column): Column = dotProduct(a, b)
 
-  private def unitEmbeddings(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def unitEmbeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddingsSpread(spark, dir)
       .select(col("vec_id"), unitVec(col("embedding")).as("u"))
 
@@ -225,7 +225,12 @@ object Similarity {
   def releaseStages(spark: SparkSession): Int = {
     corpusCountCache.keySet.removeIf(_._1 eq spark)
     pqBookCache.keySet.removeIf(_._1 eq spark)
-    pqCodesCache.release(_._1 eq spark) +
+    pqLoadedBookCache.keySet.removeIf(_._1 eq spark)
+    // loaded-artifact relations must drop BEFORE their artifact dirs are
+    // deleted (persistedPq.release below), or a released session leaves
+    // resident plans pointing at removed paths
+    pqLoadedRelCache.release(_._1 eq spark) +
+      pqCodesCache.release(_._1 eq spark) +
       lshSigCache.release(_._1 eq spark) +
       ivfCentCache.release(_._1 eq spark) +
       ivfAssignCache.release(_._1 eq spark) +
@@ -818,7 +823,10 @@ object Similarity {
 
   private val pqBookCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, Int, Int), graft.functions.PqBook]()
-  private val pqCodesCache = new StageCache[(SparkSession, String, Int, Int)]
+  // key = (spark, dir, nCoarse, nSub, m, k) — the FULL parameter tuple:
+  // an earlier arithmetic packing (nCoarse*10000+nSub) collided for
+  // values ≥ 10000 and could silently serve the wrong cached codes
+  private val pqCodesCache = new StageCache[(SparkSession, String, Int, Int, Int, Int)]
 
   /** PROJECTION residuals of the inverted file: (vec_id, cent_id,
     * sub_id, proj, r) with proj = ⟨u, scu⟩ and r = u − proj·scu — the
@@ -857,31 +865,48 @@ object Similarity {
   private def trainPqBook(spark: SparkSession, dir: String,
       nCoarse: Int, nSub: Int, m: Int, k: Int): graft.functions.PqBook =
     pqBookCache.computeIfAbsent((spark, s"$dir#$nCoarse:$nSub", m, k), { _ =>
-      val dim = 64
-      val dsub = dim / m
       val (_, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
-      val resid = residualsOf(assigned, subCents)
-      val seedRows = resid.where(col("vec_id") < k).select("vec_id", "r").collect()
-        .map(row => (row.getLong(0), row.getSeq[Double](1).toArray)).sortBy(_._1)
-      val flat0 = new Array[Double](m * k * dsub)
-      for (j <- 0 until m; (id, r) <- seedRows; d <- 0 until dsub)
-        flat0((j * k + id.toInt) * dsub + d) = r(j * dsub + d)
-      val book0 = new graft.functions.PqBook(m, k, dsub, flat0)
-      val means = resid
-        .select(posexplode(graft.functions.CodebookFunctions
-          .pqEncode(col("r"), book0)).as(Seq("j", "code")), col("r"))
-        .select(col("j"), col("code"),
-          posexplode(slice(col("r"), col("j") * dsub + 1, lit(dsub))).as(Seq("d", "v")))
-        .groupBy("j", "code", "d")
-        .agg((sum(round(col("v") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("mv"))
-        .collect() // bounded: ≤ m·k·dsub rows (4096 at the gate config)
-      val flat = flat0.clone() // empty cells keep their seed
-      means.foreach { row =>
-        flat((row.getInt(0) * k + row.getLong(1).toInt) * dsub + row.getInt(2)) =
-          row.getDouble(3)
-      }
-      new graft.functions.PqBook(m, k, dsub, flat)
+      trainPqBookOf(residualsOf(assigned, subCents), m, k)
     })
+
+  /** The PQ training pipeline over an arbitrary residual relation
+    * (vec_id, …, r) — split out so the incremental artifact build
+    * ([[savePqIndexOf]]) can train on the BASE split only, exactly as
+    * [[buildSubCents]] is to the two-level path. Seed codes are DENSE
+    * ranks over the ascending seed vec_ids (`vec_id < k` rows): on a
+    * full corpus every id below k exists, so code ≡ vec_id and the
+    * trained book is bit-identical to the former direct-id rule; on a
+    * training SPLIT (or a corpus smaller than k) the book simply has
+    * `effK = |seeds|` codes instead of carrying all-zero phantom seed
+    * vectors that could win the encoding argmin — the oracle's
+    * `row_number() OVER (ORDER BY vec_id)` mirror. */
+  private[graft] def trainPqBookOf(resid: DataFrame, m: Int,
+      k: Int): graft.functions.PqBook = {
+    val dim = 64
+    val dsub = dim / m
+    val seedRows = resid.where(col("vec_id") < k).select("vec_id", "r").collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](1).toArray)).sortBy(_._1)
+    val effK = seedRows.length
+    require(effK > 0, "PQ training needs at least one seed vector below k")
+    val flat0 = new Array[Double](m * effK * dsub)
+    for { j <- 0 until m; ((_, r), code) <- seedRows.zipWithIndex; d <- 0 until dsub }
+      flat0((j * effK + code) * dsub + d) = r(j * dsub + d)
+    val book0 = new graft.functions.PqBook(m, effK, dsub, flat0)
+    val means = resid
+      .select(posexplode(graft.functions.CodebookFunctions
+        .pqEncode(col("r"), book0)).as(Seq("j", "code")), col("r"))
+      .select(col("j"), col("code"),
+        posexplode(slice(col("r"), col("j") * dsub + 1, lit(dsub))).as(Seq("d", "v")))
+      .groupBy("j", "code", "d")
+      .agg((sum(round(col("v") * 1e6).cast("long")) / (count(lit(1)) * lit(1e6))).as("mv"))
+      .collect() // bounded: ≤ m·k·dsub rows (4096 at the gate config)
+    val flat = flat0.clone() // empty cells keep their seed
+    means.foreach { row =>
+      flat((row.getInt(0) * effK + row.getLong(1).toInt) * dsub + row.getInt(2)) =
+        row.getDouble(3)
+    }
+    new graft.functions.PqBook(m, effK, dsub, flat)
+  }
 
   /** The COMPRESSED inverted file: (vec_id, cent_id, sub_id, codes) —
     * the two-level cell assignment plus m residual PQ codes per vector,
@@ -891,7 +916,7 @@ object Similarity {
     * join. Session-cached like every index stage. */
   private def pqCodesStage(spark: SparkSession, dir: String,
       nCoarse: Int, nSub: Int, m: Int, k: Int): DataFrame =
-    pqCodesCache.getOrBuild((spark, dir, nCoarse * 10000 + nSub, m * 10000 + k)) {
+    pqCodesCache.getOrBuild((spark, dir, nCoarse, nSub, m, k)) {
       val book = trainPqBook(spark, dir, nCoarse, nSub, m, k)
       val (_, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
       val built = residualsOf(assigned, subCents)
@@ -974,29 +999,33 @@ object Similarity {
     * (~8–64 B/row); the vectors file is cold point-lookup storage. */
   def savePqIndex(spark: SparkSession, dir: String, outDir: String,
       nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64): Unit = {
-    import spark.implicits._
     val (coarseCents, subCents, assigned) = twoLevelIvfStage(spark, dir, nCoarse, nSub)
     val book = trainPqBook(spark, dir, nCoarse, nSub, m, k)
     coarseCents.write.mode("overwrite").parquet(s"$outDir/coarse")
     subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
-    (0 until book.m).flatMap(j => (0 until book.k).map { c =>
-      (j.toLong, c.toLong,
-        (0 until book.dsub).map(d => book.flat((j * book.k + c) * book.dsub + d)).toSeq)
-    }).toDF("j", "code", "cv")
-      .write.mode("overwrite").parquet(s"$outDir/pqbook")
+    writePqBook(spark, book, outDir)
     pqCodesStage(spark, dir, nCoarse, nSub, m, k)
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
     assigned.select(col("vec_id"), col("u"))
       .write.mode("overwrite").parquet(s"$outDir/vectors")
   }
 
-  /** Serve IVFADC+rerank entirely from a [[savePqIndex]] artifact —
-    * answers identical to the live [[pqAdcTopK]] by construction
-    * (shared probe pipeline; doubles round-trip parquet bit-exactly,
-    * and codes are integers). */
-  def pqTopKFromIndex(spark: SparkSession, indexDir: String,
-      nProbe1: Int = 4, nProbe2: Int = 2,
-      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
+  /** The PQ book as its (j, code, cv) artifact relation — one row per
+    * (subspace, code), bounded at m·k rows. */
+  private def writePqBook(spark: SparkSession, book: graft.functions.PqBook,
+      outDir: String): Unit = {
+    import spark.implicits._
+    (0 until book.m).flatMap(j => (0 until book.k).map { c =>
+      (j.toLong, c.toLong,
+        (0 until book.dsub).map(d => book.flat((j * book.k + c) * book.dsub + d)).toSeq)
+    }).toDF("j", "code", "cv")
+      .write.mode("overwrite").parquet(s"$outDir/pqbook")
+  }
+
+  /** Rehydrate the bounded PQ book object from its artifact relation —
+    * the JVM-side codebook every serving expression references. */
+  private def readPqBook(spark: SparkSession,
+      indexDir: String): graft.functions.PqBook = {
     val bookRows = spark.read.parquet(s"$indexDir/pqbook")
       .collect().map(r => ((r.getLong(0).toInt, r.getLong(1).toInt), r.getSeq[Double](2)))
       .toMap
@@ -1008,13 +1037,130 @@ object Similarity {
       var d = 0
       while (d < dsub) { flat((j * k + c) * dsub + d) = cv(d); d += 1 }
     }
-    val book = new graft.functions.PqBook(m, k, dsub, flat)
-    val coarseCents = spark.read.parquet(s"$indexDir/coarse")
+    new graft.functions.PqBook(m, k, dsub, flat)
+  }
+
+  /** Persist a compressed PQ artifact TRAINED AND BUILT from an
+    * arbitrary (vec_id, u) relation — the starting point of the
+    * incremental PQ lifecycle, [[saveTwoLevelIndexOf]] extended with the
+    * residual-PQ layers: coarse + sub codebooks and the PQ book all
+    * train on exactly the rows given (the base split), codes and the
+    * refine store are written for those rows, and later batches merge
+    * under the FROZEN books via [[appendPqDelta]]. One-shot (runs once
+    * inside an artifact memo) — local caches, no session stages. */
+  def savePqIndexOf(vecs: DataFrame, outDir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64): Unit = {
+    val spark = vecs.sparkSession
+    val cents = ivfCentroidsOf(vecs, nCoarse).cache()
+    cents.count()
+    val a1 = assignNearest(vecs, cents).cache()
+    a1.count()
+    val subCents = buildSubCents(a1, nSub).cache()
+    subCents.count()
+    val assigned = buildAssigned2(a1, subCents).cache()
+    assigned.count()
+    val resid = residualsOf(assigned, subCents).cache()
+    resid.count()
+    val book = trainPqBookOf(resid, m, k)
+    cents.write.mode("overwrite").parquet(s"$outDir/coarse")
+    subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
+    writePqBook(spark, book, outDir)
+    resid
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("proj"),
+        graft.functions.CodebookFunctions.pqEncode(col("r"), book).as("codes"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
+    assigned.select(col("vec_id"), col("u"))
+      .write.mode("overwrite").parquet(s"$outDir/vectors")
+    Seq(cents, a1, subCents, assigned, resid).foreach(_.unpersist(blocking = false))
+  }
+
+  /** Merge a delta batch of NEW vectors into a persisted
+    * [[savePqIndexOf]] artifact under the FROZEN codebooks — the
+    * [[appendTwoLevelDelta]] contract carried through the compressed
+    * layers: coarse/sub assignment, projection residual, and PQ
+    * encoding are all per-ROW under bounded frozen books, so base ∪
+    * delta is row-identical to encoding the full corpus under the same
+    * books (merged ≡ monolith — the q141 gate). Codes land as APPENDED
+    * files in exactly the cent_id partitions the delta hashes to, the
+    * refine store appends alongside; merge cost ∝ |delta|. Replay-safe:
+    * already-indexed vec_ids are anti-joined out against the refine
+    * store's vec_id column up front (one pruned-column scan), so
+    * re-merging the same batch — the retry a production ingest
+    * eventually does — is a no-op instead of silently double-writing
+    * codes. */
+  def appendPqDelta(deltaVecs: DataFrame, indexDir: String): Unit = {
+    val spark = deltaVecs.sparkSession
+    val fresh = deltaVecs.join(
+      spark.read.parquet(s"$indexDir/vectors").select("vec_id"),
+      Seq("vec_id"), "left_anti").cache()
+    fresh.count()
+    val cents = spark.read.parquet(s"$indexDir/coarse")
     val subCents = spark.read.parquet(s"$indexDir/subcents")
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val book = readPqBook(spark, indexDir)
+    val assigned = buildAssigned2(assignNearest(fresh, cents), subCents)
+    residualsOf(assigned, subCents)
+      .select(col("vec_id"), col("cent_id"), col("sub_id"), col("proj"),
+        graft.functions.CodebookFunctions.pqEncode(col("r"), book).as("codes"))
+      .write.mode("append").partitionBy("cent_id").parquet(s"$indexDir/codes")
+    assigned.select(col("vec_id"), col("u"))
+      .write.mode("append").parquet(s"$indexDir/vectors")
+    fresh.unpersist(blocking = false)
+  }
+
+  /** The loaded-artifact caches behind warm PQ serving: the bounded book
+    * object and the four relations, each keyed by (session, indexDir,
+    * part). A restarted service loads the artifact ONCE and serves many
+    * batches — the round-10 shape re-read the whole artifact (book
+    * collect, codes scan, two passes over the refine store) on EVERY
+    * invocation, conflating cold start with steady state: 20.6 s per
+    * call at the 100× corpus vs 5.2 s for the live stage. Same
+    * StageCache discipline as every live index stage; the cold-start
+    * purity contract ("the load reads ONLY the artifact") is unchanged —
+    * the first call after a restart or [[releaseStages]] is exactly the
+    * cold load, and PqSpec pins the cold path ([[pqTopKFromIndexCold]])
+    * against the warm one. At a 10⁹-vector deployment the codes relation
+    * is the one that must stay hot (m bytes/row); MEMORY_AND_DISK
+    * storage lets the refine store spill while staying off the
+    * every-query re-read path. */
+  private val pqLoadedBookCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), graft.functions.PqBook]()
+  private val pqLoadedRelCache = new StageCache[(SparkSession, String, String)]
+
+  /** Visible for specs: how many artifact relations were actually
+    * loaded (vs served warm) — the load-once contract. */
+  private[ops] def pqLoadedRelBuilds = pqLoadedRelCache.builds
+
+  /** (book, coarse, subcents, codes, vectors) for a [[savePqIndex]]-
+    * layout artifact, loaded once per (session, indexDir). */
+  private def loadedPqIndex(spark: SparkSession, indexDir: String)
+      : (graft.functions.PqBook, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val book = pqLoadedBookCache.computeIfAbsent((spark, indexDir),
+      _ => readPqBook(spark, indexDir))
+    def rel(part: String)(load: => DataFrame): DataFrame =
+      pqLoadedRelCache.getOrBuild((spark, indexDir, part)) {
+        val built = load.cache()
+        built.count()
+        built
+      }
+    val coarse = rel("coarse")(spark.read.parquet(s"$indexDir/coarse"))
+    val subCents = rel("subcents")(spark.read.parquet(s"$indexDir/subcents"))
+    val codes = rel("codes")(spark.read.parquet(s"$indexDir/codes")
       .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
-        col("sub_id"), col("proj"), col("codes"))
-    val vectors = spark.read.parquet(s"$indexDir/vectors")
+        col("sub_id"), col("proj"), col("codes")))
+    val vectors = rel("vectors")(spark.read.parquet(s"$indexDir/vectors"))
+    (book, coarse, subCents, codes, vectors)
+  }
+
+  /** The IVFADC+rerank serve plan over loaded artifact relations —
+    * shared by the warm ([[pqTopKFromIndex]]) and cold
+    * ([[pqTopKFromIndexCold]]) paths, so both answer identically by
+    * construction (and identically to the live [[pqAdcTopK]]: shared
+    * probe pipeline, doubles round-trip parquet bit-exactly, codes are
+    * integers). */
+  private def pqServe(book: graft.functions.PqBook, coarseCents: DataFrame,
+      subCents: DataFrame, codes: DataFrame, vectors: DataFrame,
+      nProbe1: Int, nProbe2: Int, nQueries: Int, topK: Int,
+      rerank: Int): DataFrame = {
     val q = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
@@ -1038,6 +1184,35 @@ object Similarity {
     rankTopK(scored, topK)
   }
 
+  /** Serve IVFADC+rerank from a [[savePqIndex]] artifact, WARM: the
+    * artifact relations are session-cached on first use
+    * ([[loadedPqIndex]]) and every subsequent batch serves from the
+    * resident relations — the load-once / query-many lifecycle a
+    * restarted service actually runs. */
+  def pqTopKFromIndex(spark: SparkSession, indexDir: String,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
+    val (book, coarse, subCents, codes, vectors) = loadedPqIndex(spark, indexDir)
+    pqServe(book, coarse, subCents, codes, vectors,
+      nProbe1, nProbe2, nQueries, topK, rerank)
+  }
+
+  /** The COLD serve path: every relation read straight off the artifact,
+    * nothing resident — the restart-purity contract (answers must come
+    * from the artifact alone), pinned equal to the warm path by
+    * PqSpec. */
+  private[graft] def pqTopKFromIndexCold(spark: SparkSession, indexDir: String,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame =
+    pqServe(readPqBook(spark, indexDir),
+      spark.read.parquet(s"$indexDir/coarse"),
+      spark.read.parquet(s"$indexDir/subcents"),
+      spark.read.parquet(s"$indexDir/codes")
+        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
+          col("sub_id"), col("proj"), col("codes")),
+      spark.read.parquet(s"$indexDir/vectors"),
+      nProbe1, nProbe2, nQueries, topK, rerank)
+
   private val persistedPq = new TempArtifacts("graft-pq-index")
 
   /** q139: [[pqAdcTopK]] served entirely from the persisted compressed
@@ -1050,6 +1225,32 @@ object Similarity {
       nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
     val indexDir = persistedPq.getOrCreate(spark, s"$dir#$nCoarse:$nSub:$m:$k")(
       savePqIndex(spark, dir, _, nCoarse, nSub, m, k))
+    pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
+  }
+
+  /** q141: IVFADC served from an INCREMENTALLY BUILT compressed index —
+    * q136's frozen-codebook delta contract applied to the PQ artifact:
+    * the corpus splits by q96's deterministic delta rule, the base
+    * trains + persists via [[savePqIndexOf]] (coarse, sub, AND PQ books
+    * all trained on the base), the delta encodes under the frozen books
+    * via [[appendPqDelta]], and the merged artifact serves through the
+    * exact warm pipeline q139 uses. Gated hash-exact against an oracle
+    * whose codebook CTEs train on the base split while encoding the
+    * full corpus — merged ≡ monolith, end to end through the compressed
+    * layers. */
+  def pqIncremental(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16,
+      batchPct: Int = 30): DataFrame = {
+    val indexDir = persistedPq.getOrCreate(
+      spark, s"$dir#incr:$nCoarse:$nSub:$m:$k:$batchPct") { tmp =>
+      val e = unitEmbeddings(spark, dir).withColumn("incoming",
+        pmod(col("vec_id") * lit(2654435761L), lit(100)) < batchPct)
+      savePqIndexOf(
+        e.where(!col("incoming")).select("vec_id", "u"), tmp, nCoarse, nSub, m, k)
+      appendPqDelta(e.where(col("incoming")).select("vec_id", "u"), tmp)
+    }
     pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
   }
 
@@ -1280,9 +1481,23 @@ object Similarity {
 
   /** The q135 pipeline over any (vec_id, u, buckets) signature relation
     * — split out so the planted-paraphrase spec can drive it with a
-    * handmade near-identical (eval, train) embedding pair. */
+    * handmade near-identical (eval, train) embedding pair.
+    *
+    * Eval-side size ladder (the q119/streaming two-rung discipline):
+    * the eval split here is CORPUS-PROPORTIONAL (`vec_id % 97` — ~n/97
+    * rows × nTables bands, each carrying a 64-double vector: ~340 MB of
+    * broadcast at 8 M vectors), so forcing `broadcast(evalBands)`
+    * unconditionally is the %-derived-eval-set scale cliff the round-7
+    * baseline flagged. One footer-count-cheap row count on the (cached)
+    * signature stage picks the rung: a bounded eval set broadcasts (the
+    * common case — real eval suites are thousands of rows); past
+    * `maxBroadcastEvalRows` the join falls back to the plain shuffle
+    * hash join on (band, band_key), which is correct at any size. The
+    * emitted pair set — and the oracle — are identical on both rungs
+    * (SemanticContamSpec pins it). */
   private[graft] def semanticContaminationOf(sig: DataFrame,
-      threshold: Double, maxBucketPopulation: Int): DataFrame = {
+      threshold: Double, maxBucketPopulation: Int,
+      maxBroadcastEvalRows: Long = 200000L): DataFrame = {
     val bands = sig.select(col("vec_id").as("doc_id"), col("u"),
       posexplode(col("buckets")).as(Seq("band", "band_key")))
     val evalBands = bands.where(col("doc_id") % 97 === 0)
@@ -1290,7 +1505,13 @@ object Similarity {
         col("band"), col("band_key"))
     val trainBands =
       Dedup.capBands(bands.where(col("doc_id") % 97 =!= 0), maxBucketPopulation)
-    trainBands.join(broadcast(evalBands), Seq("band", "band_key"))
+    // one count on the (cached) signature stage picks the rung; band
+    // rows = eval docs × nTables, so compare the doc count against the
+    // row budget divided by a nominal 8-table fan-out
+    val nEvalDocs = sig.where(col("vec_id") % 97 === 0).count()
+    val evalSide =
+      if (nEvalDocs <= maxBroadcastEvalRows / 8) broadcast(evalBands) else evalBands
+    trainBands.join(evalSide, Seq("band", "band_key"))
       .select(col("doc_id").as("vec_id"), col("eval_id"), col("u"), col("eu"))
       // a pair colliding in several tables must score once, not per table
       .dropDuplicates("vec_id", "eval_id")
@@ -1392,6 +1613,60 @@ object Similarity {
       .unionAll(recallOf("two_level_6x3",
         twoLevelIvfTopK(spark, dir, nCoarse = 8, nSub = 4,
           nProbe1 = 6, nProbe2 = 3, nQueries = nQueries, k = k)))
+      .orderBy("method")
+  }
+
+  /** q140: the IVFADC recall gate — the compressed path's quality claim
+    * as hash-pinned evidence (it previously lived only in the PqProbe
+    * tables), at two escalating probe budgets like q130. The loss
+    * decomposes: (probe misses — the true neighbor's cell wasn't
+    * probed) + (quantization misses — probed, but the ADC shortlist
+    * dropped it). Probe loss is the CODEBOOK's property, already gated
+    * by q130, and it grows with corpus/budget ratio — no constant floor
+    * survives a scale-up (measured: e2e 0.57 at sf0.001 → 0.39 at
+    * sf0.1 for the same 4×2 budget). Quantization loss is the RERANK
+    * DEPTH's property relative to the probed population: a fixed
+    * 16-deep shortlist over probed lists that grow with n decays too
+    * (0.82 at sf0.01 → 0.63 at sf0.1), which is exactly why production
+    * IVFADC scales rerank with the probed population. The gate
+    * therefore pins three points calibrated to the gate corpus:
+    * the q138 config (floor 0.7), a probe escalation at the same
+    * rerank (floor 0.7 — MORE candidates competing for the same
+    * shortlist, quant recall may dip slightly), and a rerank
+    * escalation (r64, floor 0.9 — depth buys the loss back), so the
+    * rerank→recall knob is itself hash-pinned; `e2e_recall` vs brute
+    * force rides along as ungated evidence per budget. The scale story
+    * (rerank must track probed-list population) is the BASELINE.md
+    * sweep, as with every budget knob in this file. The sketch-gate
+    * pattern (q114/q116): the verdict column is recomputed identically
+    * by the oracle, so the claim itself is pinned. */
+  def annRecallPq(spark: SparkSession, dir: String,
+      nQueries: Int = 100, k: Int = 3): DataFrame = {
+    val brute = bruteForceTopK(spark, dir, nQueries, k)
+      .select(col("q_id"), col("neighbor_id"))
+    def verdictOf(method: String, bound: Double,
+        nProbe1: Int, nProbe2: Int, rerank: Int): DataFrame = {
+      val adc = pqAdcTopK(spark, dir, nProbe1 = nProbe1, nProbe2 = nProbe2,
+        nQueries = nQueries, topK = k, rerank = rerank)
+        .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+      val probeExact = twoLevelIvfTopK(spark, dir, nCoarse = 8, nSub = 4,
+        nProbe1 = nProbe1, nProbe2 = nProbe2, nQueries = nQueries, k = k)
+        .select(col("q_id"), col("neighbor_id"))
+      val quant = probeExact.join(adc, Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_ref"),
+          sum(coalesce(col("hit"), lit(0))).as("quant_hit"))
+      val e2e = brute.join(adc, Seq("q_id", "neighbor_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0))).as("e2e_hit"))
+      quant.crossJoin(broadcast(e2e)) // 1-row × 1-row
+        .select(lit(method).as("method"), col("n_ref"), col("quant_hit"),
+          round(col("quant_hit") / col("n_ref"), 4).as("quant_recall"),
+          col("e2e_hit"), round(col("e2e_hit") / col("n_ref"), 4).as("e2e_recall"))
+        .withColumn("within_bound",
+          when(col("quant_recall") >= bound, 1L).otherwise(0L))
+    }
+    verdictOf("pq_4x2_r16", 0.7, 4, 2, 16)
+      .unionAll(verdictOf("pq_6x3_r16", 0.7, 6, 3, 16))
+      .unionAll(verdictOf("pq_4x2_r64", 0.9, 4, 2, 64))
       .orderBy("method")
   }
 

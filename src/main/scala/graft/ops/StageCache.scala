@@ -71,11 +71,20 @@ private[ops] final class TempArtifacts(prefix: String) {
   private val dirs =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  /** The artifact dir for (session, input dir), built on first use. */
+  /** The artifact dir for (session, input dir), built on first use. A
+    * build that throws must not leak its half-written directory: the
+    * memo registers nothing on failure (computeIfAbsent propagates the
+    * exception without inserting), so [[release]] would never see the
+    * orphan — delete it here before rethrowing. */
   def getOrCreate(spark: SparkSession, dir: String)(build: String => Unit): String =
     dirs.computeIfAbsent((spark, dir), { _ =>
       val tmp = java.nio.file.Files.createTempDirectory(prefix).toString
-      build(tmp)
+      try build(tmp)
+      catch {
+        case e: Throwable =>
+          TempArtifacts.deleteRecursively(java.nio.file.Paths.get(tmp))
+          throw e
+      }
       tmp
     })
 
@@ -104,8 +113,12 @@ private[ops] object TempArtifacts {
   def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+      // Files.walk holds directory handles until closed — leaving the
+      // stream open leaks file descriptors for the life of the JVM
+      val walk = java.nio.file.Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverseIterator
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
     }
   }
 }

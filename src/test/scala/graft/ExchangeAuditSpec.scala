@@ -123,4 +123,34 @@ class ExchangeAuditSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  /** q135's eval split is corpus-proportional (`vec_id % 97`), so its
+    * round-10 unconditional `broadcast(evalBands)` was the same cliff
+    * class q95's `live` broadcast was — the two-rung ladder must
+    * actually fall back: past the row budget, NOTHING eval-band-sized
+    * may still broadcast (capBands' bounded hot side, empty at organic
+    * populations, is the only legitimate hint left in the plan). */
+  test("q135: the shuffle rung force-broadcasts nothing eval-sized") {
+    val sig = graft.ops.Similarity.lshSignaturesOf(
+      graft.ops.Similarity.unitEmbeddings(spark, dir), bits = 8, nTables = 8)
+    val evalBandRows = sig
+      .where(org.apache.spark.sql.functions.col("vec_id") % 97 === 0).count() * 8
+    assert(evalBandRows > 0, "fixture needs at least one eval doc")
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val df = graft.ops.Similarity.semanticContaminationOf(sig,
+        threshold = 0.35, maxBucketPopulation = 1000, maxBroadcastEvalRows = 0L)
+      df.collect()
+      val bcasts = executedBroadcasts(df.queryExecution.executedPlan)
+      bcasts.foreach { case (n, r) => info(f"$r%6d rows  $n") }
+      for ((node, rows) <- bcasts)
+        assert(rows < evalBandRows,
+          s"$node force-broadcasts $rows rows past the ladder budget " +
+            s"(eval bands=$evalBandRows) — the eval-side cliff is back")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

@@ -35,6 +35,15 @@ class QueriesSpec extends AnyFunSuite {
         s"quantile sketch out of bound for ${r.getAs[String]("event_type")}")
   }
 
+  test("q140 IVFADC quantization recall clears its per-config floor") {
+    val rows = SparkEntry.queries("q140_ann_ivfpq_recall")(spark, dir).collect()
+    assert(rows.length == 3)
+    for (r <- rows)
+      assert(r.getAs[Long]("within_bound") == 1L,
+        s"quant recall out of bound for ${r.getAs[String]("method")}: " +
+          s"${r.getAs[Double]("quant_recall")}")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -115,6 +115,71 @@ class PostingsIndexPersistenceSpec extends AnyFunSuite {
     }
   }
 
+  test("a replayed delta merge is a no-op") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-bm25-replay").toString
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(100)) < 30).as("incoming"))
+      Retrieval.savePostingsIndexOf(docs.where(!col("incoming"))
+        .select("doc_id", "text"), base)
+      val delta = docs.where(col("incoming")).select("doc_id", "text")
+      Retrieval.appendPostingsDelta(delta, base)
+      val postings1 = spark.read.parquet(s"$base/postings").count()
+      val dl1 = spark.read.parquet(s"$base/dl").count()
+      val answers1 = Retrieval.bm25TopKFromIndex(spark, base).collect().toSeq
+      // the retry/replay a production ingest eventually does: the SAME
+      // batch merged again must change nothing (the anti-join guard)
+      Retrieval.appendPostingsDelta(delta, base)
+      assert(spark.read.parquet(s"$base/postings").count() == postings1,
+        "a replayed merge double-wrote postings")
+      assert(spark.read.parquet(s"$base/dl").count() == dl1,
+        "a replayed merge double-wrote dl rows")
+      val answers2 = Retrieval.bm25TopKFromIndex(spark, base).collect().toSeq
+      assert(answers1.nonEmpty && answers1 == answers2,
+        "a replayed merge changed the served answers")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(base))
+    }
+  }
+
+  test("tombstoned docs vanish exactly as a rebuild without them; deletes are idempotent") {
+    import org.apache.spark.sql.functions._
+    val full = java.nio.file.Files.createTempDirectory("graft-bm25-tomb").toString
+    val filtered = java.nio.file.Files.createTempDirectory("graft-bm25-tombref").toString
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val deadRule = pmod(col("doc_id") * lit(7919L), lit(100)) < 10
+      Retrieval.savePostingsIndexOf(docs, full)
+      val beforeDelete = Retrieval.bm25TopKFromIndex(spark, full).collect().toSeq
+      Retrieval.tombstoneDocs(docs.where(deadRule).select("doc_id"), full)
+      // reference: a FULL REBUILD over the surviving corpus — the
+      // base − deleted ≡ rebuild contract the q142 gate pins at sf0.01
+      Retrieval.savePostingsIndexOf(docs.where(!deadRule), filtered)
+      val tombstoned = Retrieval.bm25TopKFromIndex(spark, full).collect().toSeq
+      val rebuilt = Retrieval.bm25TopKFromIndex(spark, filtered).collect().toSeq
+      assert(tombstoned.nonEmpty && tombstoned == rebuilt,
+        "tombstone serving diverged from the rebuild on the surviving corpus")
+      assert(tombstoned != beforeDelete,
+        "the delete set must actually change the served answers " +
+          "(a vacuous fixture pins nothing)")
+      // deleting the same docs again is harmless (anti-join semantics)
+      Retrieval.tombstoneDocs(docs.where(deadRule).select("doc_id"), full)
+      val again = Retrieval.bm25TopKFromIndex(spark, full).collect().toSeq
+      assert(again == tombstoned, "a replayed delete changed the served answers")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(full)); rm(new java.io.File(filtered))
+    }
+  }
+
   test("releaseStages retires the q127 artifact: dir deleted, next use rebuilds") {
     // The stale-index hazard: after a session release + corpus
     // regeneration, q110/q124 rebuild from new data but a surviving

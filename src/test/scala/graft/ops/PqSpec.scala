@@ -53,6 +53,72 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("warm PQ serving loads the artifact once and answers like the cold path") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-warm").toString
+    try {
+      Similarity.savePqIndex(spark, dir, tmp)
+      // cold-start purity: every relation read straight off the
+      // artifact, nothing resident — the restarted-service contract
+      val cold = Similarity.pqTopKFromIndexCold(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      val before = Similarity.pqLoadedRelBuilds.get()
+      val warm1 = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      val afterFirst = Similarity.pqLoadedRelBuilds.get()
+      val warm2 = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      val afterSecond = Similarity.pqLoadedRelBuilds.get()
+      assert(cold.nonEmpty && cold == warm1 && warm1 == warm2,
+        "warm serving diverged from the cold artifact read")
+      assert(afterFirst - before == 4,
+        s"first warm call must load exactly the 4 artifact relations, " +
+          s"loaded ${afterFirst - before}")
+      assert(afterSecond == afterFirst,
+        "the second warm call re-loaded the artifact instead of serving resident")
+    } finally {
+      Similarity.releaseStages(spark)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("a replayed PQ delta merge is a no-op") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-replay").toString
+    try {
+      val e = Similarity.unitEmbeddings(spark, dir)
+        .withColumn("incoming",
+          pmod(col("vec_id") * lit(2654435761L), lit(100)) < 30)
+      Similarity.savePqIndexOf(
+        e.where(!col("incoming")).select("vec_id", "u"), tmp)
+      val delta = e.where(col("incoming")).select("vec_id", "u")
+      Similarity.appendPqDelta(delta, tmp)
+      val codes1 = spark.read.parquet(s"$tmp/codes").count()
+      val vecs1 = spark.read.parquet(s"$tmp/vectors").count()
+      val answers1 = Similarity.pqTopKFromIndexCold(spark, tmp, nQueries = 30)
+        .collect().map(_.toSeq).toSeq
+      // the retry a production ingest eventually does: same batch again
+      Similarity.appendPqDelta(delta, tmp)
+      assert(spark.read.parquet(s"$tmp/codes").count() == codes1,
+        "a replayed merge double-wrote codes")
+      assert(spark.read.parquet(s"$tmp/vectors").count() == vecs1,
+        "a replayed merge double-wrote the refine store")
+      val answers2 = Similarity.pqTopKFromIndexCold(spark, tmp, nQueries = 30)
+        .collect().map(_.toSeq).toSeq
+      assert(answers1.nonEmpty && answers1 == answers2,
+        "a replayed merge changed the served answers")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("IVFADC + exact re-rank recovers the probed exact top-k") {
     // the honest comparison is against the EXACT probe over the same
     // probed cells (q129's result): ADC only reorders candidates WITHIN

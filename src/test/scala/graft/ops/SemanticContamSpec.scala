@@ -56,6 +56,23 @@ class SemanticContamSpec extends AnyFunSuite {
     assert(row.getDouble(2) >= 0.99, s"cosine must be ~1, got ${row.getDouble(2)}")
   }
 
+  test("both rungs of the eval-side size ladder emit the same verdict") {
+    // the %-derived eval split grows with the corpus, so q135 must not
+    // FORCE a broadcast of it: past the row budget the join falls back
+    // to the shuffle rung. Same relation, either rung — drive the real
+    // corpus signature stage through both and compare row for row.
+    val dir = "/root/testdata/sf0.001"
+    val sig = Similarity.lshSignaturesOf(
+      Similarity.unitEmbeddings(spark, dir), bits = 8, nTables = 8)
+    val bc = Similarity.semanticContaminationOf(sig, threshold = 0.35,
+      maxBucketPopulation = 1000).collect().map(_.toSeq).toSeq
+    val sh = Similarity.semanticContaminationOf(sig, threshold = 0.35,
+      maxBucketPopulation = 1000, maxBroadcastEvalRows = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(bc.nonEmpty, "the ladder fixture must produce hits")
+    assert(bc == sh, "the shuffle rung diverged from the broadcast rung")
+  }
+
   test("q135 surfaces eval collisions on the real corpus") {
     val out = Similarity.semanticContamination(spark, "/root/testdata/sf0.01")
       .collect()
