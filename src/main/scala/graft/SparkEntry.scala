@@ -305,6 +305,17 @@ object SparkEntry {
     // 10% served from the merged artifact must equal a rebuild on the
     // surviving corpus under q110's oracle
     "q142_bm25_tombstones" -> ((s, d) => Retrieval.bm25TopKWithTombstones(s, d)),
+    // q143: deletes through the ANN artifact — tombstoned vectors drop
+    // from the served inverted file (neither query nor surface) while
+    // the codebooks stay frozen; serve ≡ rebuild-on-survivors
+    "q143_ann_two_level_tombstones" -> ((s, d) => Similarity.twoLevelTombstoned(s, d)),
+    // q144: q142's lifecycle COMPACTED — touched term buckets rewritten,
+    // tombstones expunged, no anti-join left in the serving plan; the
+    // fifth BM25 serving shape under the same oracle
+    "q144_bm25_compacted" -> ((s, d) => Retrieval.bm25TopKCompacted(s, d)),
+    // q145: deletes through the COMPRESSED artifact — the anti-join
+    // covers both the codes scan and the refine store
+    "q145_ann_ivfpq_tombstones" -> ((s, d) => Similarity.pqTombstoned(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -631,13 +642,14 @@ object SparkEntry {
     * proj·⟨q, scu⟩ term, ADC top-`rerank` shortlist, exact-cosine
     * re-rank. Emits `${prefix}xranked`. */
   private def pqAdcCtes(nProbe1: Int, nProbe2: Int, nQueries: Int,
-      rerank: Int, prefix: String): String =
-    twoLevelProbeCtes(nProbe1, nProbe2, nQueries, prefix = s"${prefix}q") + s""",
+      rerank: Int, prefix: String, servedRel: String = "assigned2"): String =
+    twoLevelProbeCtes(nProbe1, nProbe2, nQueries, prefix = s"${prefix}q",
+      servedRel = servedRel) + s""",
         |${prefix}adcj AS (
         |  SELECT p.q_id, a.vec_id AS neighbor_id, c.j,
         |    CAST(round(list_sum([p.qu[(c.j * 8) + i] * r.cv[i]
         |      for i in range(1, len(r.cv) + 1)]) * 1000000) AS BIGINT) AS pmic
-        |  FROM ${prefix}qprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
+        |  FROM ${prefix}qprobes2 p JOIN $servedRel a USING (cent_id, sub_id)
         |  JOIN pcodes c ON c.vec_id = a.vec_id
         |  JOIN prcb r ON r.j = c.j AND r.code = c.code
         |  WHERE a.vec_id <> p.q_id),
@@ -645,7 +657,7 @@ object SparkEntry {
         |         FROM ${prefix}adcj GROUP BY q_id, neighbor_id),
         |${prefix}base AS (
         |  SELECT p.q_id, a.vec_id AS neighbor_id, ${cosSql("p.qu", "s.scu")} AS bdot
-        |  FROM ${prefix}qprobes2 p JOIN assigned2 a USING (cent_id, sub_id)
+        |  FROM ${prefix}qprobes2 p JOIN $servedRel a USING (cent_id, sub_id)
         |  JOIN subcents s ON s.cent_id = p.cent_id AND s.sub_id = p.sub_id
         |  WHERE a.vec_id <> p.q_id),
         |${prefix}short AS (
@@ -681,13 +693,15 @@ object SparkEntry {
 
   /** The coarse-first two-stage probe CTEs over [[twoLevelIndexCtes]]'s
     * relations, `prefix`ed so multiple probe budgets can share one index
-    * build (q130). Emits `${prefix}ranked`. */
+    * build (q130). `servedRel` substitutes the inverted file actually
+    * SERVED (q143/q145 filter the tombstoned vectors out while the
+    * codebooks stay full-corpus-frozen). Emits `${prefix}ranked`. */
   private def twoLevelProbeCtes(nProbe1: Int, nProbe2: Int, nQueries: Int,
-      prefix: String): String =
+      prefix: String, servedRel: String = "assigned2"): String =
     s""",
        |${prefix}qc AS (
        |  SELECT q.vec_id AS q_id, q.u AS qu, c.cent_id, ${cosSql("q.u", "c.cu")} AS cdot
-       |  FROM assigned2 q CROSS JOIN cents c WHERE q.vec_id < $nQueries),
+       |  FROM $servedRel q CROSS JOIN cents c WHERE q.vec_id < $nQueries),
        |${prefix}cells AS (
        |  SELECT q_id, qu, cent_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
@@ -706,7 +720,7 @@ object SparkEntry {
        |  WHERE srn <= $nProbe2),
        |${prefix}scored AS (
        |  SELECT q_id, a.vec_id AS neighbor_id, ${cosSql("qu", "a.u")} AS cos
-       |  FROM ${prefix}probes2 p JOIN assigned2 a USING (cent_id, sub_id)
+       |  FROM ${prefix}probes2 p JOIN $servedRel a USING (cent_id, sub_id)
        |  WHERE a.vec_id <> p.q_id),
        |${prefix}ranked AS (
        |  SELECT q_id, neighbor_id, cos,
@@ -1758,6 +1772,29 @@ object SparkEntry {
     // surviving corpus — the SAME ranking SQL, corpus pre-filtered by
     // the tombstone rule (mirrors Retrieval.bm25TopKWithTombstones)
     "q142_bm25_tombstones" -> bm25TopKSqlOver("(doc_id * 7919) % 100 >= 10"),
+    // q144 = q142 compacted: compaction must be answer-invisible, so
+    // the oracle IS q142's
+    "q144_bm25_compacted" -> bm25TopKSqlOver("(doc_id * 7919) % 100 >= 10"),
+    // q143: codebooks train on the FULL corpus (frozen under deletes);
+    // only the SERVED inverted file filters the tombstone rule
+    "q143_ann_two_level_tombstones" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + """,
+        |sassigned AS (SELECT * FROM assigned2 WHERE (vec_id * 7919) % 100 >= 10)""".stripMargin +
+      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "",
+        servedRel = "sassigned") + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // q145: the same served-relation filter through the PQ chain — the
+    // codes/refine anti-join must reproduce it exactly
+    "q145_ann_ivfpq_tombstones" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) + """,
+        |sassigned AS (SELECT * FROM assigned2 WHERE (vec_id * 7919) % 100 >= 10)""".stripMargin +
+      pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 16, prefix = "p",
+        servedRel = "sassigned") + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM pxranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
     // q116: mirrors Multimodal.frameDups — 100-char frame slices,
     // md5 frame hashes, distinct per payload, cap never binds at this
     // SF (as q32's band cap), pairs sharing >= 3 frames

@@ -250,6 +250,82 @@ object Retrieval {
     else None
   }
 
+  /** Expunge the tombstones: rewrite ONLY the term buckets that hold a
+    * deleted doc's postings (survivors re-written, dead rows dropped),
+    * rewrite the (per-doc, small) dl relation, delete the tombstone
+    * set. The production cadence: serve-time anti-joins between
+    * compactions, compaction when the tombstone fraction crosses a
+    * threshold — and compaction cost ∝ touched buckets, never the
+    * artifact (a delete set concentrated in few terms rewrites few
+    * directories; the untouched buckets' files survive byte-identical,
+    * which the spec pins by mtime). Answer-invisible by construction:
+    * the compacted artifact serves exactly what the anti-join served
+    * (the q144 gate runs it under q142's oracle). Swaps are
+    * per-directory renames — run compaction from the single writer
+    * that owns the artifact (the same ownership contract as the
+    * appends); a crash between renames leaves a bucket either old
+    * (still tombstone-covered elsewhere → re-run compaction) or new,
+    * never half-written, because the rewrite lands in a temp dir
+    * first. */
+  def compactPostings(spark: SparkSession, indexDir: String): Unit =
+    tombstonesOf(spark, indexDir).foreach { dead =>
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(conf)
+      val postings = spark.read.parquet(s"$indexDir/postings")
+      val touched = postings.join(dead, Seq("doc_id"))
+        // partition discovery types term_bucket as INT on read-back
+        .select(col("term_bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)) // bounded: ≤ termBuckets values
+      if (touched.nonEmpty) {
+        val tmp = s"$indexDir/postings_compact_tmp"
+        postings.where(col("term_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
+          .join(dead, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+        touched.foreach { b =>
+          val live = new org.apache.hadoop.fs.Path(s"$indexDir/postings/term_bucket=$b")
+          val next = new org.apache.hadoop.fs.Path(s"$tmp/term_bucket=$b")
+          fs.delete(live, true)
+          // a bucket whose every posting was dead has no rewritten dir —
+          // the delete above already expunged it
+          if (fs.exists(next)) fs.rename(next, live)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val dlTmp = s"$indexDir/dl_compact_tmp"
+      spark.read.parquet(s"$indexDir/dl")
+        .join(dead, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(dlTmp)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/dl"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(dlTmp),
+        new org.apache.hadoop.fs.Path(s"$indexDir/dl"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    }
+
+  /** q144: the q142 lifecycle COMPACTED — same base + delta + deletes,
+    * but the tombstones are expunged by [[compactPostings]] before
+    * serving, so the plan contains no anti-join at all (the artifact
+    * itself is the surviving corpus). Gated under q142's oracle: the
+    * fifth serving shape, one pinned answer — compaction is
+    * answer-invisible in the hash gate, not just in a spec. */
+  def bm25TopKCompacted(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)] = DefaultQueries,
+      topK: Int = 5, salts: Int = 32, batchPct: Int = 30,
+      deletePct: Int = 10): DataFrame = {
+    val indexDir = persistedIndex.getOrCreate(
+      spark, s"$dir#compact:$batchPct:$deletePct") { tmp =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"))
+      savePostingsIndexOf(docs.where(!col("incoming")).select("doc_id", "text"), tmp)
+      appendPostingsDelta(docs.where(col("incoming")).select("doc_id", "text"), tmp)
+      tombstoneDocs(
+        docs.where(pmod(col("doc_id") * lit(7919L), lit(100)) < deletePct)
+          .select("doc_id"), tmp)
+      compactPostings(spark, tmp)
+    }
+    bm25TopKFromIndex(spark, indexDir, queries, topK, salts)
+  }
+
   /** q142: BM25 over the FULL index lifecycle — base build + delta
     * append + tombstoned deletes, served from the merged artifact.
     * The corpus splits by q96's delta rule (30 % incoming), and a

@@ -1158,9 +1158,13 @@ object Similarity {
     * probe pipeline, doubles round-trip parquet bit-exactly, codes are
     * integers). */
   private def pqServe(book: graft.functions.PqBook, coarseCents: DataFrame,
-      subCents: DataFrame, codes: DataFrame, vectors: DataFrame,
+      subCents: DataFrame, codesAll: DataFrame, vectorsAll: DataFrame,
       nProbe1: Int, nProbe2: Int, nQueries: Int, topK: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int, dead: Option[DataFrame] = None): DataFrame = {
+    // tombstones apply at SERVE time, not load time: the cached loaded
+    // relations stay valid across later tombstoneVectors appends
+    val codes = dropDead(codesAll, dead)
+    val vectors = dropDead(vectorsAll, dead)
     val q = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
@@ -1194,7 +1198,8 @@ object Similarity {
       nQueries: Int = 100, topK: Int = 3, rerank: Int = 16): DataFrame = {
     val (book, coarse, subCents, codes, vectors) = loadedPqIndex(spark, indexDir)
     pqServe(book, coarse, subCents, codes, vectors,
-      nProbe1, nProbe2, nQueries, topK, rerank)
+      nProbe1, nProbe2, nQueries, topK, rerank,
+      dead = vecTombstonesOf(spark, indexDir))
   }
 
   /** The COLD serve path: every relation read straight off the artifact,
@@ -1211,7 +1216,8 @@ object Similarity {
         .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
           col("sub_id"), col("proj"), col("codes")),
       spark.read.parquet(s"$indexDir/vectors"),
-      nProbe1, nProbe2, nQueries, topK, rerank)
+      nProbe1, nProbe2, nQueries, topK, rerank,
+      dead = vecTombstonesOf(spark, indexDir))
 
   private val persistedPq = new TempArtifacts("graft-pq-index")
 
@@ -1254,21 +1260,98 @@ object Similarity {
     pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
   }
 
+  /** q145: the compressed artifact with DELETES — q143's tombstone
+    * contract through the PQ layers: full-corpus build, the 10 % delete
+    * set tombstoned, and the warm serve anti-joins it out of BOTH the
+    * codes scan and the refine store (a dead vector neither queries,
+    * nor ADC-scores, nor re-ranks). Gated against the q138 oracle with
+    * the served relation filtered under the full-corpus-frozen
+    * codebooks. */
+  def pqTombstoned(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16,
+      deletePct: Int = 10): DataFrame = {
+    val indexDir = persistedPq.getOrCreate(
+      spark, s"$dir#tomb:$nCoarse:$nSub:$m:$k:$deletePct") { tmp =>
+      savePqIndex(spark, dir, tmp, nCoarse, nSub, m, k)
+      tombstoneVectors(
+        unitEmbeddings(spark, dir)
+          .where(pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct)
+          .select("vec_id"), tmp)
+    }
+    pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
+  }
+
+  /** Retire vectors from a persisted ANN artifact (two-level or PQ
+    * layout) — [[Retrieval.tombstoneDocs]]'s contract for the vector
+    * indexes: takedowns and re-embedded docs land as an appended
+    * delete set (cost ∝ |deletes|, nothing rewritten), and serving
+    * anti-joins them out of the inverted file — a dead vector neither
+    * queries nor surfaces as a neighbor, exactly as if the index had
+    * been rebuilt without it under the same FROZEN codebooks (the
+    * codebook-drift contract is the caller's, as with every delta
+    * merge here; the q143/q145 gates pin serve ≡ filtered-rebuild).
+    * Idempotent: anti-join semantics make replayed deletes harmless. */
+  def tombstoneVectors(deletedIds: DataFrame, indexDir: String): Unit =
+    deletedIds.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  /** The artifact's vector tombstone relation, if any were written. */
+  private def vecTombstonesOf(spark: SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$indexDir/tombstones").select("vec_id").distinct())
+    else None
+  }
+
+  /** Drop tombstoned vectors from a served relation keyed by vec_id.
+    * No forced broadcast — a delete set grows unboundedly between
+    * compactions; AQE picks the build side. */
+  private def dropDead(rel: DataFrame, dead: Option[DataFrame]): DataFrame =
+    dead.fold(rel)(d => rel.join(d, Seq("vec_id"), "left_anti"))
+
   /** Answer ANN queries from a persisted [[saveTwoLevelIndex]] artifact
     * — same probe pipeline as the live stage, so answers are identical
     * by construction (doubles round-trip parquet bit-exactly; pinned by
-    * IvfIndexPersistenceSpec's two-level case). */
+    * IvfIndexPersistenceSpec's two-level case). Tombstoned vectors
+    * ([[tombstoneVectors]]) drop out of the inverted file before the
+    * probe, so they neither query nor surface. */
   def twoLevelTopKFromIndex(spark: SparkSession, indexDir: String,
       nProbe1: Int = 4, nProbe2: Int = 2,
       nQueries: Int = 100, k: Int = 3): DataFrame =
     twoLevelProbe(
       spark.read.parquet(s"$indexDir/coarse"),
       spark.read.parquet(s"$indexDir/subcents"),
-      spark.read.parquet(s"$indexDir/assignments")
+      dropDead(spark.read.parquet(s"$indexDir/assignments")
         // partition-discovery typing: restore the live stage's long
         .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
           col("sub_id"), col("u")),
+        vecTombstonesOf(spark, indexDir)),
       nProbe1, nProbe2, nQueries, k)
+
+  /** q143: the two-level artifact with DELETES — full-corpus build,
+    * a deterministic 10 % delete set tombstoned, served through the
+    * exact probe pipeline. Gated against an oracle whose codebooks
+    * train on the FULL corpus (frozen books — deletes do not retrain)
+    * while the served inverted file excludes the dead set: serve ≡
+    * rebuild-on-survivors under frozen codebooks, end to end. */
+  def twoLevelTombstoned(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, k: Int = 3, deletePct: Int = 10): DataFrame = {
+    val indexDir = persistedTwoLevel.getOrCreate(
+      spark, s"$dir#tomb:$nCoarse:$nSub:$deletePct") { tmp =>
+      saveTwoLevelIndex(spark, dir, tmp, nCoarse, nSub)
+      tombstoneVectors(
+        unitEmbeddings(spark, dir)
+          .where(pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct)
+          .select("vec_id"), tmp)
+    }
+    twoLevelTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, k)
+  }
 
   private val persistedTwoLevel = new TempArtifacts("graft-ivf2-index")
   private[ops] def persistedTwoLevelDirFor(spark: SparkSession, dir: String,

@@ -180,6 +180,60 @@ class PostingsIndexPersistenceSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction expunges tombstones, rewrites only touched buckets, and is answer-invisible") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft-bm25-compact").toString
+    try {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val deadRule = pmod(col("doc_id") * lit(7919L), lit(100)) < 10
+      Retrieval.savePostingsIndex(spark, dir, idx)
+      Retrieval.tombstoneDocs(docs.where(deadRule).select("doc_id"), idx)
+      val served = Retrieval.bm25TopKFromIndex(spark, idx).collect().toSeq
+      // which buckets hold a dead doc's postings — the ONLY ones
+      // compaction may touch
+      val touched = spark.read.parquet(s"$idx/postings")
+        .join(spark.read.parquet(s"$idx/tombstones"), Seq("doc_id"))
+        .select(col("term_bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(touched.nonEmpty, "the fixture delete set must touch some buckets")
+      def bucketFiles(): Map[String, Long] = {
+        val b = java.nio.file.Paths.get(s"$idx/postings")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(b).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => (b.relativize(p).toString,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      }
+      val before = bucketFiles()
+      Retrieval.compactPostings(spark, idx)
+      val after = bucketFiles()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idx/tombstones")),
+        "compaction must delete the tombstone set")
+      // untouched buckets survive byte-identical (same path, same mtime)
+      def bucketOf(rel: String): Long =
+        rel.split("/").head.stripPrefix("term_bucket=").toLong
+      for ((p, m) <- before if !touched.contains(bucketOf(p)))
+        assert(after.get(p).contains(m), s"untouched bucket file $p was rewritten")
+      // touched buckets were rewritten (old files gone)
+      for ((p, _) <- before if touched.contains(bucketOf(p)))
+        assert(!after.contains(p), s"touched bucket file $p survived compaction")
+      // answer-invisible: post-compaction serving equals the anti-join
+      // serving, and no dead doc remains anywhere in the artifact
+      val compacted = Retrieval.bm25TopKFromIndex(spark, idx).collect().toSeq
+      assert(compacted.nonEmpty && compacted == served,
+        "compaction changed the served answers")
+      val residue = spark.read.parquet(s"$idx/postings")
+        .join(docs.where(deadRule).select("doc_id"), Seq("doc_id")).count()
+      assert(residue == 0, s"$residue dead postings survived compaction")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(idx))
+    }
+  }
+
   test("releaseStages retires the q127 artifact: dir deleted, next use rebuilds") {
     // The stale-index hazard: after a session release + corpus
     // regeneration, q110/q124 rebuild from new data but a surviving

@@ -119,6 +119,36 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstones appended AFTER the warm cache loaded still apply at serve time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-tomb").toString
+    try {
+      import spark.implicits._
+      Similarity.savePqIndex(spark, dir, tmp)
+      // warm the loaded-relation cache first — the anti-join must read
+      // tombstones per serve, not bake them into the cached load
+      val before = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50).collect()
+      assert(before.nonEmpty)
+      // kill a vector that actually appears as a neighbor, plus a query
+      val dead = Seq(before.head.getLong(1), 7L)
+      Similarity.tombstoneVectors(dead.toDF("vec_id"), tmp)
+      val after = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50).collect()
+      assert(after.nonEmpty)
+      val deadSet = dead.toSet
+      assert(after.forall(r => !deadSet.contains(r.getLong(0)) &&
+        !deadSet.contains(r.getLong(1))),
+        "a tombstoned vector queried or surfaced after deletion")
+      assert(!before.map(_.toSeq).sameElements(after.map(_.toSeq)),
+        "the delete set must actually change the served answers")
+    } finally {
+      Similarity.releaseStages(spark)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("IVFADC + exact re-rank recovers the probed exact top-k") {
     // the honest comparison is against the EXACT probe over the same
     // probed cells (q129's result): ADC only reorders candidates WITHIN
