@@ -316,6 +316,9 @@ object SparkEntry {
     // q145: deletes through the COMPRESSED artifact — the anti-join
     // covers both the codes scan and the refine store
     "q145_ann_ivfpq_tombstones" -> ((s, d) => Similarity.pqTombstoned(s, d)),
+    // q146: q143 COMPACTED — only the cent_id cells holding dead
+    // vectors are rewritten, tombstones expunged, no anti-join left
+    "q146_ann_two_level_compacted" -> ((s, d) => Similarity.twoLevelCompacted(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -1778,6 +1781,16 @@ object SparkEntry {
     // q143: codebooks train on the FULL corpus (frozen under deletes);
     // only the SERVED inverted file filters the tombstone rule
     "q143_ann_two_level_tombstones" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + """,
+        |sassigned AS (SELECT * FROM assigned2 WHERE (vec_id * 7919) % 100 >= 10)""".stripMargin +
+      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "",
+        servedRel = "sassigned") + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // q146 = q143 compacted: compaction must be answer-invisible, so
+    // the oracle IS q143's
+    "q146_ann_two_level_compacted" -> (UnitVecCte +
       twoLevelIndexCtes(nCoarse = 8, nSub = 4) + """,
         |sassigned AS (SELECT * FROM assigned2 WHERE (vec_id * 7919) % 100 >= 10)""".stripMargin +
       twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "",

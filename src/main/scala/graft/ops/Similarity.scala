@@ -1332,6 +1332,62 @@ object Similarity {
         vecTombstonesOf(spark, indexDir)),
       nProbe1, nProbe2, nQueries, k)
 
+  /** Expunge vector tombstones from a [[saveTwoLevelIndex]] artifact —
+    * [[Retrieval.compactPostings]]'s contract for the ANN inverted
+    * file: rewrite ONLY the cent_id partitions holding a dead vector
+    * (survivors rewritten, dead rows dropped), delete the tombstone
+    * set. Compaction cost ∝ touched cells, never the index — a delete
+    * set clustered in embedding space (a retired source's vectors are
+    * usually semantically close) touches few cells. Answer-invisible by
+    * construction (the q146 gate serves the compacted artifact under
+    * q143's oracle); same single-writer ownership and crash story as
+    * the postings compaction. */
+  def compactTwoLevelIndex(spark: SparkSession, indexDir: String): Unit =
+    vecTombstonesOf(spark, indexDir).foreach { dead =>
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+      val assigned = spark.read.parquet(s"$indexDir/assignments")
+      val touched = assigned.join(dead, Seq("vec_id"))
+        // partition discovery types cent_id as INT on read-back
+        .select(col("cent_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)) // bounded: ≤ nCoarse values
+      if (touched.nonEmpty) {
+        val tmp = s"$indexDir/assignments_compact_tmp"
+        assigned.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
+          .join(dead, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+        touched.foreach { c =>
+          val live = new org.apache.hadoop.fs.Path(s"$indexDir/assignments/cent_id=$c")
+          val next = new org.apache.hadoop.fs.Path(s"$tmp/cent_id=$c")
+          fs.delete(live, true)
+          // a cell whose every vector was dead has no rewritten dir
+          if (fs.exists(next)) fs.rename(next, live)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    }
+
+  /** q146: q143's lifecycle COMPACTED — same full-corpus build and
+    * delete set, tombstones expunged by [[compactTwoLevelIndex]] before
+    * serving, so no anti-join remains in the plan. Gated under q143's
+    * oracle: compaction is answer-invisible in the hash gate. */
+  def twoLevelCompacted(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, k: Int = 3, deletePct: Int = 10): DataFrame = {
+    val indexDir = persistedTwoLevel.getOrCreate(
+      spark, s"$dir#compact:$nCoarse:$nSub:$deletePct") { tmp =>
+      saveTwoLevelIndex(spark, dir, tmp, nCoarse, nSub)
+      tombstoneVectors(
+        unitEmbeddings(spark, dir)
+          .where(pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct)
+          .select("vec_id"), tmp)
+      compactTwoLevelIndex(spark, tmp)
+    }
+    twoLevelTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, k)
+  }
+
   /** q143: the two-level artifact with DELETES — full-corpus build,
     * a deterministic 10 % delete set tombstoned, served through the
     * exact probe pipeline. Gated against an oracle whose codebooks

@@ -71,6 +71,57 @@ class IvfIndexPersistenceSpec extends AnyFunSuite {
     }
   }
 
+  test("ANN compaction expunges tombstones, rewrites only touched cells, answers unchanged") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf2-compact").toString
+    try {
+      Similarity.saveTwoLevelIndex(spark, dir, tmp)
+      val dead = Similarity.unitEmbeddings(spark, dir)
+        .where(pmod(col("vec_id") * lit(7919L), lit(100)) < 10)
+        .select("vec_id")
+      Similarity.tombstoneVectors(dead, tmp)
+      val served = Similarity.twoLevelTopKFromIndex(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      val touched = spark.read.parquet(s"$tmp/assignments")
+        .join(spark.read.parquet(s"$tmp/tombstones"), Seq("vec_id"))
+        .select(col("cent_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(touched.nonEmpty, "the fixture delete set must touch some cells")
+      def cellFiles(): Map[String, Long] = {
+        val b = java.nio.file.Paths.get(s"$tmp/assignments")
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(b).iterator().asScala
+          .filter(p => p.toString.endsWith(".parquet"))
+          .map(p => (b.relativize(p).toString,
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)).toMap
+      }
+      val before = cellFiles()
+      Similarity.compactTwoLevelIndex(spark, tmp)
+      val after = cellFiles()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/tombstones")),
+        "compaction must delete the tombstone set")
+      def cellOf(rel: String): Long =
+        rel.split("/").head.stripPrefix("cent_id=").toLong
+      for ((p, m) <- before if !touched.contains(cellOf(p)))
+        assert(after.get(p).contains(m), s"untouched cell file $p was rewritten")
+      for ((p, _) <- before if touched.contains(cellOf(p)))
+        assert(!after.contains(p), s"touched cell file $p survived compaction")
+      val compacted = Similarity.twoLevelTopKFromIndex(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      assert(compacted.nonEmpty && compacted == served,
+        "compaction changed the served answers")
+      val residue = spark.read.parquet(s"$tmp/assignments")
+        .join(dead, Seq("vec_id")).count()
+      assert(residue == 0, s"$residue dead vectors survived compaction")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("q131 lifecycle: memoized artifact, retired by releaseStages") {
     Similarity.twoLevelTopKPersisted(spark, dir).collect()
     val first = Similarity.persistedTwoLevelDirFor(spark, dir)
