@@ -319,6 +319,9 @@ object SparkEntry {
     // q146: q143 COMPACTED — only the cent_id cells holding dead
     // vectors are rewritten, tombstones expunged, no anti-join left
     "q146_ann_two_level_compacted" -> ((s, d) => Similarity.twoLevelCompacted(s, d)),
+    // q147: q145 COMPACTED — codes compact per touched cell, the cold
+    // refine store rewrites wholesale, the warm cache invalidates
+    "q147_ann_ivfpq_compacted" -> ((s, d) => Similarity.pqCompacted(s, d)),
     // the gradient family of the perceptual rung: dHash (adjacent-block
     // order) survives the monotonic tone edits (gamma/contrast) that
     // flip aHash's block-vs-mean bits — the MinHash/SimHash two-family
@@ -832,6 +835,19 @@ object SparkEntry {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private lazy val Bm25TopKSql = bm25TopKSqlOver("TRUE")
+
+  /** q145's oracle (shared verbatim by q147 — compaction is
+    * answer-invisible): the q138 chain with the SERVED relation
+    * filtered by the tombstone rule while every codebook level stays
+    * full-corpus-frozen. */
+  private lazy val Q145Sql: String = UnitVecCte +
+    twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) + """,
+      |sassigned AS (SELECT * FROM assigned2 WHERE (vec_id * 7919) % 100 >= 10)""".stripMargin +
+    pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 16, prefix = "p",
+      servedRel = "sassigned") + """
+      |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+      |FROM pxranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
 
   /** The perceptual-dup oracle chain shared by q121 (aHash) and q125
     * (dHash): 16×16 pixels from the code-point rule, the 8×8 integer
@@ -1800,14 +1816,10 @@ object SparkEntry {
         |ORDER BY q_id, rank""".stripMargin),
     // q145: the same served-relation filter through the PQ chain — the
     // codes/refine anti-join must reproduce it exactly
-    "q145_ann_ivfpq_tombstones" -> (UnitVecCte +
-      twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) + """,
-        |sassigned AS (SELECT * FROM assigned2 WHERE (vec_id * 7919) % 100 >= 10)""".stripMargin +
-      pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 16, prefix = "p",
-        servedRel = "sassigned") + """
-        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
-        |FROM pxranked WHERE rank <= 3
-        |ORDER BY q_id, rank""".stripMargin),
+    "q145_ann_ivfpq_tombstones" -> Q145Sql,
+    // q147 = q145 compacted: compaction must be answer-invisible, so
+    // the oracle IS q145's
+    "q147_ann_ivfpq_compacted" -> Q145Sql,
     // q116: mirrors Multimodal.frameDups — 100-char frame slices,
     // md5 frame hashes, distinct per payload, cap never binds at this
     // SF (as q32's band cap), pairs sharing >= 3 frames

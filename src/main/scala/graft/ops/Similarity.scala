@@ -1260,6 +1260,73 @@ object Similarity {
     pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
   }
 
+  /** Expunge vector tombstones from a [[savePqIndex]] artifact: the
+    * codes inverted file rewrites ONLY the touched cent_id cells (the
+    * [[compactTwoLevelIndex]] economics — the hot, scanned-per-query
+    * relation compacts partially), the vec_id-keyed refine store is
+    * rewritten wholesale (it is the COLD point-lookup store with no
+    * cell structure; the compaction cadence amortizes it), and the
+    * tombstone set is deleted. The warm loaded-relation cache for this
+    * artifact is dropped: a resident pre-compaction codes relation
+    * plus a now-deleted tombstone file would silently re-serve the
+    * dead rows — the one staleness hazard the serve-time-anti-join
+    * design has, closed here (PqSpec pins compact-under-warm-cache).
+    * Answer-invisible by construction (q147 under q145's oracle). */
+  def compactPqIndex(spark: SparkSession, indexDir: String): Unit =
+    vecTombstonesOf(spark, indexDir).foreach { dead =>
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+      val codes = spark.read.parquet(s"$indexDir/codes")
+      val touched = codes.join(dead, Seq("vec_id"))
+        .select(col("cent_id").cast("long")).distinct()
+        .collect().map(_.getLong(0))
+      if (touched.nonEmpty) {
+        val tmp = s"$indexDir/codes_compact_tmp"
+        codes.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
+          .join(dead, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+        touched.foreach { c =>
+          val live = new org.apache.hadoop.fs.Path(s"$indexDir/codes/cent_id=$c")
+          val next = new org.apache.hadoop.fs.Path(s"$tmp/cent_id=$c")
+          fs.delete(live, true)
+          if (fs.exists(next)) fs.rename(next, live)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      val vTmp = s"$indexDir/vectors_compact_tmp"
+      spark.read.parquet(s"$indexDir/vectors")
+        .join(dead, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(vTmp)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/vectors"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(vTmp),
+        new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+      // drop the resident pre-compaction relations for THIS artifact
+      pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
+      ()
+    }
+
+  /** q147: q145's lifecycle COMPACTED — same build and delete set,
+    * tombstones expunged by [[compactPqIndex]] before serving. Gated
+    * under q145's oracle: the compressed artifact's compaction is
+    * answer-invisible in the hash gate. */
+  def pqCompacted(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16,
+      deletePct: Int = 10): DataFrame = {
+    val indexDir = persistedPq.getOrCreate(
+      spark, s"$dir#compact:$nCoarse:$nSub:$m:$k:$deletePct") { tmp =>
+      savePqIndex(spark, dir, tmp, nCoarse, nSub, m, k)
+      tombstoneVectors(
+        unitEmbeddings(spark, dir)
+          .where(pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct)
+          .select("vec_id"), tmp)
+      compactPqIndex(spark, tmp)
+    }
+    pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
+  }
+
   /** q145: the compressed artifact with DELETES — q143's tombstone
     * contract through the PQ layers: full-corpus build, the 10 % delete
     * set tombstoned, and the warm serve anti-joins it out of BOTH the

@@ -149,6 +149,44 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("compacting under a warm cache invalidates it — dead vectors stay dead") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-compact").toString
+    try {
+      import spark.implicits._
+      Similarity.savePqIndex(spark, dir, tmp)
+      val warm0 = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50).collect()
+      val dead = Seq(warm0.head.getLong(1), 7L)
+      Similarity.tombstoneVectors(dead.toDF("vec_id"), tmp)
+      // warm serve WITH the anti-join (tombstones present, cache resident)
+      val served = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      Similarity.compactPqIndex(spark, tmp)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tmp/tombstones")),
+        "compaction must delete the tombstone set")
+      // the hazard this pins: without cache invalidation the resident
+      // pre-compaction codes relation + the now-absent tombstone file
+      // would re-serve the dead rows
+      val compacted = Similarity.pqTopKFromIndex(spark, tmp, nQueries = 50)
+        .collect().map(_.toSeq).toSeq
+      assert(compacted.nonEmpty && compacted == served,
+        "post-compaction serving diverged from the anti-join serving")
+      val deadSet = dead.toSet
+      assert(compacted.forall(r => !deadSet.contains(r.head.asInstanceOf[Long]) &&
+        !deadSet.contains(r(1).asInstanceOf[Long])),
+        "a dead vector resurfaced after compaction under a warm cache")
+      assert(spark.read.parquet(s"$tmp/vectors")
+        .where(org.apache.spark.sql.functions.col("vec_id").isin(dead: _*)).count() == 0,
+        "dead vectors survived in the refine store")
+    } finally {
+      Similarity.releaseStages(spark)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("IVFADC + exact re-rank recovers the probed exact top-k") {
     // the honest comparison is against the EXACT probe over the same
     // probed cells (q129's result): ADC only reorders candidates WITHIN
