@@ -786,12 +786,29 @@ object Similarity {
     * the codebook quality buys. */
   def appendTwoLevelDelta(deltaVecs: DataFrame, indexDir: String): Unit = {
     val spark = deltaVecs.sparkSession
+    // replay guard (the appendPostingsDelta/appendPqDelta contract):
+    // already-indexed vec_ids anti-join out against the inverted file's
+    // pruned vec_id column, so a re-merged batch is a no-op instead of
+    // double-writing assignment rows. Materialized before the append —
+    // the write's source must not re-list the files it is appending.
+    // A first append (no inverted file yet — codebooks shipped alone)
+    // has nothing to guard against
+    val invPath = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val hasInv = invPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(invPath)
+    val fresh = (if (hasInv)
+      deltaVecs.join(
+        spark.read.parquet(s"$indexDir/assignments").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    else deltaVecs).cache()
+    fresh.count()
     val cents = spark.read.parquet(s"$indexDir/coarse")
     val subCents = spark.read.parquet(s"$indexDir/subcents")
-    val a1 = assignNearest(deltaVecs, cents)
+    val a1 = assignNearest(fresh, cents)
     buildAssigned2(a1, subCents)
       .write.mode("append").partitionBy("cent_id")
       .parquet(s"$indexDir/assignments")
+    fresh.unpersist(blocking = false)
   }
 
   /** q136: two-level ANN served from an INCREMENTALLY BUILT index —

@@ -69,6 +69,15 @@ class TwoLevelIncrementalSpec extends AnyFunSuite {
       for ((cell, files) <- beforeAppend if !deltaCells.contains(cell))
         assert(afterAppend(cell) == files,
           s"partition cent_id=$cell had no delta rows but its files changed")
+
+      // the retry a production ingest eventually does: re-merging the
+      // SAME batch is a no-op (the anti-join replay guard)
+      val rowsBefore = spark.read.parquet(s"$incrDir/assignments").count()
+      Similarity.appendTwoLevelDelta(delta, incrDir)
+      assert(spark.read.parquet(s"$incrDir/assignments").count() == rowsBefore,
+        "a replayed merge double-wrote assignment rows")
+      assert(assignmentsOf(incrDir) == assignmentsOf(monoDir),
+        "a replayed merge changed the inverted file")
       vecs.unpersist(blocking = false)
     } finally { rm(new java.io.File(incrDir)); rm(new java.io.File(monoDir)) }
   }
