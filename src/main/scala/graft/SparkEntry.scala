@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Multimodal, Packing, Relational, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Multimodal, Packing, Relational, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -331,6 +331,28 @@ object SparkEntry {
     "q65_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTop(s, d)),
     "q66_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q67_canonical_keepers" -> Dedup.canonical _,
+    // q148: distinct users over arbitrary date ranges served from the
+    // persisted per-(day, event_type) HLL rollup — the pre-aggregation
+    // artifact that answers range-distinct at 100 TB without touching
+    // raw events; verdict-gated against the exact answers (q50's
+    // sketch discipline meets q127's artifact discipline)
+    "q148_sketch_distinct_rollup" -> ((s, d) => Sketches.sketchDistinctRollup(s, d)),
+    // q149: the rollup built INCREMENTALLY (base days + day-granular
+    // delta append with replay guard) under q148's oracle — HLL union
+    // is lossless, so merged ≡ monolithic exactly
+    "q149_sketch_rollup_incremental" -> ((s, d) => Sketches.sketchRollupIncremental(s, d)),
+    // q150: corpus heavy hitters via distributed Misra-Gries (k
+    // bounded counters per partition, partials merged by sum) — the
+    // capture guarantee (every token with cnt·κ > n surfaces, with
+    // undercount ≤ n/(k+1)) holds for any partition layout and is
+    // pinned inside the hash gate as a captured_bounded flag
+    "q150_heavy_hitters_mg" -> ((s, d) => Sketches.heavyHittersMg(s, d)),
+    // q151: weekly retention overlap (users active in week A AND week
+    // B per event_type) served from q148's SAME rollup artifact via a
+    // custom theta-sketch TypedImperativeAggregate — set intersection
+    // is the algebra HLL structurally cannot express; the verdict gate
+    // pins all three estimates (A, B, A∩B) against the raw table
+    "q151_theta_retention" -> ((s, d) => Sketches.thetaRetention(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -2840,5 +2862,62 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // q148/q149: the Spark side serves distinct-user estimates from the
+    // persisted daily HLL rollup and reduces them to a verdict relation
+    // (exact answers + within_bound), so the oracle is the raw-table
+    // exact aggregate with a constant 1 — a sketch out of bound, a
+    // lossy count merge, or a broken day append flips the flag and
+    // fails the hash. q149 (incremental build) runs under the SAME
+    // oracle: HLL union is lossless, merged ≡ monolithic exactly.
+    "q148_sketch_distinct_rollup" -> SketchRollupSql,
+    "q149_sketch_rollup_incremental" -> SketchRollupSql,
+    // q150: exact heavy hitters (integer threshold: cnt·κ > n) with a
+    // constant captured flag — the Spark side sets it from the MG
+    // candidate set and the undercount bound, both theorems for any
+    // partition layout, so a broken sketch fails the hash compare.
+    // q151: the theta-sketch retention verdict — exact per-type
+    // distinct users for week A, week B, and their intersection, flag
+    // constant 1; an intersection estimate drifting past 10 % (or a
+    // broken sketch merge) flips the flag and fails the hash
+    "q151_theta_retention" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'),
+        |b AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-15' AND CAST(ts AS DATE) < DATE '2024-01-22')
+        |SELECT ea.event_type,
+        |  ea.exact_a, eb.exact_b, COALESCE(ib.exact_both, CAST(0 AS BIGINT)) AS exact_both,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_a FROM a GROUP BY event_type) ea
+        |JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_b FROM b GROUP BY event_type) eb
+        |  USING (event_type)
+        |LEFT JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_both
+        |           FROM a JOIN b USING (event_type, user_id) GROUP BY event_type) ib
+        |  USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    "q150_heavy_hitters_mg" ->
+      """WITH t AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS term FROM documents),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS exact_count FROM t GROUP BY term),
+        |n AS (SELECT CAST(sum(exact_count) AS BIGINT) AS n_total FROM c)
+        |SELECT term, exact_count, CAST(1 AS BIGINT) AS captured_bounded
+        |FROM c, n WHERE exact_count * 500 > n_total
+        |ORDER BY term""".stripMargin,
   )
+
+  /** Shared q148/q149 oracle: exact distinct users + event counts per
+    * (range, event_type) straight off the raw events table. */
+  private lazy val SketchRollupSql =
+    """SELECT CAST(1 AS BIGINT) AS range_id, event_type,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |  CAST(1 AS BIGINT) AS within_bound
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
+      |GROUP BY event_type
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), event_type, CAST(count(*) AS BIGINT),
+      |  CAST(count(DISTINCT user_id) AS BIGINT), CAST(1 AS BIGINT)
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-01' AND CAST(ts AS DATE) < DATE '2024-02-01'
+      |GROUP BY event_type
+      |ORDER BY range_id, event_type""".stripMargin
 }

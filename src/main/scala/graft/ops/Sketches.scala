@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate-aggregation sketches — the pre-aggregation family that
+  * makes "how many distinct users did X over an arbitrary date range"
+  * answerable at 100 TB without rescanning raw events.
+  *
+  * The 100 TB shape is the ROLLUP ARTIFACT, not the one-shot sketch
+  * (q50 already gates `approx_count_distinct` end to end): a nightly
+  * job folds each day's events into one mergeable HLL sketch per
+  * (day, event_type) — a few KB per group — and every later range
+  * query UNIONS the covered days' sketches instead of touching the
+  * raw table. Merge is associative and lossless for HLL (register-wise
+  * max), so serving cost ∝ days in range × groups, never ∝ events.
+  * The artifact follows the same lifecycle discipline as the BM25/IVF
+  * indexes (q127/q133): day-partitioned parquet, incremental day
+  * append with a replay guard, served by partition-pruned scans.
+  *
+  * Verdicts follow the q50/q55/q130 gate pattern: the output relation
+  * carries the EXACT answer plus a `within_bound` flag computed
+  * against the sketch estimate, so the oracle is plain SQL with a
+  * constant 1 — a sketch drifting out of bound flips the flag and
+  * fails the hash compare rather than needing a sketch-for-sketch
+  * cross-engine comparison (DuckDB's HLL internals differ).
+  */
+object Sketches {
+
+  /** lgConfigK = 14: 16 Ki registers, ~0.6 % relative standard error —
+    * the verdict bound (5 % relative) sits ~8 sigma out, and below
+    * ~10 k distincts the datasketches HLL is still in its exact
+    * (coupon-list) modes anyway. */
+  private val DefaultLgK = 14
+
+  /** One HLL sketch, one theta sketch, and the exact event count per
+    * (day, event_type). The sketch columns are opaque mergeable
+    * binaries — the same "typed metadata around an opaque payload"
+    * contract as the multimodal columns. Two sketches because they
+    * answer different algebra: HLL (smaller, lossless union) serves
+    * range-distinct (q148/q149); theta (k smallest hashes) also
+    * serves INTERSECTION — retention/overlap (q151) — which HLL
+    * cannot express. n_events rides along exactly (counts are
+    * trivially mergeable), so the artifact also serves exact event
+    * totals. */
+  private def rollupOf(events: DataFrame, lgK: Int): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(
+        hll_sketch_agg(col("user_id"), lgK).as("users_hll"),
+        graft.functions.ThetaFunctions.thetaSketchAgg(col("user_id"), lgK).as("users_theta"),
+        count(lit(1)).as("n_events"))
+
+  /** Persist the rollup, day-partitioned: a date-range serve prunes to
+    * the covered day directories at scan time — the storage-level
+    * analog of the BM25 term buckets. */
+  def saveDailyRollup(events: DataFrame, outDir: String, lgK: Int = DefaultLgK): Unit =
+    rollupOf(events, lgK)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$outDir/daily")
+
+  /** Merge a delta batch of NEW days into a persisted rollup — the
+    * nightly-ingest shape. Append granularity is the DAY (the rollup's
+    * own grain): a replayed merge of an already-rolled-up day is a
+    * no-op (anti-join against the artifact's day partition values — a
+    * directory listing, no data files read), exactly the
+    * postings/PQ replay guard one level up. Partial-day appends are
+    * the caller's contract, as with any rollup cadence. Cost ∝ |delta
+    * events|: only the delta's day directories are written. */
+  def appendDailyDelta(deltaEvents: DataFrame, indexDir: String,
+      lgK: Int = DefaultLgK): Unit = {
+    val spark = deltaEvents.sparkSession
+    val indexed = spark.read.parquet(s"$indexDir/daily").select("day").distinct()
+    val fresh = rollupOf(
+      deltaEvents
+        .withColumn("day", to_date(col("ts")))
+        .join(indexed, Seq("day"), "left_anti")
+        .drop("day"),
+      lgK).cache()
+    // materialized BEFORE the append: the write's source must not
+    // re-list the day partitions it is itself appending to
+    fresh.count()
+    fresh.write.mode("append").partitionBy("day").parquet(s"$indexDir/daily")
+    fresh.unpersist(blocking = false)
+  }
+
+  /** Serve distinct-user estimates for arbitrary date ranges from the
+    * rollup alone — no raw-events relation in the plan. Each range
+    * scans only its day directories (partition pruning) and merges
+    * ≤ days × groups sketches with `hll_union_agg`. */
+  def distinctUsersFromRollup(spark: SparkSession, indexDir: String,
+      ranges: Seq[(Long, String, String)]): DataFrame =
+    ranges.map { case (rid, from, until) =>
+      spark.read.parquet(s"$indexDir/daily")
+        .where(col("day") >= lit(from) && col("day") < lit(until))
+        .groupBy("event_type")
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("approx_users"),
+          sum("n_events").as("n_events"))
+        .select(lit(rid).as("range_id"), col("event_type"),
+          col("approx_users"), col("n_events"))
+    }.reduce(_.unionByName(_))
+
+  /** The two serving ranges of the gates: one mid-stream week and the
+    * full stream — both nonempty at every SF (the corpus spans
+    * 2024-01-01..2024-01-30 at all scales; density grows, span
+    * doesn't). */
+  private[ops] val DefaultRanges = Seq(
+    (1L, "2024-01-08", "2024-01-15"),
+    (2L, "2024-01-01", "2024-02-01"))
+
+  /** The verdict relation both rollup gates share: per (range,
+    * event_type), the EXACT distinct users and event count from the
+    * raw table, plus `within_bound` = 1 iff the rollup-served estimate
+    * tracks the exact answer within max(5 % relative, 5 absolute) AND
+    * the rollup's merged n_events is exactly the raw count (the count
+    * column must merge losslessly, not approximately). */
+  private def verdictOver(spark: SparkSession, dir: String, indexDir: String,
+      ranges: Seq[(Long, String, String)]): DataFrame = {
+    val approx = distinctUsersFromRollup(spark, indexDir, ranges)
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    val exact = ranges.map { case (rid, from, until) =>
+      ev.where(col("day") >= lit(from) && col("day") < lit(until))
+        .groupBy("event_type")
+        .agg(
+          countDistinct("user_id").as("exact_users"),
+          count(lit(1)).as("n_events_exact"))
+        .select(lit(rid).as("range_id"), col("event_type"),
+          col("exact_users"), col("n_events_exact"))
+    }.reduce(_.unionByName(_))
+    approx.join(exact, Seq("range_id", "event_type"))
+      .select(
+        col("range_id"), col("event_type"),
+        col("n_events_exact").as("n_events"),
+        col("exact_users"),
+        when(
+          abs(col("approx_users") - col("exact_users")) <=
+            greatest(col("exact_users") * lit(0.05), lit(5.0)) &&
+            col("n_events") === col("n_events_exact"), 1L)
+          .otherwise(0L).as("within_bound"))
+      .orderBy("range_id", "event_type")
+  }
+
+  /** One rollup artifact per (session, keyed input), built on first
+    * use — the same memoization discipline as the persisted indexes. */
+  private val rollupArtifacts = new TempArtifacts("graft-hll-rollup")
+  private[ops] def rollupDirFor(spark: SparkSession, key: String): Option[String] =
+    rollupArtifacts.peek(spark, key)
+
+  /** q148: distinct users per (date range, event_type) served from the
+    * persisted daily HLL rollup, verdict-gated against the exact
+    * answers from the raw table. */
+  def sketchDistinctRollup(spark: SparkSession, dir: String,
+      ranges: Seq[(Long, String, String)] = DefaultRanges): DataFrame = {
+    val indexDir = rollupArtifacts.getOrCreate(spark, s"$dir#rollup-full") { tmp =>
+      saveDailyRollup(Tables.events(spark, dir), tmp)
+    }
+    verdictOver(spark, dir, indexDir, ranges)
+  }
+
+  /** q149: the INCREMENTALLY BUILT rollup under q148's oracle — base
+    * days persisted, the tail days merged via [[appendDailyDelta]],
+    * the merged artifact serves. HLL union is lossless (register-wise
+    * max), so merged ≡ monolithic exactly, not approximately — the
+    * q133/q136/q141 incremental contract extended to the aggregation
+    * domain. */
+  def sketchRollupIncremental(spark: SparkSession, dir: String,
+      splitDay: String = "2024-01-25",
+      ranges: Seq[(Long, String, String)] = DefaultRanges): DataFrame = {
+    val indexDir = rollupArtifacts.getOrCreate(spark, s"$dir#rollup-incr:$splitDay") { tmp =>
+      val ev = Tables.events(spark, dir)
+      saveDailyRollup(ev.where(to_date(col("ts")) < lit(splitDay)), tmp)
+      appendDailyDelta(ev.where(to_date(col("ts")) >= lit(splitDay)), tmp)
+    }
+    verdictOver(spark, dir, indexDir, ranges)
+  }
+
+  /** q151: weekly retention overlap from the SAME rollup artifact q148
+    * serves — per event_type, distinct users active in week A, week B,
+    * and BOTH (the theta-intersection answer HLL structurally cannot
+    * give). The verdict carries the exact three counts from the raw
+    * table plus `within_bound` = 1 iff all three sketch estimates
+    * track within max(10 % relative, 10 absolute) — intersection error
+    * scales with union/overlap ratio, so its bound is looser than the
+    * union gates'. One artifact, many serving shapes: the same
+    * economics as the BM25 index's five shapes. */
+  def thetaRetention(spark: SparkSession, dir: String,
+      weekA: (String, String) = ("2024-01-08", "2024-01-15"),
+      weekB: (String, String) = ("2024-01-15", "2024-01-22")): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val indexDir = rollupArtifacts.getOrCreate(spark, s"$dir#rollup-full") { tmp =>
+      saveDailyRollup(Tables.events(spark, dir), tmp)
+    }
+    val daily = spark.read.parquet(s"$indexDir/daily")
+    def merged(from: String, until: String, name: String) =
+      daily.where(col("day") >= lit(from) && col("day") < lit(until))
+        .groupBy("event_type")
+        .agg(thetaUnionAgg(col("users_theta")).as(name))
+    val approx = merged(weekA._1, weekA._2, "sk_a")
+      .join(merged(weekB._1, weekB._2, "sk_b"), Seq("event_type"))
+      .select(col("event_type"),
+        thetaEstimate(col("sk_a")).as("approx_a"),
+        thetaEstimate(col("sk_b")).as("approx_b"),
+        thetaIntersectEstimate(col("sk_a"), col("sk_b")).as("approx_both"))
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    def users(from: String, until: String) =
+      ev.where(col("day") >= lit(from) && col("day") < lit(until))
+        .select("event_type", "user_id").distinct()
+    val ua = users(weekA._1, weekA._2)
+    val ub = users(weekB._1, weekB._2)
+    val exact = ua.groupBy("event_type").agg(count(lit(1)).as("exact_a"))
+      .join(ub.groupBy("event_type").agg(count(lit(1)).as("exact_b")), Seq("event_type"))
+      .join(ua.join(ub, Seq("event_type", "user_id"))
+        .groupBy("event_type").agg(count(lit(1)).as("exact_both")),
+        Seq("event_type"), "left")
+      .na.fill(0L, Seq("exact_both"))
+    def ok(approx: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+      abs(approx - ex) <= greatest(ex * lit(0.10), lit(10.0))
+    approx.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_a"), col("exact_b"), col("exact_both"),
+        when(ok(col("approx_a"), col("exact_a")) &&
+          ok(col("approx_b"), col("exact_b")) &&
+          ok(col("approx_both"), col("exact_both")), 1L)
+          .otherwise(0L).as("within_bound"))
+      .orderBy("event_type")
+  }
+
+  /** Release q148/q149/q151's artifacts for `spark` (the TempArtifacts
+    * retirement contract). */
+  def releaseSession(spark: SparkSession): Int = rollupArtifacts.release(spark)
+
+  // ---------------------------------------------------------------
+  // Misra-Gries heavy hitters
+  // ---------------------------------------------------------------
+
+  /** q150: corpus heavy hitters via distributed Misra-Gries — the
+    * bounded-memory answer to "which tokens exceed n/κ of the stream"
+    * when the vocabulary itself is too large to aggregate exactly.
+    *
+    * Shape: one MG pass per partition ([[mgPartials]] — k counters of
+    * genuine imperative state, the `mapPartitions` class the codecs
+    * live in; everything around it stays declarative), then the ≤ k
+    * partial counters per partition merge by a tiny groupBy-sum.
+    * Summed partial estimates obey, for every term t with true count
+    * c(t):  c(t) − n/(k+1) ≤ est(t) ≤ c(t)   — each partition's MG
+    * undercounts by ≤ n_p/(k+1) and absent-from-partial means est 0,
+    * so the bounds add across partitions and hold for ANY partition
+    * layout. With κ < k+1, every true heavy hitter (c(t)·κ > n)
+    * therefore surfaces with est > 0: capture is a theorem, not a
+    * tuning outcome.
+    *
+    * The verdict relation is partition-layout-independent: exact
+    * counts (the gate recomputes them — at gate time the exact
+    * aggregate is affordable and is what certifies the sketch) plus
+    * `captured_bounded` = 1 iff the term surfaced in the MG candidate
+    * set with 0 ≤ c(t) − est(t) ≤ n/(k+1). The est itself is NOT
+    * output (it legitimately varies with partitioning; the flag's
+    * truth does not). Integer arithmetic only — cross-engine exact. */
+  def heavyHittersMg(spark: SparkSession, dir: String,
+      counters: Int = 1024, kappa: Int = 500): DataFrame =
+    heavyHittersMgOf(Tables.documents(spark, dir), counters, kappa)
+
+  /** [[heavyHittersMg]] over an arbitrary (…, text) relation — the
+    * spec entry point for partition-invariance and fuzz pins. */
+  private[ops] def heavyHittersMgOf(docs: DataFrame,
+      counters: Int, kappa: Int): DataFrame = {
+    require(kappa < counters + 1, "capture guarantee needs kappa < counters+1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val partials = toks.as[String].mapPartitions(mgPartials(_, counters)).toDF("term", "est")
+    val candidates = partials.groupBy("term").agg(sum("est").as("est"))
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("exact_count"))
+    // n derives from the exact aggregate (Σ counts = n): no third corpus
+    // scan, and the two consumers share one shuffle via ReuseExchange
+    val total = exact.agg(sum("exact_count").as("n_total"))
+    exact.crossJoin(broadcast(total)) // 1-row side
+      .where(col("exact_count") * lit(kappa.toLong) > col("n_total"))
+      .join(candidates, Seq("term"), "left")
+      .select(col("term"), col("exact_count"),
+        when(col("est").isNotNull &&
+          col("est") <= col("exact_count") &&
+          (col("exact_count") - col("est")) * lit(counters.toLong + 1L) <= col("n_total"),
+          1L).otherwise(0L).as("captured_bounded"))
+      .orderBy("term")
+  }
+
+  /** Classic Misra-Gries over one partition's token stream: k counters;
+    * a hit increments, a miss inserts while space remains, otherwise
+    * EVERY counter decrements by one and the arriving item is
+    * discarded (its +1 and −1 cancel). Each decrement event retires
+    * k+1 units of count, so total undercount ≤ n_p/(k+1). Emits the
+    * surviving (term, est) counters — ≤ k rows. */
+  private[ops] def mgPartials(it: Iterator[String], k: Int): Iterator[(String, Long)] = {
+    val m = new java.util.HashMap[String, Long](k * 2)
+    while (it.hasNext) {
+      val t = it.next()
+      val cur = m.getOrDefault(t, 0L)
+      if (cur > 0L) m.put(t, cur + 1L)
+      else if (m.size < k) m.put(t, 1L)
+      else {
+        val iter = m.entrySet().iterator()
+        while (iter.hasNext) {
+          val e = iter.next()
+          if (e.getValue == 1L) iter.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue.longValue()))
+  }
+}

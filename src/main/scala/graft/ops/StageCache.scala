@@ -129,5 +129,6 @@ private[ops] object TempArtifacts {
 object StageRegistry {
   def releaseSession(spark: SparkSession): Int =
     Dedup.releaseStages(spark) + Similarity.releaseStages(spark) +
-      TextAnalysis.releaseStages(spark) + Retrieval.releaseStages(spark)
+      TextAnalysis.releaseStages(spark) + Retrieval.releaseStages(spark) +
+      Sketches.releaseSession(spark)
 }

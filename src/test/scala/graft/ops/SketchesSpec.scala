@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** q148/q149 (daily HLL rollup artifact) and q150 (Misra-Gries heavy
+  * hitters) contracts beyond the hash gates: the incremental build is
+  * exactly the monolithic build, the day append is replay-safe, and
+  * the MG verdict is partition-layout-independent (the gate's flag is
+  * a theorem, not a lucky layout). */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q148 verdict: every (range, event_type) row is within bound") {
+    val rows = Sketches.sketchDistinctRollup(spark, dir).collect()
+    assert(rows.length == 10) // 2 ranges x 5 event types
+    assert(rows.forall(_.getAs[Long]("within_bound") == 1L))
+    // the mid-stream week is a strict subset of the full stream
+    val byRange = rows.groupBy(_.getAs[Long]("range_id"))
+    assert(byRange(1L).map(_.getAs[Long]("n_events")).sum <
+      byRange(2L).map(_.getAs[Long]("n_events")).sum)
+  }
+
+  test("q149 incremental rollup serves exactly q148's answers") {
+    val full = Sketches.sketchDistinctRollup(spark, dir).collect().toSeq
+    val incr = Sketches.sketchRollupIncremental(spark, dir).collect().toSeq
+    assert(incr == full)
+  }
+
+  test("replayed day append is a no-op") {
+    val indexDir = Sketches.rollupDirFor(spark, s"$dir#rollup-incr:2024-01-25").get
+    val before = spark.read.parquet(s"$indexDir/daily")
+      .agg(count(lit(1)), sum("n_events")).collect().head
+    // replay the whole delta (and some base days for good measure):
+    // every day is already rolled up, so nothing may append
+    Sketches.appendDailyDelta(
+      Tables.events(spark, dir).where(to_date(col("ts")) >= lit("2024-01-20")), indexDir)
+    val after = spark.read.parquet(s"$indexDir/daily")
+      .agg(count(lit(1)), sum("n_events")).collect().head
+    assert(after == before)
+  }
+
+  test("range serve prunes to the covered day partitions") {
+    val indexDir = Sketches.rollupDirFor(spark, s"$dir#rollup-full").get
+    val days = spark.read.parquet(s"$indexDir/daily")
+      .where(col("day") >= lit("2024-01-08") && col("day") < lit("2024-01-15"))
+      .select("day").distinct().collect().map(_.getDate(0).toString).sorted
+    assert(days.nonEmpty && days.forall(d => d >= "2024-01-08" && d < "2024-01-15"))
+  }
+
+  test("MG partial: bounded counters, underestimates, bounded undercount") {
+    val rnd = new scala.util.Random(42)
+    // zipf-ish: token i with weight ~ 1/(i+1)
+    val stream = Seq.fill(20000)(s"t${(math.pow(rnd.nextDouble(), 3) * 200).toInt}")
+    val k = 16
+    val est = Sketches.mgPartials(stream.iterator, k).toMap
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(est.size <= k)
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t), s"$t overestimated")
+      assert(exact(t) - e <= stream.size / (k + 1), s"$t undercount out of bound")
+    }
+    // absent terms are bounded too: a true count above n/(k+1) must survive
+    exact.foreach { case (t, c) =>
+      if (c > stream.size / (k + 1)) assert(est.contains(t), s"heavy $t lost")
+    }
+  }
+
+  test("q150 verdict is partition-layout-independent and fully captured") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val narrow = Sketches.heavyHittersMgOf(docs.repartition(1), 1024, 500).collect().toSeq
+    val wide = Sketches.heavyHittersMgOf(docs.repartition(7), 1024, 500).collect().toSeq
+    assert(narrow == wide)
+    assert(narrow.nonEmpty)
+    assert(narrow.forall(_.getAs[Long]("captured_bounded") == 1L))
+  }
+
+  test("theta algebra: estimate/union/intersection exact below k, any layout") {
+    import graft.functions.ThetaFunctions._
+    def sk(from: Long, until: Long, parts: Int) =
+      spark.range(from, until, 1, parts).agg(thetaSketchAgg(col("id")).as("sk"))
+    val r = sk(0, 500, 1).crossJoin(sk(300, 800, 8).withColumnRenamed("sk", "sk_b"))
+      .select(
+        thetaEstimate(col("sk")).as("ea"),
+        thetaEstimate(col("sk_b")).as("eb"),
+        thetaIntersectEstimate(col("sk"), col("sk_b")).as("eboth"))
+      .collect().head
+    assert(r.getLong(0) == 500L && r.getLong(1) == 500L && r.getLong(2) == 200L)
+    // two partial sketches merged by the union AGGREGATE = the direct sketch
+    val parts = sk(0, 400, 3).unionByName(sk(400, 800, 5))
+    val merged = parts.agg(thetaUnionAgg(col("sk")).as("u"))
+      .select(thetaEstimate(col("u"))).collect().head.getLong(0)
+    assert(merged == 800L)
+  }
+
+  test("q151 verdict: five in-bound rows, intersection within min(a, b)") {
+    val rows = Sketches.thetaRetention(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Long]("within_bound") == 1L))
+    rows.foreach { r =>
+      val (a, b, both) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
+        r.getAs[Long]("exact_both"))
+      assert(both <= math.min(a, b) && both >= 0L)
+    }
+  }
+
+  test("MG capture guarantee under an adversarial tail (tiny k)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(7)
+    // 3 heavy terms inside a sea of near-unique tail tokens
+    // n = 2120; threshold n/12 ~ 177 — all three hot terms clear it
+    val toks = Seq.fill(300)("hot1") ++ Seq.fill(220)("hot2") ++ Seq.fill(200)("hot3") ++
+      (0 until 1400).map(i => s"tail_${i}_${rnd.nextInt(1000)}")
+    val docs = rnd.shuffle(toks).grouped(40).map(_.mkString(" ")).toSeq
+      .toDF("text").withColumn("doc_id", monotonically_increasing_id())
+    val out = Sketches.heavyHittersMgOf(docs.repartition(5), 64, 12).collect()
+    val terms = out.map(_.getAs[String]("term")).toSet
+    assert(Set("hot1", "hot2", "hot3").subsetOf(terms))
+    assert(out.forall(_.getAs[Long]("captured_bounded") == 1L))
+  }
+}
