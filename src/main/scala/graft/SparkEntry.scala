@@ -353,6 +353,11 @@ object SparkEntry {
     // is the algebra HLL structurally cannot express; the verdict gate
     // pins all three estimates (A, B, A∩B) against the raw table
     "q151_theta_retention" -> ((s, d) => Sketches.thetaRetention(s, d)),
+    // q152: range quantiles from the same rollup artifact via a custom
+    // mergeable KLL aggregate — per-day sketches, union-merged at
+    // serve; the verdict checks each estimate's EXACT rank against the
+    // distribution-free KLL guarantee and hashes exact percentiles only
+    "q152_kll_range_quantiles" -> ((s, d) => Sketches.kllRangeQuantiles(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -2875,6 +2880,27 @@ object SparkEntry {
     // constant captured flag — the Spark side sets it from the MG
     // candidate set and the undercount bound, both theorems for any
     // partition layout, so a broken sketch fails the hash compare.
+    // q152: the KLL range-quantile verdict — exact interpolated
+    // percentiles per (range, event_type) (the q55-proven cross-engine
+    // pair at 2 decimals) + constant flag; a sketch estimate whose
+    // exact rank drifts past the 5 % tolerance flips the flag
+    "q152_kll_range_quantiles" ->
+      """SELECT CAST(1 AS BIGINT) AS range_id, event_type,
+        |  CAST(count(value) AS BIGINT) AS n_values,
+        |  round(quantile_cont(value, 0.5), 2) AS p50_exact,
+        |  round(quantile_cont(value, 0.95), 2) AS p95_exact,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, CAST(count(value) AS BIGINT),
+        |  round(quantile_cont(value, 0.5), 2), round(quantile_cont(value, 0.95), 2),
+        |  CAST(1 AS BIGINT)
+        |FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-01' AND CAST(ts AS DATE) < DATE '2024-02-01'
+        |GROUP BY event_type
+        |ORDER BY range_id, event_type""".stripMargin,
     // q151: the theta-sketch retention verdict — exact per-type
     // distinct users for week A, week B, and their intersection, flag
     // constant 1; an intersection estimate drifting past 10 % (or a

@@ -49,6 +49,7 @@ object Sketches {
       .agg(
         hll_sketch_agg(col("user_id"), lgK).as("users_hll"),
         graft.functions.ThetaFunctions.thetaSketchAgg(col("user_id"), lgK).as("users_theta"),
+        graft.functions.KllFunctions.kllSketchAgg(col("value")).as("value_kll"),
         count(lit(1)).as("n_events"))
 
   /** Persist the rollup, day-partitioned: a date-range serve prunes to
@@ -224,8 +225,59 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  /** Release q148/q149/q151's artifacts for `spark` (the TempArtifacts
-    * retirement contract). */
+  /** q152: range quantiles (p50/p95 of event value per event_type)
+    * from the SAME rollup artifact — per-day KLL sketches merged with
+    * the union aggregate at serve time, no raw-events relation in the
+    * sketch path. The raw table appears only on the VERDICT side:
+    * exact interpolated percentiles (the q55-proven cross-engine pair)
+    * plus a rank-error check on each estimate — the estimate is an
+    * actual retained item, so its exact rank interval
+    * [count(<est)+1, count(≤est)] must intersect [(φ−ε)·n, (φ+ε)·n],
+    * ε = 5 % against KLL k=200's ~1.65 % two-sided-99 % guarantee.
+    * Estimates are never hashed (KLL compaction is randomized; the
+    * rank guarantee, not the sample, is the contract). */
+  def kllRangeQuantiles(spark: SparkSession, dir: String,
+      ranges: Seq[(Long, String, String)] = DefaultRanges): DataFrame = {
+    import graft.functions.KllFunctions._
+    val indexDir = rollupArtifacts.getOrCreate(spark, s"$dir#rollup-full") { tmp =>
+      saveDailyRollup(Tables.events(spark, dir), tmp)
+    }
+    val daily = spark.read.parquet(s"$indexDir/daily")
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    val eps = 0.05
+    def rankOk(phi: Double, lt: org.apache.spark.sql.Column,
+        le: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      (lt + lit(1.0)) <= (lit(phi + eps) * n) && le >= (lit(phi - eps) * n)
+    ranges.map { case (rid, from, until) =>
+      val appr = daily.where(col("day") >= lit(from) && col("day") < lit(until))
+        .groupBy("event_type")
+        .agg(kllUnionAgg(col("value_kll")).as("sk"))
+        .select(col("event_type"),
+          kllQuantile(col("sk"), 0.5).as("approx_p50"),
+          kllQuantile(col("sk"), 0.95).as("approx_p95"))
+      val sub = ev.where(col("day") >= lit(from) && col("day") < lit(until))
+      val exact = sub.groupBy("event_type").agg(
+        count(col("value")).as("n_values"),
+        round(expr("percentile(value, 0.5)"), 2).as("p50_exact"),
+        round(expr("percentile(value, 0.95)"), 2).as("p95_exact"))
+      val ranked = sub.join(broadcast(appr), Seq("event_type")) // ≤ groups rows
+        .groupBy("event_type").agg(
+          sum(when(col("value") < col("approx_p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("value") < col("approx_p95"), 1L).otherwise(0L)).as("lt95"),
+          sum(when(col("value") <= col("approx_p95"), 1L).otherwise(0L)).as("le95"),
+          count(col("value")).as("n"))
+      exact.join(ranked, Seq("event_type"))
+        .select(lit(rid).as("range_id"), col("event_type"),
+          col("n_values"), col("p50_exact"), col("p95_exact"),
+          when(rankOk(0.5, col("lt50"), col("le50"), col("n")) &&
+            rankOk(0.95, col("lt95"), col("le95"), col("n")), 1L)
+            .otherwise(0L).as("within_bound"))
+    }.reduce(_.unionByName(_)).orderBy("range_id", "event_type")
+  }
+
+  /** Release q148/q149/q151/q152's artifacts for `spark` (the
+    * TempArtifacts retirement contract). */
   def releaseSession(spark: SparkSession): Int = rollupArtifacts.release(spark)
 
   // ---------------------------------------------------------------

@@ -107,6 +107,36 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL: exact below k, mergeable across layouts") {
+    import graft.functions.KllFunctions._
+    // 101 distinct values 0.0..100.0: below k=200 the sketch retains
+    // everything, so INCLUSIVE quantiles are the exact order stats
+    def sk(parts: Int) = TestSpark.spark.range(0, 101, 1, parts)
+      .select((col("id") * lit(1.0)).as("v"))
+      .agg(kllSketchAgg(col("v")).as("sk"))
+    val direct = sk(1).select(
+      kllQuantile(col("sk"), 0.5).as("p50"),
+      kllQuantile(col("sk"), 0.95).as("p95")).collect().head
+    assert(direct.getDouble(0) == 50.0 && direct.getDouble(1) == 95.0)
+    // partial sketches over disjoint ranges merged by the union
+    // aggregate = the direct one (101 values total, still exact mode)
+    def part(from: Long, until: Long, parts: Int) =
+      TestSpark.spark.range(from, until, 1, parts)
+        .select((col("id") * lit(1.0)).as("v"))
+        .agg(kllSketchAgg(col("v")).as("sk"))
+    val merged = part(0, 60, 3).unionByName(part(60, 101, 2))
+      .agg(kllUnionAgg(col("sk")).as("u"))
+      .select(kllQuantile(col("u"), 0.5)).collect().head.getDouble(0)
+    assert(merged == 50.0)
+  }
+
+  test("q152 verdict: every (range, event_type) row passes the rank gate") {
+    val rows = Sketches.kllRangeQuantiles(spark, dir).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[Long]("within_bound") == 1L))
+    rows.foreach(r => assert(r.getAs[Double]("p50_exact") <= r.getAs[Double]("p95_exact")))
+  }
+
   test("MG capture guarantee under an adversarial tail (tiny k)") {
     val spark0 = spark
     import spark0.implicits._
