@@ -70,13 +70,20 @@ object Sketches {
   def appendDailyDelta(deltaEvents: DataFrame, indexDir: String,
       lgK: Int = DefaultLgK): Unit = {
     val spark = deltaEvents.sparkSession
-    val indexed = spark.read.parquet(s"$indexDir/daily").select("day").distinct()
-    val fresh = rollupOf(
-      deltaEvents
-        .withColumn("day", to_date(col("ts")))
-        .join(indexed, Seq("day"), "left_anti")
-        .drop("day"),
-      lgK).cache()
+    // bootstrap: the very first append (streaming ingest starts cold)
+    // has no daily dir yet — every delta day is fresh then
+    val dailyPath = new org.apache.hadoop.fs.Path(s"$indexDir/daily")
+    val fs = dailyPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val guarded =
+      if (!fs.exists(dailyPath)) deltaEvents
+      else {
+        val indexed = spark.read.parquet(s"$indexDir/daily").select("day").distinct()
+        deltaEvents
+          .withColumn("day", to_date(col("ts")))
+          .join(indexed, Seq("day"), "left_anti")
+          .drop("day")
+      }
+    val fresh = rollupOf(guarded, lgK).cache()
     // materialized BEFORE the append: the write's source must not
     // re-list the day partitions it is itself appending to
     fresh.count()
@@ -105,7 +112,7 @@ object Sketches {
     * full stream — both nonempty at every SF (the corpus spans
     * 2024-01-01..2024-01-30 at all scales; density grows, span
     * doesn't). */
-  private[ops] val DefaultRanges = Seq(
+  private[graft] val DefaultRanges = Seq(
     (1L, "2024-01-08", "2024-01-15"),
     (2L, "2024-01-01", "2024-02-01"))
 

@@ -218,6 +218,32 @@ object EventsStreaming {
       .select(col("purchase_id"), col("signup_id"), col("p_user").as("user_id"), col("value"))
   }
 
+  /** Streaming ingest into the daily sketch-rollup artifact
+    * (graft.ops.Sketches): each micro-batch folds through
+    * `appendDailyDelta` via foreachBatch — the streaming half of the
+    * q148/q149 lifecycle, mirroring how the text/image gates feed the
+    * dedup artifacts.
+    *
+    * The rollup's ingest unit is the CLOSED day (its own grain), so
+    * the stream must deliver day-aligned batches — the nightly-rollup
+    * cadence a production pipeline runs (one file/object per closed
+    * day; file-source streams preserve that alignment at
+    * maxFilesPerTrigger=1). The artifact's day-level replay guard then
+    * makes redelivery idempotent: a restarted stream that re-reads an
+    * already-rolled-up day appends nothing (EventsStreamingSpec pins
+    * redelivery). A batch that SPLITS a day would under-roll it — that
+    * is the same caller-owned granularity contract as the postings
+    * delta's doc batches, stated here rather than hidden. */
+  def rollupIngest(events: DataFrame, indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Sketches.appendDailyDelta(batch, indexDir)
+      }
+      .start()
+
   /** Run a streaming query over `src` into an in-memory table and block
     * until every available file is processed (test/dev harness; a
     * production job would use a durable sink + checkpoint dir and

@@ -157,6 +157,45 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming rollup ingest converges to the monolithic artifact and survives redelivery") {
+    import graft.ops.Sketches
+    val ev = Tables.events(spark, sfDir)
+    // two CLOSED-day batches (the rollup's ingest grain): days 1-15, 16-31
+    val streamDir = Files.createTempDirectory("graft-rollup-stream")
+    val ingestDir = Files.createTempDirectory("graft-rollup-ingest").toString
+    val ckptDir = Files.createTempDirectory("graft-rollup-ckpt").toString
+    def writeBatch(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft-rollup-batch").toString
+      ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, java.nio.file.Path.of(s"$streamDir/$name.parquet"))
+    }
+    writeBatch("day01_15", to_date(col("ts")) < lit("2024-01-16"))
+    val stream = EventsStreaming.readEvents(spark, streamDir.toString, maxFilesPerTrigger = 1,
+      schema = Some(spark.read.parquet(s"$sfDir/events.parquet").schema))
+    val q = EventsStreaming.rollupIngest(stream, ingestDir, ckptDir)
+    q.processAllAvailable()
+    writeBatch("day16_31", to_date(col("ts")) >= lit("2024-01-16"))
+    q.processAllAvailable()
+    // streamed artifact == monolithic artifact, sketch for sketch
+    val monoDir = Files.createTempDirectory("graft-rollup-mono").toString
+    Sketches.saveDailyRollup(ev, monoDir)
+    val served = Sketches.distinctUsersFromRollup(spark, ingestDir, Sketches.DefaultRanges)
+      .orderBy("range_id", "event_type").collect()
+    val mono = Sketches.distinctUsersFromRollup(spark, monoDir, Sketches.DefaultRanges)
+      .orderBy("range_id", "event_type").collect()
+    assert(served.nonEmpty && served.sameElements(mono))
+    // redelivery: the same closed days land again -> day-level replay
+    // guard appends nothing
+    Files.copy(java.nio.file.Path.of(s"$streamDir/day16_31.parquet"),
+      java.nio.file.Path.of(s"$streamDir/day16_31_redelivered.parquet"))
+    q.processAllAvailable()
+    q.stop()
+    val after = Sketches.distinctUsersFromRollup(spark, ingestDir, Sketches.DefaultRanges)
+      .orderBy("range_id", "event_type").collect()
+    assert(after.sameElements(served))
+  }
+
   test("mapGroupsWithState running counts converge to batch totals") {
     val dir = mkStreamDir(1)
     val stream = EventsStreaming.readEvents(spark, dir, maxFilesPerTrigger = 1)
