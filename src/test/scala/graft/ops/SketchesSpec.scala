@@ -51,6 +51,34 @@ class SketchesSpec extends AnyFunSuite {
     assert(days.nonEmpty && days.forall(d => d >= "2024-01-08" && d < "2024-01-15"))
   }
 
+  test("rollup serve scan prunes day partitions in the executed plan") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val indexDir = Sketches.rollupDirFor(spark, s"$dir#rollup-full").get
+    val df = Sketches.distinctUsersFromRollup(spark, indexDir,
+      Seq((1L, "2024-01-08", "2024-01-15")))
+    df.collect()
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      self ++ kids.flatMap(scans)
+    }
+    val rollupScans = scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("daily")))
+    assert(rollupScans.nonEmpty)
+    // the day range must land as PARTITION filters (directory pruning),
+    // not data filters — and actually prune: 7 of ~30 day dirs read
+    rollupScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty, "day range fell out of partition pruning")
+      assert(s.selectedPartitions.partitionCount == 7,
+        s"expected 7 pruned day partitions, read ${s.selectedPartitions.partitionCount}")
+    }
+  }
+
   test("MG partial: bounded counters, underestimates, bounded undercount") {
     val rnd = new scala.util.Random(42)
     // zipf-ish: token i with weight ~ 1/(i+1)
