@@ -358,6 +358,11 @@ object SparkEntry {
     // serve; the verdict checks each estimate's EXACT rank against the
     // distribution-free KLL guarantee and hashes exact percentiles only
     "q152_kll_range_quantiles" -> ((s, d) => Sketches.kllRangeQuantiles(s, d)),
+    // q153: the correction half of the rollup lifecycle — three days
+    // retracted (partition drops, cost oc retracted days) and re-rolled
+    // from the raw table through the guarded append; retract+re-append
+    // == monolithic under q148's oracle
+    "q153_sketch_rollup_corrected" -> ((s, d) => Sketches.sketchRollupCorrected(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -2876,6 +2881,7 @@ object SparkEntry {
     // oracle: HLL union is lossless, merged ≡ monolithic exactly.
     "q148_sketch_distinct_rollup" -> SketchRollupSql,
     "q149_sketch_rollup_incremental" -> SketchRollupSql,
+    "q153_sketch_rollup_corrected" -> SketchRollupSql,
     // q150: exact heavy hitters (integer threshold: cnt·κ > n) with a
     // constant captured flag — the Spark side sets it from the MG
     // candidate set and the undercount bound, both theorems for any

@@ -232,6 +232,44 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** Retire days from the rollup — the correction half of the
+    * lifecycle (re-crawled days, late-arriving data, a bad ingest).
+    * Sketches cannot subtract, so the retraction unit is the
+    * artifact's own grain: the day partition directory is DELETED
+    * (cost ∝ retracted days, nothing else rewritten — the same
+    * touched-partitions-only economics as the postings/ANN
+    * compactions) and the corrected day re-enters through the normal
+    * guarded append. Idempotent: deleting an absent day is a no-op. */
+  def retractDays(spark: SparkSession, indexDir: String, days: Seq[String]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/daily")
+    val fs = root.getFileSystem(conf)
+    days.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/daily/day=$d"), true)
+    }
+  }
+
+  /** q153: the CORRECTED rollup under q148's oracle — build, retract
+    * three days (two inside the served week, one in the tail), then
+    * re-ingest them from the raw table through the guarded append.
+    * retract + re-append ≡ monolithic exactly (the retained days'
+    * sketches are untouched files; the re-rolled days reproduce
+    * theirs — HLL/theta states are functions of the day's value set,
+    * counts are exact), which is what the hash gate pins. */
+  def sketchRollupCorrected(spark: SparkSession, dir: String,
+      correctedDays: Seq[String] = Seq("2024-01-09", "2024-01-10", "2024-01-28"),
+      ranges: Seq[(Long, String, String)] = DefaultRanges): DataFrame = {
+    val indexDir = rollupArtifacts.getOrCreate(
+      spark, s"$dir#rollup-corrected:${correctedDays.mkString(",")}") { tmp =>
+      val ev = Tables.events(spark, dir)
+      saveDailyRollup(ev, tmp)
+      retractDays(spark, tmp, correctedDays)
+      appendDailyDelta(
+        ev.where(to_date(col("ts")).cast("string").isin(correctedDays: _*)), tmp)
+    }
+    verdictOver(spark, dir, indexDir, ranges)
+  }
+
   /** q152: range quantiles (p50/p95 of event value per event_type)
     * from the SAME rollup artifact — per-day KLL sketches merged with
     * the union aggregate at serve time, no raw-events relation in the

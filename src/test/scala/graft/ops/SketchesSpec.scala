@@ -43,6 +43,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("q153 corrected rollup serves exactly q148's answers; retraction bites") {
+    val full = Sketches.sketchDistinctRollup(spark, dir).collect().toSeq
+    val corrected = Sketches.sketchRollupCorrected(spark, dir).collect().toSeq
+    assert(corrected == full)
+    // retraction alone (no re-append) must change the served answer —
+    // otherwise the gate proves nothing about the correction path
+    val scratch = java.nio.file.Files.createTempDirectory("graft-retract").toString
+    Sketches.saveDailyRollup(Tables.events(spark, dir), scratch)
+    val before = Sketches.distinctUsersFromRollup(spark, scratch, Sketches.DefaultRanges)
+      .agg(sum("n_events")).collect().head.getLong(0)
+    Sketches.retractDays(spark, scratch, Seq("2024-01-09"))
+    val after = Sketches.distinctUsersFromRollup(spark, scratch, Sketches.DefaultRanges)
+      .agg(sum("n_events")).collect().head.getLong(0)
+    assert(after < before)
+  }
+
   test("range serve prunes to the covered day partitions") {
     val indexDir = Sketches.rollupDirFor(spark, s"$dir#rollup-full").get
     val days = spark.read.parquet(s"$indexDir/daily")
