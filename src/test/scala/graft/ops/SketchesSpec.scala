@@ -83,9 +83,14 @@ class SketchesSpec extends AnyFunSuite {
       }
       self ++ kids.flatMap(scans)
     }
-    val rollupScans = scans(df.queryExecution.executedPlan)
+    val allScans = scans(df.queryExecution.executedPlan)
+    val rollupScans = allScans
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("daily")))
     assert(rollupScans.nonEmpty)
+    // the headline claim: the SERVE plan contains no raw-events
+    // relation at all — every file scan reads the artifact
+    assert(allScans.size == rollupScans.size,
+      s"serve plan scans a non-artifact relation: ${allScans.map(_.relation.location.rootPaths)}")
     // the day range must land as PARTITION filters (directory pruning),
     // not data filters — and actually prune: 7 of ~30 day dirs read
     rollupScans.foreach { s =>
