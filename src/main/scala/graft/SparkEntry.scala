@@ -363,6 +363,10 @@ object SparkEntry {
     // from the raw table through the guarded append; retract+re-append
     // == monolithic under q148's oracle
     "q153_sketch_rollup_corrected" -> ((s, d) => Sketches.sketchRollupCorrected(s, d)),
+    // q154: rolling actives (DAU + trailing-7-day WAU) — the sliding-
+    // window shape over the rollup's day sketches; the anchor-window
+    // join is rollup-sized, raw events appear only on the verdict side
+    "q154_rolling_actives" -> ((s, d) => Sketches.rollingActives(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -2882,6 +2886,18 @@ object SparkEntry {
     "q148_sketch_distinct_rollup" -> SketchRollupSql,
     "q149_sketch_rollup_incremental" -> SketchRollupSql,
     "q153_sketch_rollup_corrected" -> SketchRollupSql,
+    // q154: exact DAU/WAU per day with a constant flag — the rolling-
+    // window sketch estimates are checked in Spark, never hashed
+    "q154_rolling_actives" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM e)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e WHERE e.day = d.day) AS dau_exact,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM e
+        |     WHERE e.day BETWEEN d.day - 6 AND d.day) AS wau_exact,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM d
+        |ORDER BY day""".stripMargin,
     // q150: exact heavy hitters (integer threshold: cnt·κ > n) with a
     // constant captured flag — the Spark side sets it from the MG
     // candidate set and the undercount bound, both theorems for any

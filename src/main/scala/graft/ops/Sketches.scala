@@ -232,6 +232,54 @@ object Sketches {
       .orderBy("event_type")
   }
 
+  /** q154: rolling actives (DAU + trailing-7-day WAU per day) served
+    * from the rollup — the sliding-window shape over sketches. Each
+    * anchor day unions its window's per-(day, type) HLL sketches; the
+    * anchor↔window join is rollup-sized (days × days·groups, KBs), so
+    * the raw table appears ONLY on the exact-verdict side. DAU and WAU
+    * come from the same pass: the window join tags the anchor's own
+    * day, and two conditional union-aggs split them. The output day is
+    * rendered as a string (cross-engine date hashing stays out of the
+    * gate, as with every timestamp gate here). */
+  def rollingActives(spark: SparkSession, dir: String,
+      windowDays: Int = 7): DataFrame = {
+    val indexDir = rollupArtifacts.getOrCreate(spark, s"$dir#rollup-full") { tmp =>
+      saveDailyRollup(Tables.events(spark, dir), tmp)
+    }
+    val daily = spark.read.parquet(s"$indexDir/daily")
+      .select(col("day"), col("users_hll"))
+    val anchors = daily.select(col("day").as("anchor")).distinct()
+    val windowed = anchors.join(daily,
+      col("day") >= date_sub(col("anchor"), windowDays - 1) &&
+        col("day") <= col("anchor"))
+    val approx = windowed
+      .groupBy("anchor")
+      .agg(
+        hll_sketch_estimate(
+          hll_union_agg(when(col("day") === col("anchor"), col("users_hll"))))
+          .as("dau_approx"),
+        hll_sketch_estimate(hll_union_agg(col("users_hll"))).as("wau_approx"))
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    val exactDau = ev.groupBy(col("day").as("anchor"))
+      .agg(countDistinct("user_id").as("dau_exact"))
+    val exactWau = ev
+      .join(broadcast(anchors),
+        col("day") >= date_sub(col("anchor"), windowDays - 1) &&
+          col("day") <= col("anchor"))
+      .groupBy("anchor")
+      .agg(countDistinct("user_id").as("wau_exact"))
+    def ok(a: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+      abs(a - ex) <= greatest(ex * lit(0.05), lit(5.0))
+    approx.join(exactDau, Seq("anchor")).join(exactWau, Seq("anchor"))
+      .select(
+        date_format(col("anchor"), "yyyy-MM-dd").as("day"),
+        col("dau_exact"), col("wau_exact"),
+        when(ok(col("dau_approx"), col("dau_exact")) &&
+          ok(col("wau_approx"), col("wau_exact")), 1L)
+          .otherwise(0L).as("within_bound"))
+      .orderBy("day")
+  }
+
   /** Retire days from the rollup — the correction half of the
     * lifecycle (re-crawled days, late-arriving data, a bad ingest).
     * Sketches cannot subtract, so the retraction unit is the

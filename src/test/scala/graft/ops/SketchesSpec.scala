@@ -59,6 +59,15 @@ class SketchesSpec extends AnyFunSuite {
     assert(after < before)
   }
 
+  test("q154 rolling actives: every day in bound, WAU >= DAU, WAU monotone-ish") {
+    val rows = Sketches.rollingActives(spark, dir).collect()
+    assert(rows.length >= 25) // ~30 days in the corpus
+    assert(rows.forall(_.getAs[Long]("within_bound") == 1L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau_exact") >= r.getAs[Long]("dau_exact"))
+    }
+  }
+
   test("range serve prunes to the covered day partitions") {
     val indexDir = Sketches.rollupDirFor(spark, s"$dir#rollup-full").get
     val days = spark.read.parquet(s"$indexDir/daily")
