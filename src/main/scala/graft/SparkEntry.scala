@@ -367,6 +367,10 @@ object SparkEntry {
     // window shape over the rollup's day sketches; the anchor-window
     // join is rollup-sized, raw events appear only on the verdict side
     "q154_rolling_actives" -> ((s, d) => Sketches.rollingActives(s, d)),
+    // q155: weekly churn (in week A, gone from week B) via theta A\B
+    // off the same artifact — the difference op completing q151's set
+    // algebra; exact anti-join on the verdict side only
+    "q155_theta_churn" -> ((s, d) => Sketches.thetaChurn(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -2923,6 +2927,21 @@ object SparkEntry {
         |WHERE CAST(ts AS DATE) >= DATE '2024-01-01' AND CAST(ts AS DATE) < DATE '2024-02-01'
         |GROUP BY event_type
         |ORDER BY range_id, event_type""".stripMargin,
+    // q155: churn twin of q151 — exact week-A actives and the A\B
+    // anti-join count, constant flag
+    "q155_theta_churn" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-08' AND CAST(ts AS DATE) < DATE '2024-01-15'),
+        |b AS (SELECT DISTINCT event_type, user_id FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '2024-01-15' AND CAST(ts AS DATE) < DATE '2024-01-22')
+        |SELECT ea.event_type, ea.exact_a,
+        |  COALESCE(ch.exact_churned, CAST(0 AS BIGINT)) AS exact_churned,
+        |  CAST(1 AS BIGINT) AS within_bound
+        |FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_a FROM a GROUP BY event_type) ea
+        |LEFT JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_churned
+        |           FROM a ANTI JOIN b USING (event_type, user_id) GROUP BY event_type) ch
+        |  USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // q151: the theta-sketch retention verdict — exact per-type
     // distinct users for week A, week B, and their intersection, flag
     // constant 1; an intersection estimate drifting past 10 % (or a

@@ -141,6 +141,24 @@ case class ThetaIntersectEstimate(left: Expression, right: Expression)
   override def prettyName: String = "theta_intersect_estimate"
 }
 
+/** Rounded estimate of |A \ B| from two compact theta sketches — the
+  * difference completing the theta set algebra (churn: in A, gone
+  * from B). */
+case class ThetaDifferenceEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with ThetaHelpers {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val op = SetOperation.builder().buildANotB()
+    math.round(op.aNotB(
+      wrapCompact(a.asInstanceOf[Array[Byte]]),
+      wrapCompact(b.asInstanceOf[Array[Byte]])).getEstimate)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "theta_difference_estimate"
+}
+
 object ThetaFunctions {
   def thetaSketchAgg(c: Column, lgK: Int = 14): Column =
     Bridge.column(ThetaSketchAgg(Bridge.expression(c), lgK).toAggregateExpression())
@@ -150,4 +168,6 @@ object ThetaFunctions {
     Bridge.column(ThetaEstimate(Bridge.expression(c)))
   def thetaIntersectEstimate(a: Column, b: Column): Column =
     Bridge.column(ThetaIntersectEstimate(Bridge.expression(a), Bridge.expression(b)))
+  def thetaDifferenceEstimate(a: Column, b: Column): Column =
+    Bridge.column(ThetaDifferenceEstimate(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -199,12 +199,8 @@ object Sketches {
       saveDailyRollup(Tables.events(spark, dir), tmp)
     }
     val daily = spark.read.parquet(s"$indexDir/daily")
-    def merged(from: String, until: String, name: String) =
-      daily.where(col("day") >= lit(from) && col("day") < lit(until))
-        .groupBy("event_type")
-        .agg(thetaUnionAgg(col("users_theta")).as(name))
-    val approx = merged(weekA._1, weekA._2, "sk_a")
-      .join(merged(weekB._1, weekB._2, "sk_b"), Seq("event_type"))
+    val approx = mergedThetaWeek(daily, weekA._1, weekA._2, "sk_a")
+      .join(mergedThetaWeek(daily, weekB._1, weekB._2, "sk_b"), Seq("event_type"))
       .select(col("event_type"),
         thetaEstimate(col("sk_a")).as("approx_a"),
         thetaEstimate(col("sk_b")).as("approx_b"),
@@ -278,6 +274,54 @@ object Sketches {
           ok(col("wau_approx"), col("wau_exact")), 1L)
           .otherwise(0L).as("within_bound"))
       .orderBy("day")
+  }
+
+  /** One merged theta sketch per event_type over a day range — shared
+    * by the q151/q155 set-op serves. */
+  private def mergedThetaWeek(daily: DataFrame, from: String, until: String,
+      name: String): DataFrame =
+    daily.where(col("day") >= lit(from) && col("day") < lit(until))
+      .groupBy("event_type")
+      .agg(graft.functions.ThetaFunctions.thetaUnionAgg(col("users_theta")).as(name))
+
+  /** q155: weekly churn (users active in week A but NOT in week B) per
+    * event_type — theta A\B, the difference completing the set
+    * algebra q151's intersection started, off the same rollup
+    * artifact. Exact side: anti-join of the two per-type distinct user
+    * sets. Same 10 %/10-absolute bound ladder as the intersection
+    * (A\B error scales with the same union/result ratio). */
+  def thetaChurn(spark: SparkSession, dir: String,
+      weekA: (String, String) = ("2024-01-08", "2024-01-15"),
+      weekB: (String, String) = ("2024-01-15", "2024-01-22")): DataFrame = {
+    import graft.functions.ThetaFunctions._
+    val indexDir = rollupArtifacts.getOrCreate(spark, s"$dir#rollup-full") { tmp =>
+      saveDailyRollup(Tables.events(spark, dir), tmp)
+    }
+    val daily = spark.read.parquet(s"$indexDir/daily")
+    val approx = mergedThetaWeek(daily, weekA._1, weekA._2, "sk_a")
+      .join(mergedThetaWeek(daily, weekB._1, weekB._2, "sk_b"), Seq("event_type"))
+      .select(col("event_type"),
+        thetaEstimate(col("sk_a")).as("approx_a"),
+        thetaDifferenceEstimate(col("sk_a"), col("sk_b")).as("approx_churned"))
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    def users(from: String, until: String) =
+      ev.where(col("day") >= lit(from) && col("day") < lit(until))
+        .select("event_type", "user_id").distinct()
+    val ua = users(weekA._1, weekA._2)
+    val ub = users(weekB._1, weekB._2)
+    val exact = ua.groupBy("event_type").agg(count(lit(1)).as("exact_a"))
+      .join(ua.join(ub, Seq("event_type", "user_id"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("exact_churned")),
+        Seq("event_type"), "left")
+      .na.fill(0L, Seq("exact_churned"))
+    def ok(a: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
+      abs(a - ex) <= greatest(ex * lit(0.10), lit(10.0))
+    approx.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_a"), col("exact_churned"),
+        when(ok(col("approx_a"), col("exact_a")) &&
+          ok(col("approx_churned"), col("exact_churned")), 1L)
+          .otherwise(0L).as("within_bound"))
+      .orderBy("event_type")
   }
 
   /** Retire days from the rollup — the correction half of the

@@ -147,6 +147,10 @@ class SketchesSpec extends AnyFunSuite {
         thetaIntersectEstimate(col("sk"), col("sk_b")).as("eboth"))
       .collect().head
     assert(r.getLong(0) == 500L && r.getLong(1) == 500L && r.getLong(2) == 200L)
+    val diff = sk(0, 500, 1).crossJoin(sk(300, 800, 8).withColumnRenamed("sk", "sk_b"))
+      .select(thetaDifferenceEstimate(col("sk"), col("sk_b")))
+      .collect().head.getLong(0)
+    assert(diff == 300L)
     // two partial sketches merged by the union AGGREGATE = the direct sketch
     val parts = sk(0, 400, 3).unionByName(sk(400, 800, 5))
     val merged = parts.agg(thetaUnionAgg(col("sk")).as("u"))
@@ -162,6 +166,22 @@ class SketchesSpec extends AnyFunSuite {
       val (a, b, both) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"),
         r.getAs[Long]("exact_both"))
       assert(both <= math.min(a, b) && both >= 0L)
+    }
+  }
+
+  test("q155 churn: in-bound rows, churned <= week-A actives, algebra closes") {
+    val churn = Sketches.thetaChurn(spark, dir).collect()
+    assert(churn.length == 5)
+    assert(churn.forall(_.getAs[Long]("within_bound") == 1L))
+    // |A| = |A ∩ B| + |A \ B| exactly — the retention and churn gates
+    // must account for every week-A user between them
+    val ret = Sketches.thetaRetention(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_both"))).toMap
+    churn.foreach { r =>
+      val (a, both) = ret(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("exact_a") == a)
+      assert(r.getAs[Long]("exact_churned") == a - both)
     }
   }
 
