@@ -158,6 +158,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == 800L)
   }
 
+  test("theta estimation mode: union/intersection bounds hold past k") {
+    import graft.functions.ThetaFunctions._
+    // 40k distinct values > k=2^14 retained — true estimation mode,
+    // deterministic for a fixed input set
+    def sk(from: Long, until: Long, parts: Int) =
+      spark.range(from, until, 1, parts).agg(thetaSketchAgg(col("id")).as("sk"))
+    val r = sk(0, 40000, 4).crossJoin(sk(20000, 60000, 8).withColumnRenamed("sk", "sk_b"))
+      .select(
+        thetaEstimate(col("sk")).as("ea"),
+        thetaIntersectEstimate(col("sk"), col("sk_b")).as("eboth"),
+        thetaDifferenceEstimate(col("sk"), col("sk_b")).as("ediff"))
+      .collect().head
+    assert(math.abs(r.getLong(0) - 40000L) <= 40000L * 3 / 100, s"union est ${r.getLong(0)}")
+    assert(math.abs(r.getLong(1) - 20000L) <= 20000L * 10 / 100, s"intersect est ${r.getLong(1)}")
+    assert(math.abs(r.getLong(2) - 20000L) <= 20000L * 10 / 100, s"diff est ${r.getLong(2)}")
+  }
+
+  test("MG bounds hold over randomized streams (fuzz)") {
+    (0 until 20).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 2000 + rnd.nextInt(8000)
+      val skew = 1 + rnd.nextInt(4)
+      val stream = Seq.fill(n)(s"t${(math.pow(rnd.nextDouble(), skew) * 500).toInt}")
+      val k = 8 << rnd.nextInt(4) // 8..64
+      val est = Sketches.mgPartials(stream.iterator, k).toMap
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(est.size <= k)
+      est.foreach { case (t, e) => assert(e <= exact(t) && exact(t) - e <= n / (k + 1)) }
+      exact.foreach { case (t, c) =>
+        if (c > n / (k + 1)) assert(est.contains(t), s"seed=$seed heavy $t lost")
+      }
+    }
+  }
+
   test("q151 verdict: five in-bound rows, intersection within min(a, b)") {
     val rows = Sketches.thetaRetention(spark, dir).collect()
     assert(rows.length == 5)
