@@ -242,6 +242,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(merged == 50.0)
   }
 
+  test("KLL estimation mode: rank guarantee holds past k") {
+    import graft.functions.KllFunctions._
+    // 100k uniform values >> k=200 — the estimate at rank phi must be
+    // an item whose true normalized rank sits within the guarantee
+    // (eps ~ 1.65% two-sided 99% at k=200; assert at 8%, far outside
+    // any realistic draw of the randomized compaction)
+    val q = spark.range(0, 100000, 1, 8)
+      .select((col("id") * lit(1.0)).as("v"))
+      .agg(kllSketchAgg(col("v")).as("sk"))
+      .select(kllQuantile(col("sk"), 0.9)).collect().head.getDouble(0)
+    assert(math.abs(q / 100000.0 - 0.9) <= 0.08, s"p90 estimate $q")
+  }
+
   test("q152 verdict: every (range, event_type) row passes the rank gate") {
     val rows = Sketches.kllRangeQuantiles(spark, dir).collect()
     assert(rows.length == 10)
