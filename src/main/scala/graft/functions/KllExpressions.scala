@@ -109,13 +109,20 @@ case class KllUnionAgg(
 
 /** The sketch's quantile estimate at normalized rank `phi` — an actual
   * retained item (INCLUSIVE criteria), so the verdict's exact-rank
-  * check is well-defined. */
+  * check is well-defined. An EMPTY sketch (a group whose value column
+  * was entirely null over the range) yields null rather than the
+  * SketchesArgumentException datasketches throws — the exact side of
+  * the verdicts emits n_values = 0 for such a group, and a null
+  * estimate propagates to a 0 flag instead of crashing the serve. */
 case class KllQuantile(child: Expression, phi: Double)
     extends UnaryExpression with CodegenFallback with KllHelpers {
   override def dataType: DataType = DoubleType
-  override protected def nullSafeEval(input: Any): Any =
-    heapify(input.asInstanceOf[Array[Byte]])
-      .getQuantile(phi, QuantileSearchCriteria.INCLUSIVE)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val sk = heapify(input.asInstanceOf[Array[Byte]])
+    if (sk.isEmpty) null
+    else sk.getQuantile(phi, QuantileSearchCriteria.INCLUSIVE)
+  }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "kll_quantile"

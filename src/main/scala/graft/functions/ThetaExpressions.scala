@@ -23,10 +23,15 @@ import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
   * cheapest range-distinct, theta for range set-ops, each a few KB per
   * (day, group).
   *
-  * Determinism: a sketch's retained set is a pure function of the
-  * input VALUE SET (k smallest hashes under the fixed default seed),
-  * so partial order / partition layout cannot change a merged result —
-  * the same property the gates rely on for every other sketch here.
+  * Determinism: below k distinct values the sketch is in exact mode
+  * and its retained set is a pure function of the input VALUE SET. In
+  * ESTIMATION mode the guarantee is weaker: theta is set by quickselect
+  * at table-rebuild time, which depends on insertion order, so
+  * per-partition partials — and hence merged estimates — can differ
+  * across partition layouts WITHIN the error bound. The verdict gates
+  * therefore hash exact answers plus a within-bound flag and never an
+  * estimate (an estimate hash would be layout-flaky); that discipline
+  * is load-bearing, not belt-and-suspenders.
   * Both aggregates are TypedImperativeAggregate (object buffers under
   * ObjectHashAggregate), exactly how Spark hosts its own datasketches
   * aggregates; the scalar estimators run on post-aggregate relations

@@ -199,16 +199,24 @@ object Retrieval {
     * front — one column-pruned scan of the per-doc dl file plus a join
     * ∝ |delta| — so the retry/replay a production ingest eventually
     * does is a no-op instead of silently doubling the doc's postings
-    * (PostingsIndexPersistenceSpec pins the replayed merge). */
+    * (PostingsIndexPersistenceSpec pins the replayed merge). Bootstrap:
+    * a first delta into an empty artifact (streaming ingest starts
+    * cold) has no dl relation to guard against — every delta doc is
+    * fresh then, mirroring [[Sketches.appendDailyDelta]]'s first-append
+    * path. */
   def appendPostingsDelta(deltaDocs: DataFrame, indexDir: String,
       termBuckets: Int = 64): Unit = {
     require(termBuckets > 0, "bucket count must be positive")
     val spark = deltaDocs.sparkSession
+    val dlPath = new org.apache.hadoop.fs.Path(s"$indexDir/dl")
+    val fs = dlPath.getFileSystem(spark.sessionState.newHadoopConf())
     // materialized BEFORE the appends: the second write's source must
     // not re-read the dl file it is itself appending to
-    val fresh = deltaDocs.join(
-      spark.read.parquet(s"$indexDir/dl").select("doc_id"),
-      Seq("doc_id"), "left_anti").cache()
+    val fresh = (
+      if (!fs.exists(dlPath)) deltaDocs
+      else deltaDocs.join(
+        spark.read.parquet(s"$indexDir/dl").select("doc_id"),
+        Seq("doc_id"), "left_anti")).cache()
     fresh.count()
     val p = postingsOf(fresh)
     p.where(col("term").isNotNull)
@@ -260,18 +268,22 @@ object Retrieval {
     * directories; the untouched buckets' files survive byte-identical,
     * which the spec pins by mtime). Answer-invisible by construction:
     * the compacted artifact serves exactly what the anti-join served
-    * (the q144 gate runs it under q142's oracle). Swaps are
-    * per-directory renames — run compaction from the single writer
-    * that owns the artifact (the same ownership contract as the
-    * appends); a crash between renames leaves a bucket either old
-    * (still tombstone-covered elsewhere → re-run compaction) or new,
-    * never half-written, because the rewrite lands in a temp dir
-    * first. */
-  def compactPostings(spark: SparkSession, indexDir: String): Unit =
+    * (the q144 gate runs it under q142's oracle). Swaps go through
+    * [[SafeSwap]] — live dirs move ASIDE before their rewrites move in,
+    * asides are dropped only after all swaps, and the tombstone set is
+    * deleted LAST (the commit point) — so a crash anywhere leaves a
+    * recoverable pre-compaction state: [[SafeSwap.recover]] runs at the
+    * head of this pass and of every serve, and re-running the
+    * compaction converges (SafeSwapSpec pins each crash window).
+    * Single-writer ownership is unchanged. */
+  def compactPostings(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val dlRoot = new org.apache.hadoop.fs.Path(s"$indexDir/dl")
+    SafeSwap.recover(fs, postingsRoot)
+    SafeSwap.recover(fs, dlRoot)
     tombstonesOf(spark, indexDir).foreach { dead =>
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(indexDir)
-      val fs = root.getFileSystem(conf)
       val postings = spark.read.parquet(s"$indexDir/postings")
       val touched = postings.join(dead, Seq("doc_id"))
         // partition discovery types term_bucket as INT on read-back
@@ -282,25 +294,20 @@ object Retrieval {
         postings.where(col("term_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
           .join(dead, Seq("doc_id"), "left_anti")
           .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
-        touched.foreach { b =>
-          val live = new org.apache.hadoop.fs.Path(s"$indexDir/postings/term_bucket=$b")
-          val next = new org.apache.hadoop.fs.Path(s"$tmp/term_bucket=$b")
-          fs.delete(live, true)
-          // a bucket whose every posting was dead has no rewritten dir —
-          // the delete above already expunged it
-          if (fs.exists(next)) fs.rename(next, live)
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // a bucket whose every posting was dead has no rewritten dir —
+        // the swap moves it aside and replaces it with nothing
+        SafeSwap.swapPartitions(fs, postingsRoot,
+          new org.apache.hadoop.fs.Path(tmp),
+          touched.toIndexedSeq.map(b => s"term_bucket=$b"))
       }
       val dlTmp = s"$indexDir/dl_compact_tmp"
       spark.read.parquet(s"$indexDir/dl")
         .join(dead, Seq("doc_id"), "left_anti")
         .write.mode("overwrite").parquet(dlTmp)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/dl"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(dlTmp),
-        new org.apache.hadoop.fs.Path(s"$indexDir/dl"))
+      SafeSwap.swapDir(fs, dlRoot, new org.apache.hadoop.fs.Path(dlTmp))
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
     }
+  }
 
   /** q144: the q142 lifecycle COMPACTED — same base + delta + deletes,
     * but the tombstones are expunged by [[compactPostings]] before
@@ -382,6 +389,12 @@ object Retrieval {
       topK: Int = 5, salts: Int = 32,
       termBuckets: Int = 64): DataFrame = {
     import spark.implicits._
+    // a crashed compaction may have left partitions aside — restore
+    // them before scanning (two fs.exists when no crash happened)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/dl"))
     val queryTerms = queries.toDF("query_id", "qtext")
       .select(col("query_id").cast("long").as("query_id"),
         explode(TextAnalysis.tokens(col("qtext"))).as("term"))

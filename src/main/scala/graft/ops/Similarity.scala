@@ -1104,12 +1104,19 @@ object Similarity {
     * store's vec_id column up front (one pruned-column scan), so
     * re-merging the same batch — the retry a production ingest
     * eventually does — is a no-op instead of silently double-writing
-    * codes. */
+    * codes. The codebooks ARE a hard precondition (there is nothing to
+    * encode against without them), but the refine store is not: a
+    * first delta into a codebooks-only artifact indexes everything
+    * (the [[appendDailyDelta]] bootstrap contract). */
   def appendPqDelta(deltaVecs: DataFrame, indexDir: String): Unit = {
     val spark = deltaVecs.sparkSession
-    val fresh = deltaVecs.join(
-      spark.read.parquet(s"$indexDir/vectors").select("vec_id"),
-      Seq("vec_id"), "left_anti").cache()
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val vfs = vecPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh = (
+      if (!vfs.exists(vecPath)) deltaVecs
+      else deltaVecs.join(
+        spark.read.parquet(s"$indexDir/vectors").select("vec_id"),
+        Seq("vec_id"), "left_anti")).cache()
     fresh.count()
     val cents = spark.read.parquet(s"$indexDir/coarse")
     val subCents = spark.read.parquet(s"$indexDir/subcents")
@@ -1151,6 +1158,11 @@ object Similarity {
     * layout artifact, loaded once per (session, indexDir). */
   private def loadedPqIndex(spark: SparkSession, indexDir: String)
       : (graft.functions.PqBook, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // restore anything a crashed compaction left aside before loading
+    val rfs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
+    SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
     val book = pqLoadedBookCache.computeIfAbsent((spark, indexDir),
       _ => readPqBook(spark, indexDir))
     def rel(part: String)(load: => DataFrame): DataFrame =
@@ -1289,10 +1301,14 @@ object Similarity {
     * dead rows — the one staleness hazard the serve-time-anti-join
     * design has, closed here (PqSpec pins compact-under-warm-cache).
     * Answer-invisible by construction (q147 under q145's oracle). */
-  def compactPqIndex(spark: SparkSession, indexDir: String): Unit =
+  def compactPqIndex(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val codesRoot = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+    val vecRoot = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    SafeSwap.recover(fs, codesRoot)
+    SafeSwap.recover(fs, vecRoot)
     vecTombstonesOf(spark, indexDir).foreach { dead =>
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
       val codes = spark.read.parquet(s"$indexDir/codes")
       val touched = codes.join(dead, Seq("vec_id"))
         .select(col("cent_id").cast("long")).distinct()
@@ -1302,26 +1318,23 @@ object Similarity {
         codes.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
           .join(dead, Seq("vec_id"), "left_anti")
           .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-        touched.foreach { c =>
-          val live = new org.apache.hadoop.fs.Path(s"$indexDir/codes/cent_id=$c")
-          val next = new org.apache.hadoop.fs.Path(s"$tmp/cent_id=$c")
-          fs.delete(live, true)
-          if (fs.exists(next)) fs.rename(next, live)
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // crash-safe: live cells move aside before rewrites move in
+        // (SafeSwap — the tombstone delete below is the commit point)
+        SafeSwap.swapPartitions(fs, codesRoot,
+          new org.apache.hadoop.fs.Path(tmp),
+          touched.toIndexedSeq.map(c => s"cent_id=$c"))
       }
       val vTmp = s"$indexDir/vectors_compact_tmp"
       spark.read.parquet(s"$indexDir/vectors")
         .join(dead, Seq("vec_id"), "left_anti")
         .write.mode("overwrite").parquet(vTmp)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/vectors"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(vTmp),
-        new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
+      SafeSwap.swapDir(fs, vecRoot, new org.apache.hadoop.fs.Path(vTmp))
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
       // drop the resident pre-compaction relations for THIS artifact
       pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
       ()
     }
+  }
 
   /** q147: q145's lifecycle COMPACTED — same build and delete set,
     * tombstones expunged by [[compactPqIndex]] before serving. Gated
@@ -1405,7 +1418,11 @@ object Similarity {
     * probe, so they neither query nor surface. */
   def twoLevelTopKFromIndex(spark: SparkSession, indexDir: String,
       nProbe1: Int = 4, nProbe2: Int = 2,
-      nQueries: Int = 100, k: Int = 3): DataFrame =
+      nQueries: Int = 100, k: Int = 3): DataFrame = {
+    // restore any cells a crashed compaction left aside before scanning
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/assignments"))
     twoLevelProbe(
       spark.read.parquet(s"$indexDir/coarse"),
       spark.read.parquet(s"$indexDir/subcents"),
@@ -1415,6 +1432,7 @@ object Similarity {
           col("sub_id"), col("u")),
         vecTombstonesOf(spark, indexDir)),
       nProbe1, nProbe2, nQueries, k)
+  }
 
   /** Expunge vector tombstones from a [[saveTwoLevelIndex]] artifact —
     * [[Retrieval.compactPostings]]'s contract for the ANN inverted
@@ -1426,10 +1444,12 @@ object Similarity {
     * construction (the q146 gate serves the compacted artifact under
     * q143's oracle); same single-writer ownership and crash story as
     * the postings compaction. */
-  def compactTwoLevelIndex(spark: SparkSession, indexDir: String): Unit =
+  def compactTwoLevelIndex(spark: SparkSession, indexDir: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val assignRoot = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    SafeSwap.recover(fs, assignRoot)
     vecTombstonesOf(spark, indexDir).foreach { dead =>
-      val conf = spark.sessionState.newHadoopConf()
-      val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
       val assigned = spark.read.parquet(s"$indexDir/assignments")
       val touched = assigned.join(dead, Seq("vec_id"))
         // partition discovery types cent_id as INT on read-back
@@ -1440,17 +1460,15 @@ object Similarity {
         assigned.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
           .join(dead, Seq("vec_id"), "left_anti")
           .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-        touched.foreach { c =>
-          val live = new org.apache.hadoop.fs.Path(s"$indexDir/assignments/cent_id=$c")
-          val next = new org.apache.hadoop.fs.Path(s"$tmp/cent_id=$c")
-          fs.delete(live, true)
-          // a cell whose every vector was dead has no rewritten dir
-          if (fs.exists(next)) fs.rename(next, live)
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        // a cell whose every vector was dead has no rewritten dir — the
+        // crash-safe swap moves it aside and replaces it with nothing
+        SafeSwap.swapPartitions(fs, assignRoot,
+          new org.apache.hadoop.fs.Path(tmp),
+          touched.toIndexedSeq.map(c => s"cent_id=$c"))
       }
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
     }
+  }
 
   /** q146: q143's lifecycle COMPACTED — same full-corpus build and
     * delete set, tombstones expunged by [[compactTwoLevelIndex]] before
