@@ -702,8 +702,13 @@ object Multimodal {
     (hi, lo)
   }
 
-  def aHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) = {
-    val blocks = blockGrid(gray, w, h)
+  def aHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) =
+    aHashOfBlocks(blockGrid(gray, w, h))
+
+  /** The aHash bit rule over an already-folded block grid — split from
+    * [[aHash64]] so the decode-once index build ([[imageHashesOf]])
+    * can derive BOTH hash families from one grid fold. */
+  private[ops] def aHashOfBlocks(blocks: Array[Long]): (Long, Long) = {
     val mean = blocks.sum / 64
     packBits(b => blocks(b) > mean)
   }
@@ -721,13 +726,16 @@ object Multimodal {
     * regardless (the mean is never order-preserved through a
     * nonlinearity). Same resolution independence and integer-only
     * determinism as aHash. */
-  def dHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) = {
-    val blocks = blockGrid(gray, w, h)
+  def dHash64(gray: Array[Int], w: Int, h: Int): (Long, Long) =
+    dHashOfBlocks(blockGrid(gray, w, h))
+
+  /** The dHash bit rule over an already-folded block grid (see
+    * [[aHashOfBlocks]]). */
+  private[ops] def dHashOfBlocks(blocks: Array[Long]): (Long, Long) =
     packBits { b =>
       val r = b / 8; val c = b % 8
       blocks(r * 8 + c) > blocks(r * 8 + (c + 1) % 8)
     }
-  }
 
   /** Deterministic 16×16 grayscale pixel synthesis from document text:
     * pixel p = codePoint((p mod len)) mod 256 — the stand-in for the
@@ -769,6 +777,38 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "hi", "lo")
+  }
+
+  /** BOTH perceptual hash families from ONE decode — the ingest pass
+    * behind the persisted image-hash index ([[ImageIndex]]): at real
+    * scale decoding is the single most expensive thing the pipeline
+    * does and must happen once, so the per-doc artifact row carries the
+    * aHash AND dHash derived from a single decode + block-grid fold.
+    * Same synthesis front end as [[imageAHashOf]] (doc-varied PNG
+    * encoder settings, real encode → real decode), so an artifact built
+    * from this relation serves q121's and q125's oracles unchanged.
+    * Output: (doc_id, a_hi, a_lo, d_hi, d_lo). */
+  private[ops] def imageHashesOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .where(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, text) =>
+          val png = pngBytes(16, 16, pixelsOf(text),
+            filterType = math.floorMod(id, 5).toInt,
+            level = math.floorMod(id, 9).toInt + 1,
+            chunk = if (math.floorMod(id, 2) == 0) Int.MaxValue else 64)
+          val (w, h, gray) = pngDecode(png)
+            .getOrElse(throw new IllegalStateException(s"unparseable PNG for doc $id"))
+          val blocks = blockGrid(gray, w, h)
+          val (ahi, alo) = aHashOfBlocks(blocks)
+          val (dhi, dlo) = dHashOfBlocks(blocks)
+          (id, ahi, alo, dhi, dlo)
+        }
+      }
+      .toDF("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")
   }
 
   /** q121: perceptual image near-dup pairs — the pixel-level rung the
@@ -991,7 +1031,7 @@ object Multimodal {
   /** Band + verify over a (doc_id, hi, lo) hash relation: four 16-bit
     * bands per hash, capped, self equi-joined, hamming-verified in the
     * join stage. */
-  private def perceptualDupsOfHashes(hashes: DataFrame,
+  private[ops] def perceptualDupsOfHashes(hashes: DataFrame,
       maxHamming: Int, maxBandPopulation: Int): DataFrame = {
     val capped = Dedup.capBands(perceptualBands(hashes), maxBandPopulation)
     capped.as("a")
