@@ -371,6 +371,13 @@ object SparkEntry {
     // off the same artifact — the difference op completing q151's set
     // algebra; exact anti-join on the verdict side only
     "q155_theta_churn" -> ((s, d) => Sketches.thetaChurn(s, d)),
+    // q157: range heavy hitters from the SAME daily rollup artifact —
+    // per-day mergeable LongsSketches (q150's MG guarantee, persisted),
+    // merged per date range at serve; verdict hashes exact counts of
+    // the mean-relative heavy set + the sketch's bound theorem as a
+    // captured_bounded flag (estimates are layout-dependent, the bound
+    // is not)
+    "q157_range_heavy_hitters" -> ((s, d) => Sketches.rangeHeavyHitters(s, d)),
     // q156: q121's perceptual near-dup pairs served from the PERSISTED
     // decode-once hash artifact — no codec anywhere in the serve plan
     // (the corpus was decoded exactly once, at ingest); same oracle as
@@ -3004,6 +3011,25 @@ object SparkEntry {
         |SELECT term, exact_count, CAST(1 AS BIGINT) AS captured_bounded
         |FROM c, n WHERE exact_count * 500 > n_total
         |ORDER BY term""".stripMargin,
+    // q157: exact mean-relative heavy hitters per (range, event_type)
+    // with a constant captured flag — the Spark side sets it from the
+    // merged LongsSketch's lower/upper bound theorem, which holds for
+    // any merge order; a broken sketch merge or serve flips the flag
+    "q157_range_heavy_hitters" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, event_type, user_id FROM events),
+        |r1 AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_count FROM e
+        |       WHERE day >= DATE '2024-01-08' AND day < DATE '2024-01-15' GROUP BY 1, 2),
+        |n1 AS (SELECT event_type, sum(exact_count) AS n, count(*) AS u FROM r1 GROUP BY 1),
+        |r2 AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_count FROM e
+        |       WHERE day >= DATE '2024-01-01' AND day < DATE '2024-02-01' GROUP BY 1, 2),
+        |n2 AS (SELECT event_type, sum(exact_count) AS n, count(*) AS u FROM r2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS range_id, event_type, user_id, exact_count,
+        |  CAST(1 AS BIGINT) AS captured_bounded
+        |FROM r1 JOIN n1 USING (event_type) WHERE exact_count * u > 2 * n
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), event_type, user_id, exact_count, CAST(1 AS BIGINT)
+        |FROM r2 JOIN n2 USING (event_type) WHERE exact_count * u > 2 * n
+        |ORDER BY range_id, event_type, user_id""".stripMargin,
   )
 
   /** Shared q148/q149 oracle: exact distinct users + event counts per

@@ -33,24 +33,35 @@ object Sketches {
     * (coupon-list) modes anyway. */
   private val DefaultLgK = 14
 
-  /** One HLL sketch, one theta sketch, and the exact event count per
+  /** One HLL sketch, one theta sketch, one frequency (heavy-hitters)
+    * sketch, one KLL sketch, and the exact event count per
     * (day, event_type). The sketch columns are opaque mergeable
     * binaries — the same "typed metadata around an opaque payload"
-    * contract as the multimodal columns. Two sketches because they
+    * contract as the multimodal columns. Four sketches because they
     * answer different algebra: HLL (smaller, lossless union) serves
     * range-distinct (q148/q149); theta (k smallest hashes) also
     * serves INTERSECTION — retention/overlap (q151) — which HLL
-    * cannot express. n_events rides along exactly (counts are
-    * trivially mergeable), so the artifact also serves exact event
-    * totals. */
+    * cannot express; the LongsSketch answers WHICH items dominate
+    * (range heavy hitters, q157); KLL answers range quantiles (q152).
+    * n_events rides along exactly (counts are trivially mergeable), so
+    * the artifact also serves exact event totals — and doubles as the
+    * integrity signal [[repairDays]] checks appends against. */
   private def rollupOf(events: DataFrame, lgK: Int): DataFrame =
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(
         hll_sketch_agg(col("user_id"), lgK).as("users_hll"),
         graft.functions.ThetaFunctions.thetaSketchAgg(col("user_id"), lgK).as("users_theta"),
+        graft.functions.FreqFunctions.freqSketchAgg(col("user_id"), DefaultFreqMapSize)
+          .as("users_freq"),
         graft.functions.KllFunctions.kllSketchAgg(col("value")).as("value_kll"),
         count(lit(1)).as("n_events"))
+
+  /** maxMapSize = 1024 counters per (day, type) frequency sketch: error
+    * ≤ 3.5·n_day/1024 per day, additive across a range merge — and the
+    * sketch is EXACT (no purges) while a day's per-type distinct user
+    * count stays below ~768. A few KB per group either way. */
+  private val DefaultFreqMapSize = 1024
 
   /** Persist the rollup, day-partitioned: a date-range serve prunes to
     * the covered day directories at scan time — the storage-level
@@ -339,6 +350,103 @@ object Sketches {
     days.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/daily/day=$d"), true)
     }
+  }
+
+  /** Integrity check — the guard the day-granular replay economics
+    * can't give for free: a PARTIAL-day append slips through
+    * [[appendDailyDelta]]'s day-level anti-join (the day exists, so a
+    * replay of the day's remaining events is silently dropped). The
+    * rollup stores the exact per-day event count, so disagreement is
+    * detectable: given a recount relation (any events batch whose days
+    * it carries IN FULL — the verified-append contract), return the
+    * days present in the artifact whose stored Σn_events disagrees
+    * with the batch's recount. Cost: one column-pruned artifact scan +
+    * an aggregate over the batch — never raw history. */
+  def verifyDays(spark: SparkSession, indexDir: String,
+      recountEvents: DataFrame): Seq[String] = {
+    val dailyPath = new org.apache.hadoop.fs.Path(s"$indexDir/daily")
+    val fs = dailyPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dailyPath)) return Nil
+    val stored = spark.read.parquet(s"$indexDir/daily")
+      .groupBy("day").agg(sum("n_events").as("stored_n"))
+    recountEvents
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("recount_n"))
+      .join(stored, Seq("day"))
+      .where(col("stored_n") =!= col("recount_n"))
+      .select(date_format(col("day"), "yyyy-MM-dd"))
+      .collect().map(_.getString(0)).toSeq.sorted // bounded: ≤ days in the batch
+  }
+
+  /** Repair the days [[verifyDays]] flags: retract each corrupted/
+    * partial day (partition delete) and re-roll it from the given
+    * batch through the guarded append — cost ∝ repaired days, the
+    * q153 retraction economics applied automatically. Returns the
+    * repaired days. */
+  def repairDays(spark: SparkSession, indexDir: String,
+      events: DataFrame, lgK: Int = DefaultLgK): Seq[String] = {
+    val bad = verifyDays(spark, indexDir, events)
+    if (bad.nonEmpty) {
+      retractDays(spark, indexDir, bad)
+      appendDailyDelta(
+        events.where(to_date(col("ts")).cast("string").isin(bad: _*)), indexDir, lgK)
+    }
+    bad
+  }
+
+  /** The self-healing append: verify-and-repair any of the batch's
+    * days that sit in the artifact with a disagreeing count (a prior
+    * partial-day ingest), then run the normal day-guarded append for
+    * the genuinely new days. Contract: the batch carries each of its
+    * days in full (the same cadence contract the plain append
+    * documents — this entry point just makes violations converge
+    * instead of silently persisting). Idempotent: replaying the same
+    * full batch repairs nothing and appends nothing. */
+  def appendDailyDeltaVerified(deltaEvents: DataFrame, indexDir: String,
+      lgK: Int = DefaultLgK): Seq[String] = {
+    val spark = deltaEvents.sparkSession
+    val repaired = repairDays(spark, indexDir, deltaEvents, lgK)
+    appendDailyDelta(deltaEvents, indexDir, lgK)
+    repaired
+  }
+
+  /** q157: range heavy hitters served from the SAME rollup artifact —
+    * per (date range, event_type), the users whose activity exceeds
+    * `mult`× the mean active-user rate (count · n_users > mult ·
+    * n_range — mean-relative, so the threshold is scale-invariant:
+    * per-user activity does not grow with the corpus, absolute n/κ
+    * cuts do). The sketch side merges the covered days' LongsSketches
+    * (q150's Misra-Gries guarantee, persisted and mergeable); the
+    * verdict hashes EXACT counts from the raw table plus
+    * `captured_bounded` = 1 iff the sketch's bound theorem holds for
+    * the item (lb ≤ exact ≤ ub — true for any merge order/layout, so
+    * the flag is deterministic while estimates are not). */
+  def rangeHeavyHitters(spark: SparkSession, dir: String,
+      ranges: Seq[(Long, String, String)] = DefaultRanges,
+      mult: Int = 2): DataFrame = {
+    import graft.functions.FreqFunctions._
+    val indexDir = rollupArtifacts.getOrCreate(spark, s"$dir#rollup-full") { tmp =>
+      saveDailyRollup(Tables.events(spark, dir), tmp)
+    }
+    val daily = spark.read.parquet(s"$indexDir/daily")
+    val ev = Tables.events(spark, dir).withColumn("day", to_date(col("ts")))
+    ranges.map { case (rid, from, until) =>
+      val merged = daily.where(col("day") >= lit(from) && col("day") < lit(until))
+        .groupBy("event_type")
+        .agg(freqUnionAgg(col("users_freq"), DefaultFreqMapSize).as("sk"))
+      val counts = ev.where(col("day") >= lit(from) && col("day") < lit(until))
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("exact_count"))
+      val totals = counts.groupBy("event_type")
+        .agg(sum("exact_count").as("n_range"), count(lit(1)).as("n_users"))
+      counts.join(broadcast(totals), Seq("event_type"))
+        .where(col("exact_count") * col("n_users") > lit(mult.toLong) * col("n_range"))
+        .join(broadcast(merged), Seq("event_type")) // ≤ groups rows on the sketch side
+        .select(lit(rid).as("range_id"), col("event_type"), col("user_id"),
+          col("exact_count"),
+          when(freqLowerBound(col("sk"), col("user_id")) <= col("exact_count") &&
+            col("exact_count") <= freqUpperBound(col("sk"), col("user_id")), 1L)
+            .otherwise(0L).as("captured_bounded"))
+    }.reduce(_.unionByName(_)).orderBy("range_id", "event_type", "user_id")
   }
 
   /** q153: the CORRECTED rollup under q148's oracle — build, retract
