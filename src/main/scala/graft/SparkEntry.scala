@@ -394,6 +394,15 @@ object SparkEntry {
     // interaction pairwise gates can't see) + compaction, served under
     // q121's oracle restricted to the surviving corpus
     "q159_image_index_lifecycle" -> ((s, d) => ImageIndex.imageDupsLifecycle(s, d)),
+    // q160/q161/q162: the SAME composed lifecycle (base + delta +
+    // deletes + resurrection + compaction ≡ fresh rebuild of the
+    // survivors) through the other three index families — BM25
+    // postings, two-level IVF, and IVFPQ (codebooks frozen on the base
+    // split in the ANN pair, exactly the q136/q141 incremental
+    // contract under composition)
+    "q160_bm25_composed" -> ((s, d) => Retrieval.bm25TopKComposed(s, d)),
+    "q161_ann_two_level_composed" -> ((s, d) => Similarity.twoLevelComposed(s, d)),
+    "q162_ann_ivfpq_composed" -> ((s, d) => Similarity.pqComposed(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -1900,6 +1909,34 @@ object SparkEntry {
     // q145: the same served-relation filter through the PQ chain — the
     // codes/refine anti-join must reproduce it exactly
     "q145_ann_ivfpq_tombstones" -> Q145Sql,
+    // q160/q161/q162: the composed lifecycles ≡ a fresh rebuild of the
+    // SURVIVING corpus (everything except deleted AND not re-appended).
+    // BM25 rebuilds fully on survivors; the ANN oracles train codebooks
+    // on the base split (the q136/q141 incremental contract) and serve
+    // only the surviving inverted file
+    "q160_bm25_composed" -> bm25TopKSqlOver(
+      "NOT ((doc_id * 7919) % 100 < 10 AND (doc_id * 104729) % 100 >= 50)"),
+    "q161_ann_two_level_composed" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4,
+        trainPred = "(vec_id * 2654435761) % 100 >= 30") + """,
+        |sassigned AS (SELECT * FROM assigned2
+        |  WHERE NOT ((vec_id * 7919) % 100 < 10 AND (vec_id * 104729) % 100 >= 50))""".stripMargin +
+      twoLevelProbeCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, prefix = "",
+        servedRel = "sassigned") + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    "q162_ann_ivfpq_composed" -> (UnitVecCte +
+      twoLevelIndexCtes(nCoarse = 8, nSub = 4,
+        trainPred = "(vec_id * 2654435761) % 100 >= 30") +
+      pqCtes(m = 8, k = 64, trainPred = "(vec_id * 2654435761) % 100 >= 30") + """,
+        |sassigned AS (SELECT * FROM assigned2
+        |  WHERE NOT ((vec_id * 7919) % 100 < 10 AND (vec_id * 104729) % 100 >= 50))""".stripMargin +
+      pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 100, rerank = 16, prefix = "p",
+        servedRel = "sassigned") + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM pxranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
     // q147 = q145 compacted: compaction must be answer-invisible, so
     // the oracle IS q145's
     "q147_ann_ivfpq_compacted" -> Q145Sql,

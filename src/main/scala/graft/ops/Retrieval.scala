@@ -210,6 +210,30 @@ object Retrieval {
     val spark = deltaDocs.sparkSession
     val dlPath = new org.apache.hadoop.fs.Path(s"$indexDir/dl")
     val fs = dlPath.getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
+    SafeSwap.recover(fs, dlPath)
+    // RESURRECTION (the deleted-then-re-appended interaction): a delta
+    // doc_id sitting in the tombstone set is being deliberately
+    // re-ingested — expunge its dead rows (targeted compaction, cost ∝
+    // the overlap's touched buckets) and withdraw its tombstones BEFORE
+    // the replay guard runs, so the fresh rows append as new and
+    // neither generation double-serves. Crash-converging in both
+    // windows: rows-gone-but-still-tombstoned re-detects the overlap on
+    // re-run; tombstone-withdrawn-but-rows-absent falls through to the
+    // guard, which sees the doc absent and appends it.
+    tombstonesOf(spark, indexDir).foreach { dead =>
+      val overlap = dead.join(deltaDocs.select("doc_id"), Seq("doc_id")).cache()
+      if (overlap.count() > 0) {
+        expungePostings(spark, indexDir, overlap)
+        val tsTmp = s"$indexDir/tombstones_withdraw_tmp"
+        dead.join(overlap, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(tsTmp)
+        SafeSwap.swapDir(fs,
+          new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
+          new org.apache.hadoop.fs.Path(tsTmp))
+      }
+      overlap.unpersist(blocking = false)
+    }
     // materialized BEFORE the appends: the second write's source must
     // not re-read the dl file it is itself appending to
     val fresh = (
@@ -279,34 +303,47 @@ object Retrieval {
   def compactPostings(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
-    val postingsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
-    val dlRoot = new org.apache.hadoop.fs.Path(s"$indexDir/dl")
-    SafeSwap.recover(fs, postingsRoot)
-    SafeSwap.recover(fs, dlRoot)
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/dl"))
     tombstonesOf(spark, indexDir).foreach { dead =>
-      val postings = spark.read.parquet(s"$indexDir/postings")
-      val touched = postings.join(dead, Seq("doc_id"))
-        // partition discovery types term_bucket as INT on read-back
-        .select(col("term_bucket").cast("long")).distinct()
-        .collect().map(_.getLong(0)) // bounded: ≤ termBuckets values
-      if (touched.nonEmpty) {
-        val tmp = s"$indexDir/postings_compact_tmp"
-        postings.where(col("term_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
-          .join(dead, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
-        // a bucket whose every posting was dead has no rewritten dir —
-        // the swap moves it aside and replaces it with nothing
-        SafeSwap.swapPartitions(fs, postingsRoot,
-          new org.apache.hadoop.fs.Path(tmp),
-          touched.toIndexedSeq.map(b => s"term_bucket=$b"))
-      }
-      val dlTmp = s"$indexDir/dl_compact_tmp"
-      spark.read.parquet(s"$indexDir/dl")
-        .join(dead, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(dlTmp)
-      SafeSwap.swapDir(fs, dlRoot, new org.apache.hadoop.fs.Path(dlTmp))
+      expungePostings(spark, indexDir, dead)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
     }
+  }
+
+  /** Drop a dead set's rows from the artifact: only the term buckets
+    * holding a dead doc's postings rewrite (bounded collect; untouched
+    * buckets' files survive byte-identical), the small per-doc dl
+    * relation rewrites wholesale. Shared by [[compactPostings]] (whole
+    * tombstone set) and the resurrection path in
+    * [[appendPostingsDelta]] (just the re-appended overlap). */
+  private def expungePostings(spark: SparkSession, indexDir: String,
+      dead: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val postingsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/postings")
+    val dlRoot = new org.apache.hadoop.fs.Path(s"$indexDir/dl")
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val touched = postings.join(dead, Seq("doc_id"))
+      // partition discovery types term_bucket as INT on read-back
+      .select(col("term_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ termBuckets values
+    if (touched.nonEmpty) {
+      val tmp = s"$indexDir/postings_compact_tmp"
+      postings.where(col("term_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
+        .join(dead, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("term_bucket").parquet(tmp)
+      // a bucket whose every posting was dead has no rewritten dir —
+      // the swap moves it aside and replaces it with nothing
+      SafeSwap.swapPartitions(fs, postingsRoot,
+        new org.apache.hadoop.fs.Path(tmp),
+        touched.toIndexedSeq.map(b => s"term_bucket=$b"))
+    }
+    val dlTmp = s"$indexDir/dl_compact_tmp"
+    spark.read.parquet(s"$indexDir/dl")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(dlTmp)
+    SafeSwap.swapDir(fs, dlRoot, new org.apache.hadoop.fs.Path(dlTmp))
   }
 
   /** q144: the q142 lifecycle COMPACTED — same base + delta + deletes,
@@ -328,6 +365,35 @@ object Retrieval {
       tombstoneDocs(
         docs.where(pmod(col("doc_id") * lit(7919L), lit(100)) < deletePct)
           .select("doc_id"), tmp)
+      compactPostings(spark, tmp)
+    }
+    bm25TopKFromIndex(spark, indexDir, queries, topK, salts)
+  }
+
+  /** q160: the FULL lifecycle COMPOSED in one relation — base build
+    * (70 %) → delta append (30 %) → tombstone a 10 % delete set
+    * spanning both → RE-APPEND half the deleted docs (resurrection —
+    * the deleted-then-re-appended interaction the pairwise q142/q144
+    * gates can't see) → compact → serve. Gated under q110's oracle
+    * restricted to the surviving corpus (everything except deleted AND
+    * not re-appended): the whole composition ≡ a fresh build of
+    * exactly that corpus. */
+  def bm25TopKComposed(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)] = DefaultQueries,
+      topK: Int = 5, salts: Int = 32, batchPct: Int = 30,
+      deletePct: Int = 10, reappendPct: Int = 50): DataFrame = {
+    val indexDir = persistedIndex.getOrCreate(
+      spark, s"$dir#composed:$batchPct:$deletePct:$reappendPct") { tmp =>
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"),
+        (pmod(col("doc_id") * lit(7919L), lit(100)) < deletePct).as("deleted"))
+      savePostingsIndexOf(docs.where(!col("incoming")).select("doc_id", "text"), tmp)
+      appendPostingsDelta(docs.where(col("incoming")).select("doc_id", "text"), tmp)
+      tombstoneDocs(docs.where(col("deleted")).select("doc_id"), tmp)
+      appendPostingsDelta(
+        docs.where(col("deleted") &&
+            pmod(col("doc_id") * lit(104729L), lit(100)) < reappendPct)
+          .select("doc_id", "text"), tmp)
       compactPostings(spark, tmp)
     }
     bm25TopKFromIndex(spark, indexDir, queries, topK, salts)

@@ -786,6 +786,27 @@ object Similarity {
     * the codebook quality buys. */
   def appendTwoLevelDelta(deltaVecs: DataFrame, indexDir: String): Unit = {
     val spark = deltaVecs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/assignments"))
+    // RESURRECTION: a delta vec_id in the tombstone set is being
+    // deliberately re-ingested — expunge its dead rows and withdraw its
+    // tombstones before the replay guard runs (the appendPostingsDelta
+    // contract; re-assignment under the frozen codebooks reproduces the
+    // original rows, so the composition stays ≡ rebuild-on-survivors)
+    vecTombstonesOf(spark, indexDir).foreach { dead =>
+      val overlap = dead.join(deltaVecs.select("vec_id"), Seq("vec_id")).cache()
+      if (overlap.count() > 0) {
+        expungeTwoLevel(spark, indexDir, overlap)
+        val tsTmp = s"$indexDir/tombstones_withdraw_tmp"
+        dead.join(overlap, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(tsTmp)
+        SafeSwap.swapDir(fs,
+          new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
+          new org.apache.hadoop.fs.Path(tsTmp))
+      }
+      overlap.unpersist(blocking = false)
+    }
     // replay guard (the appendPostingsDelta/appendPqDelta contract):
     // already-indexed vec_ids anti-join out against the inverted file's
     // pruned vec_id column, so a re-merged batch is a no-op instead of
@@ -1112,6 +1133,25 @@ object Similarity {
     val spark = deltaVecs.sparkSession
     val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
     val vfs = vecPath.getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(vfs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
+    SafeSwap.recover(vfs, vecPath)
+    // RESURRECTION: a delta vec_id in the tombstone set is being
+    // deliberately re-ingested — expunge its dead code/refine rows and
+    // withdraw its tombstones before the replay guard runs (re-encoding
+    // under the frozen books reproduces the original rows)
+    vecTombstonesOf(spark, indexDir).foreach { dead =>
+      val overlap = dead.join(deltaVecs.select("vec_id"), Seq("vec_id")).cache()
+      if (overlap.count() > 0) {
+        expungePq(spark, indexDir, overlap)
+        val tsTmp = s"$indexDir/tombstones_withdraw_tmp"
+        dead.join(overlap, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(tsTmp)
+        SafeSwap.swapDir(vfs,
+          new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
+          new org.apache.hadoop.fs.Path(tsTmp))
+      }
+      overlap.unpersist(blocking = false)
+    }
     val fresh = (
       if (!vfs.exists(vecPath)) deltaVecs
       else deltaVecs.join(
@@ -1129,6 +1169,11 @@ object Similarity {
     assigned.select(col("vec_id"), col("u"))
       .write.mode("append").parquet(s"$indexDir/vectors")
     fresh.unpersist(blocking = false)
+    // a warm serve caches the artifact relations as of load time — an
+    // append extends the files underneath, so drop this artifact's
+    // resident relations (the compaction invalidation contract)
+    pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
+    ()
   }
 
   /** The loaded-artifact caches behind warm PQ serving: the bounded book
@@ -1304,36 +1349,50 @@ object Similarity {
   def compactPqIndex(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
+    vecTombstonesOf(spark, indexDir).foreach { dead =>
+      expungePq(spark, indexDir, dead)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    }
+  }
+
+  /** Drop a dead set's rows from the compressed artifact: only the
+    * cent_id cells holding a dead vector's codes rewrite, the refine
+    * store rewrites wholesale (the dl precedent), and this artifact's
+    * resident warm relations are invalidated. Shared by
+    * [[compactPqIndex]] (whole tombstone set) and the resurrection
+    * path in [[appendPqDelta]] (the re-appended overlap only). */
+  private def expungePq(spark: SparkSession, indexDir: String,
+      dead: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
     val codesRoot = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
     val vecRoot = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
-    SafeSwap.recover(fs, codesRoot)
-    SafeSwap.recover(fs, vecRoot)
-    vecTombstonesOf(spark, indexDir).foreach { dead =>
-      val codes = spark.read.parquet(s"$indexDir/codes")
-      val touched = codes.join(dead, Seq("vec_id"))
-        .select(col("cent_id").cast("long")).distinct()
-        .collect().map(_.getLong(0))
-      if (touched.nonEmpty) {
-        val tmp = s"$indexDir/codes_compact_tmp"
-        codes.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
-          .join(dead, Seq("vec_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-        // crash-safe: live cells move aside before rewrites move in
-        // (SafeSwap — the tombstone delete below is the commit point)
-        SafeSwap.swapPartitions(fs, codesRoot,
-          new org.apache.hadoop.fs.Path(tmp),
-          touched.toIndexedSeq.map(c => s"cent_id=$c"))
-      }
-      val vTmp = s"$indexDir/vectors_compact_tmp"
-      spark.read.parquet(s"$indexDir/vectors")
+    val codes = spark.read.parquet(s"$indexDir/codes")
+    val touched = codes.join(dead, Seq("vec_id"))
+      .select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val tmp = s"$indexDir/codes_compact_tmp"
+      codes.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
         .join(dead, Seq("vec_id"), "left_anti")
-        .write.mode("overwrite").parquet(vTmp)
-      SafeSwap.swapDir(fs, vecRoot, new org.apache.hadoop.fs.Path(vTmp))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
-      // drop the resident pre-compaction relations for THIS artifact
-      pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
-      ()
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+      // crash-safe: live cells move aside before rewrites move in
+      // (SafeSwap — the caller's tombstone delete/withdraw is the
+      // commit point)
+      SafeSwap.swapPartitions(fs, codesRoot,
+        new org.apache.hadoop.fs.Path(tmp),
+        touched.toIndexedSeq.map(c => s"cent_id=$c"))
     }
+    val vTmp = s"$indexDir/vectors_compact_tmp"
+    spark.read.parquet(s"$indexDir/vectors")
+      .join(dead, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(vTmp)
+    SafeSwap.swapDir(fs, vecRoot, new org.apache.hadoop.fs.Path(vTmp))
+    // drop the resident pre-expunge relations for THIS artifact
+    pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
+    ()
   }
 
   /** q147: q145's lifecycle COMPACTED — same build and delete set,
@@ -1352,6 +1411,37 @@ object Similarity {
         unitEmbeddings(spark, dir)
           .where(pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct)
           .select("vec_id"), tmp)
+      compactPqIndex(spark, tmp)
+    }
+    pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
+  }
+
+  /** q162: the compressed lifecycle COMPOSED — [[twoLevelComposed]]'s
+    * sequence through the PQ layers: base build trains coarse/sub/PQ
+    * books (frozen), delta encodes against them, deletes tombstone,
+    * half the deleted RE-APPEND (re-encoding under frozen books
+    * reproduces the original code rows), compaction expunges, the cold
+    * serve answers. Gated against the q141-style oracle (books trained
+    * on the base split) with the served relation filtered to the
+    * survivors. */
+  def pqComposed(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16,
+      batchPct: Int = 30, deletePct: Int = 10, reappendPct: Int = 50): DataFrame = {
+    val indexDir = persistedPq.getOrCreate(
+      spark, s"$dir#composed:$nCoarse:$nSub:$m:$k:$batchPct:$deletePct:$reappendPct") { tmp =>
+      val e = unitEmbeddings(spark, dir).select(col("vec_id"), col("u"),
+        (pmod(col("vec_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"),
+        (pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct).as("deleted"))
+      savePqIndexOf(e.where(!col("incoming")).select("vec_id", "u"),
+        tmp, nCoarse, nSub, m, k)
+      appendPqDelta(e.where(col("incoming")).select("vec_id", "u"), tmp)
+      tombstoneVectors(e.where(col("deleted")).select("vec_id"), tmp)
+      appendPqDelta(
+        e.where(col("deleted") &&
+            pmod(col("vec_id") * lit(104729L), lit(100)) < reappendPct)
+          .select("vec_id", "u"), tmp)
       compactPqIndex(spark, tmp)
     }
     pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
@@ -1447,26 +1537,38 @@ object Similarity {
   def compactTwoLevelIndex(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
-    val assignRoot = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
-    SafeSwap.recover(fs, assignRoot)
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/assignments"))
     vecTombstonesOf(spark, indexDir).foreach { dead =>
-      val assigned = spark.read.parquet(s"$indexDir/assignments")
-      val touched = assigned.join(dead, Seq("vec_id"))
-        // partition discovery types cent_id as INT on read-back
-        .select(col("cent_id").cast("long")).distinct()
-        .collect().map(_.getLong(0)) // bounded: ≤ nCoarse values
-      if (touched.nonEmpty) {
-        val tmp = s"$indexDir/assignments_compact_tmp"
-        assigned.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
-          .join(dead, Seq("vec_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
-        // a cell whose every vector was dead has no rewritten dir — the
-        // crash-safe swap moves it aside and replaces it with nothing
-        SafeSwap.swapPartitions(fs, assignRoot,
-          new org.apache.hadoop.fs.Path(tmp),
-          touched.toIndexedSeq.map(c => s"cent_id=$c"))
-      }
+      expungeTwoLevel(spark, indexDir, dead)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    }
+  }
+
+  /** Drop a dead set's rows from the two-level inverted file: only the
+    * cent_id cells holding a dead vector rewrite. Shared by
+    * [[compactTwoLevelIndex]] (whole tombstone set) and the
+    * resurrection path in [[appendTwoLevelDelta]] (the re-appended
+    * overlap only). */
+  private def expungeTwoLevel(spark: SparkSession, indexDir: String,
+      dead: DataFrame): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
+    val assignRoot = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val assigned = spark.read.parquet(s"$indexDir/assignments")
+    val touched = assigned.join(dead, Seq("vec_id"))
+      // partition discovery types cent_id as INT on read-back
+      .select(col("cent_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ nCoarse values
+    if (touched.nonEmpty) {
+      val tmp = s"$indexDir/assignments_compact_tmp"
+      assigned.where(col("cent_id").isin(touched.toIndexedSeq.map(Long.box): _*))
+        .join(dead, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cent_id").parquet(tmp)
+      // a cell whose every vector was dead has no rewritten dir — the
+      // crash-safe swap moves it aside and replaces it with nothing
+      SafeSwap.swapPartitions(fs, assignRoot,
+        new org.apache.hadoop.fs.Path(tmp),
+        touched.toIndexedSeq.map(c => s"cent_id=$c"))
     }
   }
 
@@ -1485,6 +1587,37 @@ object Similarity {
         unitEmbeddings(spark, dir)
           .where(pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct)
           .select("vec_id"), tmp)
+      compactTwoLevelIndex(spark, tmp)
+    }
+    twoLevelTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, k)
+  }
+
+  /** q161: the two-level lifecycle COMPOSED — base build (70 %, the
+    * codebooks train here and stay frozen) → delta append (30 %) →
+    * tombstone a 10 % delete set spanning both → RE-APPEND half the
+    * deleted vectors (resurrection: re-assignment under the frozen
+    * books reproduces the original rows) → compact → serve. Gated
+    * against an oracle whose codebooks train on the base split while
+    * the served inverted file keeps only the survivors: the whole
+    * composition ≡ rebuild-on-survivors under frozen books. */
+  def twoLevelComposed(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, k: Int = 3, batchPct: Int = 30,
+      deletePct: Int = 10, reappendPct: Int = 50): DataFrame = {
+    val indexDir = persistedTwoLevel.getOrCreate(
+      spark, s"$dir#composed:$nCoarse:$nSub:$batchPct:$deletePct:$reappendPct") { tmp =>
+      val e = unitEmbeddings(spark, dir).select(col("vec_id"), col("u"),
+        (pmod(col("vec_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"),
+        (pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct).as("deleted"))
+      saveTwoLevelIndexOf(
+        e.where(!col("incoming")).select("vec_id", "u"), tmp, nCoarse, nSub)
+      appendTwoLevelDelta(e.where(col("incoming")).select("vec_id", "u"), tmp)
+      tombstoneVectors(e.where(col("deleted")).select("vec_id"), tmp)
+      appendTwoLevelDelta(
+        e.where(col("deleted") &&
+            pmod(col("vec_id") * lit(104729L), lit(100)) < reappendPct)
+          .select("vec_id", "u"), tmp)
       compactTwoLevelIndex(spark, tmp)
     }
     twoLevelTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, k)
