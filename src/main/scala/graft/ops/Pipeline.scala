@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The nightly production run, composed end-to-end from the library's
+  * replay-guarded primitives — the orchestrated entry point proving the
+  * stages a daily ingest executes (convert → curate → dedup → index
+  * appends → export) compose IDEMPOTENTLY under replay: running the
+  * same day twice changes nothing in any artifact or the export
+  * manifest (PipelineDailySpec pins it artifact by artifact).
+  *
+  * Where idempotence comes from — nothing here re-implements it; each
+  * stage's own guard composes:
+  *   - converted parquet: deterministic rewrite of the same inputs;
+  *   - postings / image-hash appends: per-doc replay guards
+  *     ([[Retrieval.appendPostingsDelta]] / [[ImageIndex
+  *     .appendImageHashDelta]] anti-join already-held ids — a replayed
+  *     batch appends zero rows);
+  *   - sketch rollup: the day-granular guard plus the integrity repair
+  *     ([[Sketches.appendDailyDeltaVerified]] — a replayed full day is
+  *     a no-op, a detected partial day re-rolls for one-day cost);
+  *   - export: the q101 permutation is a pure function of doc_id, so a
+  *     re-export ships byte-identical shard membership, order, and
+  *     manifest.
+  *
+  * Scale shape: the delta is curated once ([[Multimodal.imageHashesOf]]
+  * decodes once inside the image append; everything else is
+  * declarative), each append touches only the delta's partitions, and
+  * the export is the only corpus-wide pass — exactly the cost profile
+  * a nightly run should have.
+  */
+object Pipeline {
+
+  /** One run's accounting — what the nightly job logs. */
+  final case class DailyReport(
+      converted: Int,
+      incomingDocs: Long,
+      keptDocs: Long,
+      repairedDays: Seq[String],
+      exportShards: Long)
+
+  /** The batch-curation rule of the daily run: quality-gate the
+    * incoming docs (q23's score), drop exact-normalized duplicates of
+    * anything already held (fingerprint vs the existing corpus — the
+    * q96 vs-corpus kill at the exact rung), and keep one doc per
+    * fingerprint within the batch (min doc_id — the q96 within-batch
+    * tiebreak). Deterministic and idempotent by construction. */
+  private[ops] def curatedDelta(incoming: DataFrame, existing: DataFrame): DataFrame = {
+    val quality = incoming.where(TextAnalysis.qualityScore >= 0.5)
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val heldFps = existing
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val fresh = quality.join(heldFps, Seq("fp"), "left_anti")
+    val keepIds = fresh.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    fresh.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
+  }
+
+  /** Run one day: convert any landed raw files, curate the incoming doc
+    * batch (q96's deterministic `batchPct` split stands in for "today's
+    * crawl"), append the kept docs to the BM25 and image-hash
+    * artifacts, merge the day's events into the sketch rollup through
+    * the verified append, and export the training shards. Artifacts
+    * live under `workDir` (`bm25/`, `images/`, `rollup/`, `shards/`,
+    * `converted/`); first run bootstraps them, every later run appends. */
+  def runDaily(spark: SparkSession, corpusDir: String, workDir: String,
+      incomingRawDir: Option[String] = None,
+      batchPct: Int = 30): DailyReport = {
+    // 1. CONVERT: raw csv/json landed since the last run → parquet
+    val converted = incomingRawDir.map { raw =>
+      graft.core.Converter.convertAll(spark,
+        graft.core.GraftConfig(input = raw, output = s"$workDir/converted",
+          deleteOriginal = false)).converted
+    }.getOrElse(0)
+    // 2. CURATE: today's batch, quality-gated and deduped vs the held
+    //    corpus and within itself
+    val docs = Tables.documents(spark, corpusDir).select(col("doc_id"), col("text"),
+      (pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"))
+    val incoming = docs.where(col("incoming")).select("doc_id", "text")
+    val kept = curatedDelta(incoming,
+      docs.where(!col("incoming")).select("doc_id", "text")).cache()
+    val nKept = kept.count()
+    // 3. INDEX: replay-guarded appends (first run bootstraps)
+    Retrieval.appendPostingsDelta(kept, s"$workDir/bm25")
+    ImageIndex.appendImageHashDelta(kept, s"$workDir/images")
+    val repaired = Sketches.appendDailyDeltaVerified(
+      Tables.events(spark, corpusDir), s"$workDir/rollup")
+    kept.unpersist(blocking = false)
+    // 4. EXPORT: deterministic shards + manifest over the curated corpus
+    val manifest = Export.writeTrainingShards(spark, corpusDir, s"$workDir/shards")
+    DailyReport(converted, incoming.count(), nKept, repaired, manifest.count())
+  }
+}

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The daily composite entry (ops.Pipeline): the stages a nightly run
+  * executes must compose IDEMPOTENTLY — running the same day twice
+  * changes nothing in any artifact or the export manifest. */
+class PipelineDailySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("running the same day twice changes nothing in any artifact") {
+    val work = tmpDir("graft-daily")
+    val raw = tmpDir("graft-daily-raw")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(raw, "landed.csv"),
+        "id,score\n1,3.5\n2,4.25\n".getBytes("UTF-8"))
+      val first = Pipeline.runDaily(spark, dir, work, Some(raw))
+      assert(first.converted == 1)
+      assert(first.keptDocs > 0 && first.keptDocs <= first.incomingDocs)
+      assert(first.exportShards > 0)
+      assert(Export.verifyShards(spark, s"$work/shards").isEmpty,
+        "the shipped shards failed their own integrity check")
+      def snapshot() = (
+        spark.read.parquet(s"$work/bm25/dl").count(),
+        spark.read.parquet(s"$work/bm25/postings").count(),
+        spark.read.parquet(s"$work/images/hashes").count(),
+        spark.read.parquet(s"$work/rollup/daily")
+          .select(date_format(col("day"), "yyyy-MM-dd"), col("event_type"),
+            col("n_events"), hll_sketch_estimate(col("users_hll")))
+          .orderBy("day", "event_type").collect().map(_.toString).toSeq,
+        spark.read.parquet(s"$work/shards/_manifest")
+          .orderBy("shard").collect().map(_.toString).toSeq)
+      val before = snapshot()
+      val second = Pipeline.runDaily(spark, dir, work, Some(raw))
+      assert(second.repairedDays == Nil, "a healthy replay repaired days")
+      assert(snapshot() == before,
+        "replaying the same day changed an artifact or the manifest")
+    } finally { rm(new java.io.File(work)); rm(new java.io.File(raw)) }
+  }
+
+  test("the pipeline's BM25 artifact equals a fresh build of the curated batch") {
+    val work = tmpDir("graft-daily-bm25")
+    val ref = tmpDir("graft-daily-bm25-ref")
+    try {
+      Pipeline.runDaily(spark, dir, work)
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(100)) < 30).as("incoming"))
+      val kept = Pipeline.curatedDelta(
+        docs.where(col("incoming")).select("doc_id", "text"),
+        docs.where(!col("incoming")).select("doc_id", "text"))
+      Retrieval.savePostingsIndexOf(kept, ref)
+      assert(
+        Retrieval.bm25TopKFromIndex(spark, s"$work/bm25").collect().map(_.toString).toSeq ==
+          Retrieval.bm25TopKFromIndex(spark, ref).collect().map(_.toString).toSeq,
+        "the pipeline-built index diverged from a fresh build of the same batch")
+    } finally { rm(new java.io.File(work)); rm(new java.io.File(ref)) }
+  }
+
+  test("a later day's batch appends; the earlier day's rows survive untouched") {
+    val work = tmpDir("graft-daily-incr")
+    try {
+      Pipeline.runDaily(spark, dir, work, batchPct = 30)
+      val afterDay1 = spark.read.parquet(s"$work/bm25/dl").count()
+      // day 2: a wider split — the extra docs are day 2's fresh batch,
+      // day 1's docs replay straight into the guard
+      Pipeline.runDaily(spark, dir, work, batchPct = 60)
+      val afterDay2 = spark.read.parquet(s"$work/bm25/dl").count()
+      assert(afterDay2 > afterDay1, "day 2's fresh docs never landed")
+      val dl = spark.read.parquet(s"$work/bm25/dl")
+      assert(dl.count() == dl.select("doc_id").distinct().count(),
+        "a replayed doc double-indexed across days")
+    } finally rm(new java.io.File(work))
+  }
+}

@@ -196,6 +196,96 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(after.sameElements(served))
   }
 
+  test("theta/KLL/freq columns of a stream-built rollup serve within their verdict bounds") {
+    import graft.ops.Sketches
+    import graft.functions.{FreqFunctions, KllFunctions, ThetaFunctions}
+    val ev = Tables.events(spark, sfDir)
+    val streamDir = Files.createTempDirectory("graft-rollup-sk-stream")
+    val ingestDir = Files.createTempDirectory("graft-rollup-sk-ingest").toString
+    val ckptDir = Files.createTempDirectory("graft-rollup-sk-ckpt").toString
+    def writeBatch(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val tmp = Files.createTempDirectory("graft-rollup-sk-batch").toString
+      ev.where(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, java.nio.file.Path.of(s"$streamDir/$name.parquet"))
+    }
+    writeBatch("day01_15", to_date(col("ts")) < lit("2024-01-16"))
+    val stream = EventsStreaming.readEvents(spark, streamDir.toString, maxFilesPerTrigger = 1,
+      schema = Some(spark.read.parquet(s"$sfDir/events.parquet").schema))
+    val q = EventsStreaming.rollupIngest(stream, ingestDir, ckptDir)
+    q.processAllAvailable()
+    writeBatch("day16_31", to_date(col("ts")) >= lit("2024-01-16"))
+    q.processAllAvailable()
+    q.stop()
+    val daily = spark.read.parquet(s"$ingestDir/daily")
+    val evd = ev.withColumn("day", to_date(col("ts")))
+    // THETA retention (the q151 algebra) from the streamed artifact:
+    // below k the sketch is exact-mode, so the weekly estimates and the
+    // intersection equal the exact counts outright at this SF (past k
+    // only the 10 % bound would be pinned — the verdict-flag rule)
+    val (a1, a2) = ("2024-01-08", "2024-01-15")
+    val (b1, b2) = ("2024-01-15", "2024-01-22")
+    def week(from: String, until: String, name: String) =
+      daily.where(col("day") >= lit(from) && col("day") < lit(until))
+        .groupBy("event_type")
+        .agg(ThetaFunctions.thetaUnionAgg(col("users_theta")).as(name))
+    val approx = week(a1, a2, "sk_a").join(week(b1, b2, "sk_b"), Seq("event_type"))
+      .select(col("event_type"),
+        ThetaFunctions.thetaEstimate(col("sk_a")).as("ea"),
+        ThetaFunctions.thetaIntersectEstimate(col("sk_a"), col("sk_b")).as("eboth"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def users(from: String, until: String) =
+      evd.where(col("day") >= lit(from) && col("day") < lit(until))
+        .select("event_type", "user_id").distinct()
+    val exactA = users(a1, a2).groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactBoth = users(a1, a2).join(users(b1, b2), Seq("event_type", "user_id"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactA.foreach { case (t, n) =>
+      assert(approx(t)._1 == n, s"streamed theta week-A estimate for $t: ${approx(t)._1} != $n")
+      assert(approx(t)._2 == exactBoth.getOrElse(t, 0L),
+        s"streamed theta intersection for $t drifted")
+    }
+    // KLL (the q152 rank gate — estimates are randomized, the rank
+    // guarantee is the contract): the streamed p50's exact rank must
+    // sit within ±5 % of the median
+    val kll = daily.where(col("day") >= lit(a1) && col("day") < lit(a2))
+      .groupBy("event_type")
+      .agg(KllFunctions.kllUnionAgg(col("value_kll")).as("sk"))
+      .select(col("event_type"), KllFunctions.kllQuantile(col("sk"), 0.5).as("p50"))
+    val ranked = evd.where(col("day") >= lit(a1) && col("day") < lit(a2))
+      .join(broadcast(kll), Seq("event_type"))
+      .groupBy("event_type").agg(
+        sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le"),
+        count(col("value")).as("n"))
+      .collect()
+    assert(ranked.nonEmpty)
+    ranked.foreach { r =>
+      val (lt, le, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lt + 1 <= 0.55 * n && le >= 0.45 * n,
+        s"streamed KLL p50 rank out of bound for ${r.getString(0)}: lt=$lt le=$le n=$n")
+    }
+    // FREQ (the q157 bound theorem): per-type week-A user counts must
+    // sit within [lb, ub] of the streamed artifact's merged sketch
+    val freq = daily.where(col("day") >= lit(a1) && col("day") < lit(a2))
+      .groupBy("event_type")
+      .agg(FreqFunctions.freqUnionAgg(col("users_freq")).as("sk"))
+    val counts = evd.where(col("day") >= lit(a1) && col("day") < lit(a2))
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+    val bounds = counts.join(broadcast(freq), Seq("event_type"))
+      .select(col("event_type"), col("c"),
+        FreqFunctions.freqLowerBound(col("sk"), col("user_id")).as("lb"),
+        FreqFunctions.freqUpperBound(col("sk"), col("user_id")).as("ub"))
+      .collect()
+    assert(bounds.nonEmpty)
+    bounds.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(1) <= r.getLong(3),
+        s"streamed freq bound violated for ${r.getString(0)}")
+    }
+  }
+
   test("mapGroupsWithState running counts converge to batch totals") {
     val dir = mkStreamDir(1)
     val stream = EventsStreaming.readEvents(spark, dir, maxFilesPerTrigger = 1)
