@@ -426,7 +426,13 @@ object Similarity {
       .withColumn("crn", row_number().over(pw))
       .where(col("crn") <= nProbe)
       .select(col("q_id"), col("qu"), col("cent_id"))
-    val scored = probes.join(assigned, Seq("cent_id"))
+    // broadcast the probe set (bounded: nQueries x nProbe rows): the
+    // inverted file must NEVER shuffle on the probe keys — a handful of
+    // probed cells hash-partitioned across 32 buckets coalesces into a
+    // few mega-tasks and serializes the scoring stage (measured 7x on
+    // the q162 artifact before the hint; window-derived probe stats
+    // defeat the auto-broadcast sizer)
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"), dot(col("qu"), col("u")).as("cos"))
     rankTopK(scored, k)
@@ -694,7 +700,10 @@ object Similarity {
     val q = assigned.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
-    val scored = probes.join(assigned, Seq("cent_id", "sub_id"))
+    // broadcast(probes): bounded probe set, corpus side streams in
+    // place (see the flat-probe note — the shuffle-on-probe-keys shape
+    // coalesces into mega-tasks)
+    val scored = assigned.join(broadcast(probes), Seq("cent_id", "sub_id"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         dot(col("qu"), col("u")).as("cos"))
@@ -1008,7 +1017,7 @@ object Similarity {
     // sub-centroid), only the second is quantized; both terms are
     // bit-identical cross-engine (index-order dot chain + exact
     // integer micros), so the rank needs only the house round-6
-    val adc = probes.join(codes, Seq("cent_id", "sub_id"))
+    val adc = codes.join(broadcast(probes), Seq("cent_id", "sub_id"))
       .where(col("vec_id") =!= col("q_id"))
       .join(broadcast(subCents), Seq("cent_id", "sub_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -1242,7 +1251,7 @@ object Similarity {
     val q = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val probes = probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
-    val adc = probes.join(codes, Seq("cent_id", "sub_id"))
+    val adc = codes.join(broadcast(probes), Seq("cent_id", "sub_id"))
       .where(col("vec_id") =!= col("q_id"))
       .join(broadcast(subCents), Seq("cent_id", "sub_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
@@ -1294,6 +1303,24 @@ object Similarity {
       dead = vecTombstonesOf(spark, indexDir))
 
   private val persistedPq = new TempArtifacts("graft-pq-index")
+
+  /** Visible for the layout probe: the memoized artifact dirs of the
+    * q139 and q162 gates, if built this session. */
+  private[graft] def persistedPqDirFor(spark: SparkSession, dir: String): Option[String] =
+    persistedPq.peek(spark, s"$dir#8:4:8:64")
+  private[graft] def persistedPqComposedDirFor(spark: SparkSession, dir: String): Option[String] =
+    persistedPq.peek(spark, s"$dir#composed:8:4:8:64:30:10:50")
+  private[graft] def persistedPqIncrementalDirFor(spark: SparkSession, dir: String): Option[String] =
+    persistedPq.peek(spark, s"$dir#incr:8:4:8:64:30")
+
+  /** Probe-only alias of [[probedLists]] for the layout probe. */
+  private[graft] def probedListsForProbe(coarseCents: DataFrame, subCents: DataFrame,
+      q: DataFrame, nProbe1: Int, nProbe2: Int): DataFrame =
+    probedLists(coarseCents, subCents, q, nProbe1, nProbe2)
+
+  /** Probe-only alias of [[readPqBook]] for the layout probe. */
+  private[graft] def readPqBookForProbe(spark: SparkSession, indexDir: String)
+      : graft.functions.PqBook = readPqBook(spark, indexDir)
 
   /** q139: [[pqAdcTopK]] served entirely from the persisted compressed
     * artifact — the q127/q131 serving-shapes contract applied to the PQ
