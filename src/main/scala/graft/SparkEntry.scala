@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, ImageIndex, Multimodal, Packing, Relational, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Hybrid, ImageIndex, LshIndex, Multimodal, Packing, Relational, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -403,6 +403,25 @@ object SparkEntry {
     "q160_bm25_composed" -> ((s, d) => Retrieval.bm25TopKComposed(s, d)),
     "q161_ann_two_level_composed" -> ((s, d) => Similarity.twoLevelComposed(s, d)),
     "q162_ann_ivfpq_composed" -> ((s, d) => Similarity.pqComposed(s, d)),
+    // q163: hybrid lexical+dense retrieval fused by Reciprocal Rank
+    // Fusion — the RAG serving shape (BM25 catches exact terms, the
+    // embedding pool catches paraphrases; ranks fuse, scores don't).
+    // RRF contributions are exact-integer floor divisions (1e12 DIV
+    // (60+rank)) so the fused score is a LONG in both engines; both
+    // pool ranks are already engine-exact under the q110/q37 recipes
+    "q163_hybrid_retrieval_rrf" -> ((s, d) => Hybrid.rrfTopK(s, d)),
+    // q164: q38's multi-probe LSH top-k served from the PERSISTED
+    // artifact (vectors + bucket-partitioned probe store + frozen
+    // geometry meta) — the last ANN family without an artifact now has
+    // one; session-stage and restart-from-artifact shapes pin one
+    // answer under q38's own oracle
+    "q164_ann_lsh_persisted" -> ((s, d) => LshIndex.lshTopKPersisted(s, d)),
+    // q165: the composed lifecycle (base + delta + deletes +
+    // resurrection + compaction) through the LSH family. No trained
+    // state — bucket keys are pure functions of the vector — so the
+    // composition ≡ a fresh rebuild of the survivors EXACTLY (no
+    // frozen-codebook caveat), gated under q38's oracle over survivors
+    "q165_ann_lsh_composed" -> ((s, d) => LshIndex.lshTopKComposed(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -505,16 +524,18 @@ object SparkEntry {
        |  FROM sg, (SELECT unnest(range($nTables)) AS tbl))""".stripMargin
   }
 
-  private def lshCtes(bits: Int, nTables: Int, nQueries: Int, prefix: String = ""): String = {
+  private def lshCtes(bits: Int, nTables: Int, nQueries: Int, prefix: String = "",
+      servedPred: String = "TRUE"): String = {
     val masks = graft.ops.Similarity.probeMasks(bits, maxFlips = 2).mkString(", ")
     lshBucketCtes(bits, nTables) + s""",
+       |stb AS (SELECT * FROM tb WHERE $servedPred),
        |probe AS (
        |  SELECT vec_id AS q_id, tbl, xor(bucket, mask) AS bucket
-       |  FROM tb, (SELECT unnest([$masks]) AS mask)
+       |  FROM stb, (SELECT unnest([$masks]) AS mask)
        |  WHERE vec_id < $nQueries),
        |lcand AS (
        |  SELECT DISTINCT q_id, t.vec_id AS neighbor_id
-       |  FROM probe p JOIN tb t USING (tbl, bucket)
+       |  FROM probe p JOIN stb t USING (tbl, bucket)
        |  WHERE t.vec_id <> p.q_id),
        |${prefix}scored AS (
        |  SELECT c.q_id, c.neighbor_id, ${cosSql("q.u", "n.u")} AS cos
@@ -907,6 +928,14 @@ object SparkEntry {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private lazy val Bm25TopKSql = bm25TopKSqlOver("TRUE")
+
+  /** q38's oracle — shared verbatim by q164 (persisted-artifact serving
+    * must pin the same relation the session stage serves). */
+  private lazy val Q38Sql: String =
+    UnitVecCte + lshCtes(bits = 8, nTables = 8, nQueries = 200) + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin
 
   /** q145's oracle (shared verbatim by q147 — compaction is
     * answer-invisible): the q138 chain with the SERVED relation
@@ -1937,6 +1966,59 @@ object SparkEntry {
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM pxranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),
+    // q163: hybrid RRF fusion — lexical pool mirrors the q119 recipe
+    // (prefix-8 query terms from docs with doc_id < 8, integer-micro
+    // BM25, self excluded before ranking, pool 20); dense pool mirrors
+    // q37 (exact cosine, round(cos,6) rank order, self excluded, pool
+    // 20); fused score = Σ floor(1e12/(60+rank)) in BIGINT floor
+    // division (`//` here ≡ Spark's DIV), absent-from-pool = 0
+    "q163_hybrid_retrieval_rrf" -> (UnitVecCte + """,
+        |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok WHERE doc_id < 8),
+        |qt AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
+        |w AS (SELECT doc_id, unnest(t) AS term FROM tok),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+        |       FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+        |lscored AS (
+        |  SELECT query_id, tf.doc_id,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6, 0) AS BIGINT) AS sm
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+        |lagg AS (SELECT query_id, doc_id, sum(sm) AS sm FROM lscored
+        |         WHERE doc_id <> query_id GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank_lex FROM lagg
+        |  QUALIFY rank_lex <= 20),
+        |dscored AS (
+        |  SELECT qv.vec_id AS query_id, e2.vec_id AS doc_id,
+        |    list_sum([qv.u[i] * e2.u[i] for i in range(1, len(qv.u) + 1)]) AS cos
+        |  FROM u qv JOIN u e2 ON e2.vec_id <> qv.vec_id
+        |  WHERE qv.vec_id < 8),
+        |den AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos, 6) DESC, doc_id) AS BIGINT) AS rank_dense
+        |  FROM dscored QUALIFY rank_dense <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    coalesce(l.rank_lex, 0) AS rank_lex,
+        |    coalesce(d.rank_dense, 0) AS rank_dense,
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + l.rank_lex), 0) +
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + d.rank_dense), 0) AS rrf_pico
+        |  FROM lex l FULL OUTER JOIN den d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+        |franked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank FROM fused)
+        |SELECT query_id, doc_id, rank_lex, rank_dense, rrf_pico, rank
+        |FROM franked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin),
     // q147 = q145 compacted: compaction must be answer-invisible, so
     // the oracle IS q145's
     "q147_ann_ivfpq_compacted" -> Q145Sql,
@@ -2098,7 +2180,18 @@ object SparkEntry {
     // 8x8 is what adaptiveLshConfig derives across the whole n <= 4096
     // plateau (the gate corpus is 500 vectors; AdaptiveLshSpec pins the
     // band), so this static SQL stays equal to the adaptive Spark path
-    "q38_ann_lsh" -> (UnitVecCte + lshCtes(bits = 8, nTables = 8, nQueries = 200) + """
+    "q38_ann_lsh" -> Q38Sql,
+    // q164 serves q38's relation from the persisted artifact — the
+    // artifact-vs-session-stage equivalence IS the gate, so the oracle
+    // is q38's verbatim
+    "q164_ann_lsh_persisted" -> Q38Sql,
+    // q165: the composed LSH lifecycle ≡ fresh rebuild of the
+    // survivors (no trained state to freeze) — q38's chain with the
+    // bucket relation (queries AND corpus) restricted to the
+    // surviving vectors
+    "q165_ann_lsh_composed" -> (UnitVecCte +
+      lshCtes(bits = 8, nTables = 8, nQueries = 200,
+        servedPred = "NOT ((vec_id * 7919) % 100 < 10 AND (vec_id * 104729) % 100 >= 50)") + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),

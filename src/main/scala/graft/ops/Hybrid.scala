@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid lexical + dense retrieval fused by Reciprocal Rank Fusion
+  * (RRF, Cormack/Clarke/Büttcher SIGIR 2009) — the serving shape a RAG
+  * or eval-mining pipeline actually runs: a sparse BM25 pool catches
+  * exact-term matches, a dense embedding pool catches paraphrases, and
+  * the fused rank `Σ 1/(K + rank_i)` is robust to the two scorers'
+  * incomparable score scales (ranks are scale-free; scores are not).
+  *
+  * Scale shape (the 100 TB story): the fusion itself touches only
+  * |queries| × poolK rows PER POOL — both pools already end in a
+  * bounded per-query top-k, so the full-outer fusion join and its
+  * per-query window are driver-trivial no matter the corpus size. All
+  * corpus-scale work lives inside the two pool stages, each already
+  * scale-shaped: the BM25 side broadcasts the query terms so the corpus
+  * never shuffles ([[Retrieval]] header), and the dense side is
+  * whatever ANN family serves the deployment (the gate pins the EXACT
+  * brute-force pool so the oracle is closed-form; swapping in the
+  * IVF/PQ artifact paths changes recall, not fusion semantics).
+  *
+  * Cross-engine determinism: RRF contributions are computed in EXACT
+  * integer arithmetic — `1e12 DIV (K + rank)` (floor division on
+  * BIGINT in both engines; Spark `DIV` ≡ DuckDB `//`) — so the fused
+  * score is a LONG sum of longs, never a float. Both input ranks are
+  * themselves engine-exact: BM25 ranks order integer-micro scores
+  * (doc_id tiebreak) and dense ranks order round(cos, 6) (doc_id
+  * tiebreak), both already pinned under the q110/q37 oracles.
+  */
+object Hybrid {
+
+  /** q163: corpus-derived hybrid retrieval — the first `nQueries` docs
+    * play the query batch (their opening `prefixTokens` tokens are the
+    * lexical query; their embedding is the dense query; the source doc
+    * itself is excluded from both pools as a degenerate guaranteed
+    * hit). Pools of `poolK` from each side fuse by RRF; top `topK`
+    * fused hits per query are returned with both provenance ranks
+    * (0 = absent from that pool). */
+  def rrfTopK(spark: SparkSession, dir: String,
+      nQueries: Long = 8L, prefixTokens: Int = 8,
+      poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
+      salts: Int = 32): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lex = Retrieval.rankedBatch(docs, None, col("doc_id") < nQueries,
+        prefixTokens, poolK, salts)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val den = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    fuse(lex, den, topK, rrfK)
+  }
+
+  /** RRF fusion of two (query_id, doc_id, rank_*) pools. Exposed at
+    * `ops` scope so specs can drive planted pools directly. */
+  private[ops] def fuse(lex: DataFrame, den: DataFrame,
+      topK: Int, rrfK: Int): DataFrame = {
+    // exact-integer RRF: floor(1e12 / (K + rank)) on BIGINTs — identical
+    // floor division in Spark (DIV) and DuckDB (//); absent-from-pool
+    // contributes exactly 0
+    def contrib(rankCol: String): Column =
+      coalesce(expr(s"CAST(1000000000000 AS BIGINT) DIV ($rrfK + $rankCol)"),
+        lit(0L))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_pico").desc, col("doc_id"))
+    lex.join(den, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_pico", contrib("rank_lex") + contrib("rank_dense"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        col("rrf_pico"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -149,9 +149,21 @@ object ImageIndex {
         spark.read.parquet(s"$indexDir/hashes").select("doc_id"),
         Seq("doc_id"), "left_anti")).cache()
     fresh.count()
-    fresh.write.mode("append").parquet(s"$indexDir/hashes")
+    // WRITE ORDER MATTERS (the appendPostingsDelta/appendPqDelta
+    // contract): the derived store (bands) appends FIRST, the replay
+    // guard's store (hashes) LAST. Appending hashes first invalidates
+    // every cached plan reading the hashes path — `fresh` itself — and
+    // Spark's recache re-runs the anti-join against the post-append
+    // listing, evaluating `fresh` to EMPTY for the band write: the
+    // delta's band rows silently never landed (caught by the LSH twin's
+    // lifecycle spec; the pair serve reads only the hashes store, so
+    // q156/q159 couldn't see it — the PROBE path could). Crash window
+    // (bands appended, hashes not): a re-run's guard re-appends the
+    // delta's band rows — duplicates [[probeImages]]'s `distinct()`
+    // absorbs, so the re-run converges.
     bandsOfHashes(fresh, bandBuckets)
       .write.mode("append").partitionBy("band_bucket").parquet(s"$indexDir/bands")
+    fresh.write.mode("append").parquet(s"$indexDir/hashes")
     fresh.unpersist(blocking = false)
     deltaHashes.unpersist(blocking = false)
   }

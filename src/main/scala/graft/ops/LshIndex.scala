@@ -1,0 +1,301 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.dotProduct
+
+/** Persisted sign-LSH ANN index — the artifact lifecycle for the
+  * multi-table random-hyperplane family ([[Similarity.lshTopK]], q38/
+  * q92), completing index-family uniformity: BM25 postings, flat IVF,
+  * two-level IVF, IVFPQ, the image hash index, and the daily sketch
+  * rollup all outlive a session as parquet; the LSH family was the one
+  * ANN path still rebuilt per session.
+  *
+  * LSH is the family where persistence is CHEAPEST to keep correct:
+  * bucket keys are pure deterministic functions of the vector
+  * ([[Similarity.hyperplaneWeight]]'s seeded integer lattice), so there
+  * is no trained state to freeze — no codebook drift between base and
+  * delta, and compaction ≡ rebuild EXACTLY (the q136/q141 "frozen
+  * codebook" caveat vanishes). The only frozen state is the geometry
+  * config itself: (bits, nTables) chosen at base-build time (adaptive
+  * by corpus size, [[Similarity.adaptiveLshConfig]]) is stored in a
+  * `meta` relation and reused by every delta — mixing keys from two
+  * geometries in one store would silently zero recall across the split.
+  *
+  * Layout (the postings/image-index twins):
+  *   - `$dir/vectors` — (vec_id, u): unit vectors; the replay guard's
+  *     column-pruned scan target AND the exact-rescore store.
+  *   - `$dir/buckets` — (vec_id, tbl, bucket), partitioned by
+  *     `bucket_bucket = pmod(xxhash64(tbl, bucket), B)`: the probe-side
+  *     store. A small probe batch collects its bucket ids locally and
+  *     pushes a static partition filter — probe cost ∝ the batch's
+  *     bucket vocabulary, never the corpus.
+  *   - `$dir/meta` — (bits, n_tables): the frozen geometry.
+  *   - `$dir/tombstones` — (vec_id): anti-joined at serve, expunged by
+  *     [[compactLshIndex]].
+  *
+  * Full lifecycle contract, uniform with the other five families: base
+  * build → delta append (replay guard + bootstrap) → tombstone →
+  * re-append RESURRECTS a deleted vector → compaction ≡ rebuild of the
+  * survivors. All swaps crash-safe via [[SafeSwap]].
+  */
+object LshIndex {
+
+  /** Partition count of the probe store. The (tbl, bucket) key space is
+    * nTables × 2^bits — hashing it into a bounded dir count keeps the
+    * artifact listable while a probe batch still prunes to ≤ its own
+    * bucket vocabulary. */
+  val DefaultBucketBuckets = 64
+
+  private val persistedIndex = new TempArtifacts("graft-lsh-index")
+  private[ops] def persistedIndexDirFor(spark: SparkSession, dir: String): Option[String] =
+    persistedIndex.peek(spark, dir)
+  def releaseStages(spark: SparkSession): Int = persistedIndex.release(spark)
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def fsPath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  /** The bucket relation of a unit-vector relation under a fixed
+    * geometry: one row per (vec_id, table), plus the partition column.
+    * Keying goes through [[Similarity.lshSignaturesOf]], so the
+    * artifact and the live q38 path can never bucket differently. */
+  private def bucketsOf(vecs: DataFrame, bits: Int, nTables: Int,
+      bucketBuckets: Int): DataFrame =
+    Similarity.lshSignaturesOf(vecs, bits, nTables)
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .withColumn("bucket_bucket",
+        pmod(xxhash64(col("tbl"), col("bucket")), lit(bucketBuckets.toLong)))
+
+  private def readMeta(spark: SparkSession, indexDir: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$indexDir/meta").head()
+    (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"))
+  }
+
+  /** Persist the index from an arbitrary unit-vector relation. Geometry
+    * defaults to the adaptive derivation over THIS relation's count —
+    * the bucket-population-vs-scale story of the live path, frozen into
+    * the artifact's meta for every later delta. */
+  def saveLshIndexOf(vecs: DataFrame, outDir: String,
+      bits: Int = 0, nTables: Int = 0,
+      bucketBuckets: Int = DefaultBucketBuckets): Unit = {
+    require(bucketBuckets > 0, "bucket count must be positive")
+    val spark = vecs.sparkSession
+    val (bitsEff, nTablesEff) =
+      if (bits > 0 && nTables > 0) (bits, nTables)
+      else Similarity.adaptiveLshConfig(vecs.count())
+    require(bitsEff <= 30, "bucket keys fold into one positive Int")
+    vecs.select(col("vec_id"), col("u"))
+      .write.mode("overwrite").parquet(s"$outDir/vectors")
+    // bucket store derives from the just-written vectors parquet — a
+    // second scan of the artifact, not of the upstream corpus
+    bucketsOf(spark.read.parquet(s"$outDir/vectors"), bitsEff, nTablesEff, bucketBuckets)
+      .write.mode("overwrite").partitionBy("bucket_bucket").parquet(s"$outDir/buckets")
+    import spark.implicits._
+    Seq((bitsEff, nTablesEff)).toDF("bits", "n_tables")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Full-corpus build over the `embeddings` table. */
+  def saveLshIndex(spark: SparkSession, dir: String, outDir: String,
+      bits: Int = 0, nTables: Int = 0,
+      bucketBuckets: Int = DefaultBucketBuckets): Unit =
+    saveLshIndexOf(Similarity.unitEmbeddings(spark, dir), outDir,
+      bits, nTables, bucketBuckets)
+
+  /** Merge a delta batch of unit vectors into a persisted artifact —
+    * replay-safe (vec_ids already in the vectors store anti-join out;
+    * a retried ingest is a no-op), bootstrap-safe (a first delta into
+    * an empty dir indexes everything under the adaptive geometry), and
+    * resurrection-safe (a delta vec_id present in the tombstone set is
+    * expunged and its tombstone withdrawn BEFORE the replay guard runs,
+    * so the fresh row appends and neither generation double-serves —
+    * the crash-ordering argument of [[ImageIndex.appendImageHashDelta]]
+    * verbatim). Appended bucket rows land as dynamic-partition appends
+    * touching only the delta's buckets. */
+  def appendLshDelta(deltaVecs: DataFrame, indexDir: String,
+      bucketBuckets: Int = DefaultBucketBuckets): Unit = {
+    val spark = deltaVecs.sparkSession
+    val fs = hadoopFs(spark, indexDir)
+    val vectorsPath = fsPath(s"$indexDir/vectors")
+    SafeSwap.recover(fs, vectorsPath)
+    SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
+    if (!fs.exists(fsPath(s"$indexDir/meta"))) {
+      // bootstrap: the first delta IS the base build
+      saveLshIndexOf(deltaVecs, indexDir, bucketBuckets = bucketBuckets)
+      return
+    }
+    val (bits, nTables) = readMeta(spark, indexDir)
+    val delta = deltaVecs.select(col("vec_id"), col("u")).cache()
+    delta.count()
+    tombstonesOf(spark, indexDir).foreach { dead =>
+      val overlap = dead.join(delta.select("vec_id"), Seq("vec_id")).cache()
+      if (overlap.count() > 0) {
+        expunge(spark, indexDir, overlap)
+        val tsTmp = s"$indexDir/tombstones_withdraw_tmp"
+        dead.join(overlap, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(tsTmp)
+        SafeSwap.swapDir(fs, fsPath(s"$indexDir/tombstones"), fsPath(tsTmp))
+      }
+      overlap.unpersist(blocking = false)
+    }
+    val fresh = delta.join(
+        spark.read.parquet(s"$indexDir/vectors").select("vec_id"),
+        Seq("vec_id"), "left_anti").cache()
+    fresh.count()
+    // WRITE ORDER MATTERS (the appendPostingsDelta/appendPqDelta
+    // contract): the derived store (buckets) appends FIRST, the replay
+    // guard's store (vectors) LAST. Appending vectors first invalidates
+    // every cached plan that reads the vectors path — including `fresh`
+    // itself — and Spark's recache re-runs the anti-join against the
+    // post-append listing, evaluating `fresh` to EMPTY for the second
+    // write (measured: the delta's bucket rows silently never landed).
+    // Crash window (buckets appended, vectors not): a re-run's guard
+    // sees the delta absent and re-appends its bucket rows — duplicates
+    // the serve-side `distinct()` absorbs, so answers stay exact and
+    // the re-run converges.
+    bucketsOf(fresh, bits, nTables, bucketBuckets)
+      .write.mode("append").partitionBy("bucket_bucket").parquet(s"$indexDir/buckets")
+    fresh.write.mode("append").parquet(s"$indexDir/vectors")
+    fresh.unpersist(blocking = false)
+    delta.unpersist(blocking = false)
+  }
+
+  /** Retire vectors — tombstones, not rewrites (cost ∝ |deletes|);
+    * idempotent. */
+  def tombstoneVectors(deletedIds: DataFrame, indexDir: String): Unit =
+    deletedIds.select(col("vec_id").cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  private def tombstonesOf(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = fsPath(s"$indexDir/tombstones")
+    if (hadoopFs(spark, indexDir).exists(p))
+      Some(spark.read.parquet(s"$indexDir/tombstones").select("vec_id").distinct())
+    else None
+  }
+
+  /** Drop a dead set's rows from both stores: vectors rewrites wholesale
+    * (the artifact's narrow per-vector relation — the dl/hashes
+    * precedent), the bucket store rewrites only the partitions holding a
+    * dead vector's rows. */
+  private def expunge(spark: SparkSession, indexDir: String, dead: DataFrame): Unit = {
+    val fs = hadoopFs(spark, indexDir)
+    val buckets = spark.read.parquet(s"$indexDir/buckets")
+    val touched = buckets.join(dead, Seq("vec_id"))
+      .select(col("bucket_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ bucketBuckets values
+    if (touched.nonEmpty) {
+      val tmp = s"$indexDir/buckets_compact_tmp"
+      buckets.where(col("bucket_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
+        .join(dead, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("bucket_bucket").parquet(tmp)
+      SafeSwap.swapPartitions(fs, fsPath(s"$indexDir/buckets"), fsPath(tmp),
+        touched.toIndexedSeq.map(b => s"bucket_bucket=$b"))
+    }
+    val vTmp = s"$indexDir/vectors_compact_tmp"
+    spark.read.parquet(s"$indexDir/vectors")
+      .join(dead, Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(vTmp)
+    SafeSwap.swapDir(fs, fsPath(s"$indexDir/vectors"), fsPath(vTmp))
+  }
+
+  /** Expunge the tombstones — rewrite only touched bucket partitions +
+    * the narrow vectors store, delete the tombstone set LAST (the
+    * commit point). Answer-invisible by construction; for THIS family
+    * compaction ≡ fresh rebuild EXACTLY (no frozen trained state). */
+  def compactLshIndex(spark: SparkSession, indexDir: String): Unit = {
+    val fs = hadoopFs(spark, indexDir)
+    SafeSwap.recover(fs, fsPath(s"$indexDir/vectors"))
+    SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
+    tombstonesOf(spark, indexDir).foreach { dead =>
+      expunge(spark, indexDir, dead)
+      fs.delete(fsPath(s"$indexDir/tombstones"), true)
+    }
+  }
+
+  /** Serve multi-probe top-k from the artifact — [[Similarity.lshTopK]]'s
+    * exact plan semantics with every corpus-scale relation read from
+    * parquet: probes re-derive from the LIVE query vectors under the
+    * frozen meta geometry (bit-identical keys by construction), the
+    * probe set broadcasts (bounded: nQueries × nTables × |mask ladder|),
+    * the bucket store streams past it in place, candidates dedup, and
+    * the exact rescore joins the vectors store. Tombstoned vectors drop
+    * out on BOTH sides (a dead vector neither queries nor serves). */
+  def lshTopKFromIndex(spark: SparkSession, indexDir: String,
+      nQueries: Int = 200, k: Int = 3, maxFlips: Int = 2): DataFrame = {
+    val fs = hadoopFs(spark, indexDir)
+    SafeSwap.recover(fs, fsPath(s"$indexDir/vectors"))
+    SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
+    val (bits, nTables) = readMeta(spark, indexDir)
+    val dead = tombstonesOf(spark, indexDir)
+    def live(df: DataFrame): DataFrame = dead match {
+      case Some(d) => df.join(d, Seq("vec_id"), "left_anti")
+      case None => df
+    }
+    val vectors = live(spark.read.parquet(s"$indexDir/vectors"))
+    val corpus = live(spark.read.parquet(s"$indexDir/buckets"))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val qv = vectors.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val masks = typedLit(Similarity.probeMasks(bits, maxFlips))
+    val probes = Similarity.lshSignaturesOf(
+        qv.select(col("q_id").as("vec_id"), col("qu").as("u")), bits, nTables)
+      .select(col("vec_id").as("q_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket0")))
+      .select(col("q_id"), col("tbl"), col("bucket0"), explode(masks).as("mask"))
+      .select(col("q_id"), col("tbl"), col("bucket0").bitwiseXOR(col("mask")).as("bucket"))
+    val cand = broadcast(probes).join(corpus, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val scored = cand
+      .join(broadcast(qv), Seq("q_id"))
+      .join(vectors.select(col("vec_id").as("neighbor_id"), col("u").as("nu")),
+        Seq("neighbor_id"))
+      .select(col("q_id"), col("neighbor_id"),
+        dotProduct(col("qu"), col("nu")).as("cos"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** q164: q38's multi-probe top-k served ENTIRELY from the persisted
+    * artifact — same oracle as q38 (the adaptive geometry sits on the
+    * 8×8 plateau at gate scale): the session-stage shape and the
+    * restart-from-artifact shape pin one answer. Built on first use per
+    * (session, dir) — the q127 memoization discipline. */
+  def lshTopKPersisted(spark: SparkSession, dir: String,
+      nQueries: Int = 200, k: Int = 3): DataFrame = {
+    val indexDir = persistedIndex.getOrCreate(spark, dir)(
+      saveLshIndex(spark, dir, _))
+    lshTopKFromIndex(spark, indexDir, nQueries, k)
+  }
+
+  /** q165: the FULL lifecycle composed in one relation — base build
+    * (70 %) → delta append (30 %) → tombstone a 10 % delete set spanning
+    * both → re-append half the deleted vectors (resurrection) → compact
+    * → serve. Because bucket keys carry no trained state, the
+    * composition ≡ a fresh build of the surviving corpus EXACTLY, and
+    * the gate pins it under q38's oracle restricted to the survivors —
+    * the geometry is pinned to the base plateau (8×8 at gate scale) by
+    * freezing meta at base-build time, exactly what a production ingest
+    * does. */
+  def lshTopKComposed(spark: SparkSession, dir: String,
+      nQueries: Int = 200, k: Int = 3,
+      batchPct: Int = 30, deletePct: Int = 10, reappendPct: Int = 50): DataFrame = {
+    val indexDir = persistedIndex.getOrCreate(
+      spark, s"$dir#lifecycle:$batchPct:$deletePct:$reappendPct") { tmp =>
+      val vecs = Similarity.unitEmbeddings(spark, dir).select(col("vec_id"), col("u"),
+        (pmod(col("vec_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"),
+        (pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct).as("deleted"))
+      saveLshIndexOf(vecs.where(!col("incoming")).select("vec_id", "u"), tmp)
+      appendLshDelta(vecs.where(col("incoming")).select("vec_id", "u"), tmp)
+      tombstoneVectors(vecs.where(col("deleted")).select("vec_id"), tmp)
+      appendLshDelta(
+        vecs.where(col("deleted") &&
+            pmod(col("vec_id") * lit(104729L), lit(100)) < reappendPct)
+          .select("vec_id", "u"), tmp)
+      compactLshIndex(spark, tmp)
+    }
+    lshTopKFromIndex(spark, indexDir, nQueries, k)
+  }
+}

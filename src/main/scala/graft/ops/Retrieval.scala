@@ -636,7 +636,7 @@ object Retrieval {
   /** The retrieval HALF of a batch: eval docs under `evalFilter` become
     * the query set; emits the ranked (query_id, doc_id, score, rank)
     * relation, unordered. */
-  private def rankedBatch(docs: DataFrame, index: Option[(DataFrame, DataFrame)],
+  private[ops] def rankedBatch(docs: DataFrame, index: Option[(DataFrame, DataFrame)],
       evalFilter: org.apache.spark.sql.Column,
       prefixTokens: Int, topK: Int, salts: Int): DataFrame = {
     val queryTerms = docs.where(evalFilter)

@@ -54,7 +54,7 @@ object Similarity {
   /** Top-k rank within each query by exact cosine, deterministic
     * tiebreak. The window partitions by q_id over per-query candidate
     * lists — bounded rows per partition, never corpus-wide. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(round(col("cos"), 6).desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -147,7 +147,7 @@ object Similarity {
   private val corpusCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
 
-  private def corpusCount(spark: SparkSession, dir: String): Long =
+  private[ops] def corpusCount(spark: SparkSession, dir: String): Long =
     corpusCountCache.computeIfAbsent((spark, dir),
       _ => Tables(spark, dir, "embeddings").count()).longValue
 

@@ -130,5 +130,6 @@ object StageRegistry {
   def releaseSession(spark: SparkSession): Int =
     Dedup.releaseStages(spark) + Similarity.releaseStages(spark) +
       TextAnalysis.releaseStages(spark) + Retrieval.releaseStages(spark) +
-      Sketches.releaseSession(spark) + ImageIndex.releaseStages(spark)
+      Sketches.releaseSession(spark) + ImageIndex.releaseStages(spark) +
+      LshIndex.releaseStages(spark)
 }

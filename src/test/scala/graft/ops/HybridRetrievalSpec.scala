@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** q163 falsifiability: RRF fusion semantics on planted pools, and the
+  * gate-shape contract on the real testdata. */
+class HybridRetrievalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("fusion: both-pool doc beats single-pool docs at equal ranks") {
+    import spark.implicits._
+    // query 1: doc 10 is rank 1 in BOTH pools; docs 11/12 are rank 1 in
+    // exactly one pool each. RRF(1,1) = 2/(61) > RRF(1,-) = 1/61.
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 0L))
+      .filter(_._3 > 0L).toDF("query_id", "doc_id", "rank_lex")
+    val den = Seq((1L, 10L, 1L), (1L, 12L, 1L))
+      .toDF("query_id", "doc_id", "rank_dense")
+    val out = Hybrid.fuse(lex, den, topK = 10, rrfK = 60)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val expectedBoth = 1000000000000L / 61 + 1000000000000L / 61
+    assert(out.head == ((1L, 10L, 1L, 1L, expectedBoth, 1L)),
+      s"both-pool doc must fuse to rank 1: $out")
+    // single-pool rank-1 (doc 12) beats lexical rank-2 (doc 11):
+    // 1e12/61 > 1e12/62
+    assert(out.map(_._2) == Seq(10L, 12L, 11L), s"fused order wrong: $out")
+    // absent-from-pool ranks surface as 0
+    val d12 = out.find(_._2 == 12L).get
+    assert(d12._3 == 0L && d12._4 == 1L, s"absent lexical rank must be 0: $d12")
+  }
+
+  test("fusion ties break by doc_id and integer scores are exact") {
+    import spark.implicits._
+    // two docs with identical pool ranks -> identical rrf_pico -> the
+    // doc_id tiebreak must order them
+    val lex = Seq((1L, 21L, 3L), (1L, 20L, 3L)).toDF("query_id", "doc_id", "rank_lex")
+    val den = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("query_id", "doc_id", "rank_dense")
+    val out = Hybrid.fuse(lex, den, topK = 10, rrfK = 60)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._2) == Seq(20L, 21L), s"tie must break by doc_id: $out")
+    assert(out.forall(_._5 == 1000000000000L / 63), s"exact floor division: $out")
+  }
+
+  test("q163 gate shape on testdata: ranks dense, provenance consistent") {
+    val out = Hybrid.rrfTopK(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 8L).toSet, s"8 query docs expected: ${byQ.keySet}")
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(5)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"ranks must be dense 1..k for query $q")
+      rows.foreach { r =>
+        val (rl, rd, pico) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(rl > 0L || rd > 0L, s"every hit needs at least one pool rank: $r")
+        val expected = (if (rl > 0) 1000000000000L / (60 + rl) else 0L) +
+          (if (rd > 0) 1000000000000L / (60 + rd) else 0L)
+        assert(pico == expected, s"rrf_pico must be the exact integer fusion: $r")
+        assert(r.getLong(1) != q, "self-hit leaked through a pool")
+      }
+      // fused order is (rrf_pico desc, doc_id)
+      val sortedPairs = rows.sortBy(_.getLong(5)).map(r => (-r.getLong(4), r.getLong(1)))
+      assert(sortedPairs.toSeq == sortedPairs.sorted.toSeq, s"fused order broken for $q")
+    }
+    // determinism: a second run is row-identical
+    val again = Hybrid.rrfTopK(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

@@ -171,6 +171,27 @@ class ImageIndexSpec extends AnyFunSuite {
     } finally rm(new java.io.File(out))
   }
 
+  test("probe reaches DELTA-appended docs: the band store holds the delta's rows") {
+    // regression pin for the append write-order bug: appending the
+    // hashes store FIRST invalidated the cached anti-joined delta, whose
+    // recache re-ran against the post-append listing and appended ZERO
+    // band rows — the pair serve (hashes-only) couldn't see it, the
+    // probe path (bands-only) could
+    import spark.implicits._
+    val out = tmpDir("graft-imgidx-probe-delta")
+    try {
+      val deltaDoc = docs.orderBy("doc_id").limit(1).as[(Long, String)].head()
+      ImageIndex.saveImageHashIndexOf(
+        Multimodal.imageHashesOf(docs.where(col("doc_id") =!= deltaDoc._1)), out)
+      ImageIndex.appendImageHashDelta(Seq(deltaDoc).toDF("doc_id", "text"), out)
+      val probeBatch = Seq((900002L, deltaDoc._2)).toDF("doc_id", "text")
+      val hits = ImageIndex.probeImages(probeBatch, out)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(hits.exists(h => h._2 == deltaDoc._1 && h._3 == 0L),
+        s"the probe missed the delta-appended doc (its band rows never landed): $hits")
+    } finally rm(new java.io.File(out))
+  }
+
   test("probe: an arriving near-dup matches the held corpus; tombstones hide docs") {
     import spark.implicits._
     val out = tmpDir("graft-imgidx-probe")

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The persisted sign-LSH ANN index (q164/q165): the artifact must serve
+  * exactly what the live session stage serves, under the full lifecycle
+  * contract every other index family has — delta append (replay-safe,
+  * bootstrapping, geometry-frozen), tombstones, targeted compaction,
+  * and deleted-then-re-appended resurrection. LSH's special property —
+  * no trained state — means every lifecycle composition must equal a
+  * FRESH rebuild of the surviving vectors exactly. */
+class LshIndexSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+  }
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def vecs: DataFrame = Similarity.unitEmbeddings(spark, dir)
+
+  /** Fresh-build answer over an arbitrary vector subset: what any
+    * lifecycle composition ending in that live set must serve. */
+  private def freshTopK(subset: DataFrame): Seq[String] = {
+    val out = tmpDir("graft-lshidx-fresh")
+    try {
+      LshIndex.saveLshIndexOf(subset, out, bits = 8, nTables = 8)
+      rows(LshIndex.lshTopKFromIndex(spark, out))
+    } finally rm(new java.io.File(out))
+  }
+
+  test("the artifact serves exactly the live lshTopK relation") {
+    val out = tmpDir("graft-lshidx")
+    try {
+      LshIndex.saveLshIndex(spark, dir, out)
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) ==
+        rows(Similarity.lshTopK(spark, dir)),
+        "artifact serve diverged from the live session-stage path")
+      // the frozen geometry must be the adaptive one the live path used
+      val meta = spark.read.parquet(s"$out/meta").head()
+      assert((meta.getAs[Int]("bits"), meta.getAs[Int]("n_tables")) == ((8, 8)),
+        "gate-scale geometry must sit on the 8x8 adaptive plateau")
+    } finally rm(new java.io.File(out))
+  }
+
+  test("incremental merge equals a full rebuild; a replayed delta is a no-op") {
+    val inc = tmpDir("graft-lshidx-inc")
+    val full = tmpDir("graft-lshidx-full")
+    try {
+      val split = vecs.withColumn("incoming",
+        pmod(col("vec_id") * lit(2654435761L), lit(100)) < 30)
+      LshIndex.saveLshIndexOf(split.where(!col("incoming")).select("vec_id", "u"), inc)
+      val delta = split.where(col("incoming")).select("vec_id", "u")
+      LshIndex.appendLshDelta(delta, inc)
+      LshIndex.saveLshIndex(spark, dir, full)
+      assert(rows(LshIndex.lshTopKFromIndex(spark, inc)) ==
+        rows(LshIndex.lshTopKFromIndex(spark, full)),
+        "merged artifact diverged from a full rebuild")
+      val before = spark.read.parquet(s"$inc/vectors").count()
+      LshIndex.appendLshDelta(delta, inc) // the production retry
+      assert(spark.read.parquet(s"$inc/vectors").count() == before,
+        "a replayed delta re-indexed already-held vectors")
+      assert(rows(LshIndex.lshTopKFromIndex(spark, inc)) ==
+        rows(LshIndex.lshTopKFromIndex(spark, full)),
+        "a replayed delta changed the served answers")
+    } finally { rm(new java.io.File(inc)); rm(new java.io.File(full)) }
+  }
+
+  test("a first delta into an empty dir bootstraps the artifact") {
+    val boot = tmpDir("graft-lshidx-boot")
+    val full = tmpDir("graft-lshidx-boot-full")
+    try {
+      LshIndex.appendLshDelta(vecs, boot) // no base build first
+      LshIndex.saveLshIndex(spark, dir, full)
+      assert(rows(LshIndex.lshTopKFromIndex(spark, boot)) ==
+        rows(LshIndex.lshTopKFromIndex(spark, full)),
+        "the bootstrap append diverged from a base build of the same vectors")
+    } finally { rm(new java.io.File(boot)); rm(new java.io.File(full)) }
+  }
+
+  test("tombstoned vectors vanish exactly as a rebuild without them") {
+    val out = tmpDir("graft-lshidx-tomb")
+    try {
+      LshIndex.saveLshIndex(spark, dir, out)
+      val deleteRule = pmod(col("vec_id") * lit(7919L), lit(100)) < 10
+      LshIndex.tombstoneVectors(vecs.where(deleteRule).select("vec_id"), out)
+      LshIndex.tombstoneVectors(vecs.where(deleteRule).select("vec_id"), out) // idempotent
+      val expected = freshTopK(vecs.where(!deleteRule))
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == expected,
+        "tombstoned serve diverged from a rebuild on the survivors")
+    } finally rm(new java.io.File(out))
+  }
+
+  test("compaction rewrites only touched buckets and is answer-invisible") {
+    val out = tmpDir("graft-lshidx-compact")
+    try {
+      LshIndex.saveLshIndex(spark, dir, out)
+      import spark.implicits._
+      val victim = spark.read.parquet(s"$out/vectors")
+        .agg(min(col("vec_id"))).as[Long].head()
+      LshIndex.tombstoneVectors(Seq(victim).toDF("vec_id"), out)
+      val withTombstones = rows(LshIndex.lshTopKFromIndex(spark, out))
+      val mtimes = new java.io.File(s"$out/buckets").listFiles()
+        .filter(_.getName.startsWith("bucket_bucket="))
+        .map(f => f.getName -> f.lastModified()).toMap
+      LshIndex.compactLshIndex(spark, out)
+      assert(!new java.io.File(s"$out/tombstones").exists(), "compaction never committed")
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == withTombstones,
+        "compaction changed the served answers")
+      val after = new java.io.File(s"$out/buckets").listFiles()
+        .filter(_.getName.startsWith("bucket_bucket="))
+        .map(f => f.getName -> f.lastModified()).toMap
+      // one vector touches <= nTables of the 64 bucket partitions
+      val untouched = after.keySet.count(k => mtimes.get(k).contains(after(k)))
+      assert(untouched > 0,
+        s"a one-vector delete should leave some of the ${after.size} buckets untouched")
+    } finally rm(new java.io.File(out))
+  }
+
+  test("a deleted vector re-appended is RESURRECTED; composition equals a fresh build") {
+    val out = tmpDir("graft-lshidx-resurrect")
+    try {
+      val split = vecs
+        .withColumn("incoming", pmod(col("vec_id") * lit(2654435761L), lit(100)) < 30)
+        .withColumn("deleted", pmod(col("vec_id") * lit(7919L), lit(100)) < 10)
+      LshIndex.saveLshIndexOf(split.where(!col("incoming")).select("vec_id", "u"), out)
+      LshIndex.appendLshDelta(split.where(col("incoming")).select("vec_id", "u"), out)
+      LshIndex.tombstoneVectors(split.where(col("deleted")).select("vec_id"), out)
+      LshIndex.appendLshDelta(
+        split.where(col("deleted") &&
+            pmod(col("vec_id") * lit(104729L), lit(100)) < 50)
+          .select("vec_id", "u"), out)
+      val survivors = split.where(!(col("deleted") &&
+          pmod(col("vec_id") * lit(104729L), lit(100)) >= 50))
+        .select("vec_id", "u")
+      val expected = freshTopK(survivors)
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == expected,
+        "resurrected serve (pre-compaction) diverged from a fresh build of the survivors")
+      val vrel = spark.read.parquet(s"$out/vectors")
+      assert(vrel.count() == vrel.select("vec_id").distinct().count(),
+        "resurrection left two generations of a vector in the store")
+      LshIndex.compactLshIndex(spark, out)
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == expected,
+        "compacted resurrected serve diverged")
+    } finally rm(new java.io.File(out))
+  }
+
+  test("q165's composed lifecycle equals q38's relation over the survivors") {
+    // the gate-side contract, session-memoized path included
+    val composed = rows(LshIndex.lshTopKComposed(spark, dir))
+    val survivorRule = !(pmod(col("vec_id") * lit(7919L), lit(100)) < 10 &&
+      pmod(col("vec_id") * lit(104729L), lit(100)) >= 50)
+    assert(composed == freshTopK(vecs.where(survivorRule)),
+      "composed lifecycle diverged from a fresh rebuild of the survivors")
+  }
+}
