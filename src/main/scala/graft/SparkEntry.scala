@@ -422,6 +422,13 @@ object SparkEntry {
     // composition ≡ a fresh rebuild of the survivors EXACTLY (no
     // frozen-codebook caveat), gated under q38's oracle over survivors
     "q165_ann_lsh_composed" -> ((s, d) => LshIndex.lshTopKComposed(s, d)),
+    // q166: q163's fused relation served entirely from the persisted
+    // BM25 + LSH artifacts — the RAG restart shape (a redeployed
+    // service holds only its indexes): lexical pool from the
+    // term-bucket-pruned postings artifact with the corpus
+    // structurally unreachable, dense pool rescored exactly over the
+    // LSH artifact's vectors store, same oracle as q163
+    "q166_hybrid_from_indexes" -> ((s, d) => Hybrid.rrfTopKFromIndexes(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -928,6 +935,56 @@ object SparkEntry {
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   private lazy val Bm25TopKSql = bm25TopKSqlOver("TRUE")
+
+  /** q163's oracle — shared verbatim by q166 (from-artifact hybrid
+    * serving must pin the same fused relation the live pools serve). */
+  private lazy val Q163Sql: String = UnitVecCte + """,
+        |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok WHERE doc_id < 8),
+        |qt AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
+        |w AS (SELECT doc_id, unnest(t) AS term FROM tok),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
+        |       FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df
+        |          FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+        |lscored AS (
+        |  SELECT query_id, tf.doc_id,
+        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6, 0) AS BIGINT) AS sm
+        |  FROM tf JOIN dfreq USING (term)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
+        |lagg AS (SELECT query_id, doc_id, sum(sm) AS sm FROM lscored
+        |         WHERE doc_id <> query_id GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank_lex FROM lagg
+        |  QUALIFY rank_lex <= 20),
+        |dscored AS (
+        |  SELECT qv.vec_id AS query_id, e2.vec_id AS doc_id,
+        |    list_sum([qv.u[i] * e2.u[i] for i in range(1, len(qv.u) + 1)]) AS cos
+        |  FROM u qv JOIN u e2 ON e2.vec_id <> qv.vec_id
+        |  WHERE qv.vec_id < 8),
+        |den AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY round(cos, 6) DESC, doc_id) AS BIGINT) AS rank_dense
+        |  FROM dscored QUALIFY rank_dense <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    coalesce(l.rank_lex, 0) AS rank_lex,
+        |    coalesce(d.rank_dense, 0) AS rank_dense,
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + l.rank_lex), 0) +
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + d.rank_dense), 0) AS rrf_pico
+        |  FROM lex l FULL OUTER JOIN den d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+        |franked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank FROM fused)
+        |SELECT query_id, doc_id, rank_lex, rank_dense, rrf_pico, rank
+        |FROM franked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin
 
   /** q38's oracle — shared verbatim by q164 (persisted-artifact serving
     * must pin the same relation the session stage serves). */
@@ -1972,53 +2029,11 @@ object SparkEntry {
     // q37 (exact cosine, round(cos,6) rank order, self excluded, pool
     // 20); fused score = Σ floor(1e12/(60+rank)) in BIGINT floor
     // division (`//` here ≡ Spark's DIV), absent-from-pool = 0
-    "q163_hybrid_retrieval_rrf" -> (UnitVecCte + """,
-        |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
-        |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok WHERE doc_id < 8),
-        |qt AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
-        |w AS (SELECT doc_id, unnest(t) AS term FROM tok),
-        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
-        |corpus AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-        |             sum(dl) * 1.0 / count(*) AS avgdl FROM dl),
-        |tf AS (SELECT query_id, doc_id, term, count(*) AS tf
-        |       FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, count(*) AS df
-        |          FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
-        |lscored AS (
-        |  SELECT query_id, tf.doc_id,
-        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
-        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6, 0) AS BIGINT) AS sm
-        |  FROM tf JOIN dfreq USING (term)
-        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus),
-        |lagg AS (SELECT query_id, doc_id, sum(sm) AS sm FROM lscored
-        |         WHERE doc_id <> query_id GROUP BY 1, 2),
-        |lex AS (SELECT query_id, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sm DESC, doc_id) AS BIGINT) AS rank_lex FROM lagg
-        |  QUALIFY rank_lex <= 20),
-        |dscored AS (
-        |  SELECT qv.vec_id AS query_id, e2.vec_id AS doc_id,
-        |    list_sum([qv.u[i] * e2.u[i] for i in range(1, len(qv.u) + 1)]) AS cos
-        |  FROM u qv JOIN u e2 ON e2.vec_id <> qv.vec_id
-        |  WHERE qv.vec_id < 8),
-        |den AS (SELECT query_id, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY round(cos, 6) DESC, doc_id) AS BIGINT) AS rank_dense
-        |  FROM dscored QUALIFY rank_dense <= 20),
-        |fused AS (
-        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
-        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
-        |    coalesce(l.rank_lex, 0) AS rank_lex,
-        |    coalesce(d.rank_dense, 0) AS rank_dense,
-        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + l.rank_lex), 0) +
-        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + d.rank_dense), 0) AS rrf_pico
-        |  FROM lex l FULL OUTER JOIN den d
-        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
-        |franked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank FROM fused)
-        |SELECT query_id, doc_id, rank_lex, rank_dense, rrf_pico, rank
-        |FROM franked WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin),
+    "q163_hybrid_retrieval_rrf" -> Q163Sql,
+    // q166 serves q163's relation entirely from the persisted BM25 +
+    // LSH artifacts (the RAG restart shape) — the live-vs-artifact
+    // equivalence IS the gate, so the oracle is q163's verbatim
+    "q166_hybrid_from_indexes" -> Q163Sql,
     // q147 = q145 compacted: compaction must be answer-invisible, so
     // the oracle IS q145's
     "q147_ann_ivfpq_compacted" -> Q145Sql,

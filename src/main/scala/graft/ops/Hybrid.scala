@@ -53,6 +53,43 @@ object Hybrid {
     fuse(lex, den, topK, rrfK)
   }
 
+  /** q166: the SAME fused relation served entirely from persisted
+    * artifacts — the restart story a RAG service actually lives: after
+    * a redeploy it holds only its indexes, no corpus. The lexical pool
+    * ranks from the BM25 postings artifact (term-bucket-pruned scan,
+    * corpus structurally unreachable — [[Retrieval.rankedFromIndex]]
+    * throws if the docs relation is even analyzed); the dense pool
+    * rescores EXACTLY over the LSH artifact's `vectors` store (the
+    * rescore relation every ANN serve already joins), so both pools —
+    * and therefore the fusion — are row-identical to [[rrfTopK]] by
+    * construction and gate under the same oracle. The only corpus
+    * touch is deriving the gate's stand-in query batch (8 rows,
+    * filter-pushed scan); a production service receives queries as
+    * input. */
+  def rrfTopKFromIndexes(spark: SparkSession, dir: String,
+      nQueries: Long = 8L, prefixTokens: Int = 8,
+      poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
+      salts: Int = 32): DataFrame = {
+    val queryDocs = Tables.documents(spark, dir).where(col("doc_id") < nQueries)
+    val queryTerms = queryDocs.select(col("doc_id").as("query_id"),
+      explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, prefixTokens)))
+        .as("term"))
+    val lex = Retrieval.rankedFromIndex(spark,
+        Retrieval.persistedPostingsDir(spark, dir), queryTerms, poolK, salts,
+        excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val vectors = spark.read.parquet(s"${LshIndex.persistedDir(spark, dir)}/vectors")
+    val qv = vectors.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val scored = broadcast(qv).join(vectors, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.VectorFunctions.dotProduct(col("qu"), col("u")).as("cos"))
+    val den = Similarity.rankTopK(scored, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    fuse(lex, den, topK, rrfK)
+  }
+
   /** RRF fusion of two (query_id, doc_id, rank_*) pools. Exposed at
     * `ops` scope so specs can drive planted pools directly. */
   private[ops] def fuse(lex: DataFrame, den: DataFrame,

@@ -264,11 +264,14 @@ object LshIndex {
     * restart-from-artifact shape pin one answer. Built on first use per
     * (session, dir) — the q127 memoization discipline. */
   def lshTopKPersisted(spark: SparkSession, dir: String,
-      nQueries: Int = 200, k: Int = 3): DataFrame = {
-    val indexDir = persistedIndex.getOrCreate(spark, dir)(
-      saveLshIndex(spark, dir, _))
-    lshTopKFromIndex(spark, indexDir, nQueries, k)
-  }
+      nQueries: Int = 200, k: Int = 3): DataFrame =
+    lshTopKFromIndex(spark, persistedDir(spark, dir), nQueries, k)
+
+  /** The session's persisted LSH artifact for `dir`, built on first use —
+    * shared by the q164 gate and the hybrid from-artifact serving path
+    * (whose dense pool rescores over the artifact's `vectors` store). */
+  private[ops] def persistedDir(spark: SparkSession, dir: String): String =
+    persistedIndex.getOrCreate(spark, dir)(saveLshIndex(spark, dir, _))
 
   /** q165: the FULL lifecycle composed in one relation — base build
     * (70 %) → delta append (30 %) → tombstone a 10 % delete set spanning

@@ -455,16 +455,29 @@ object Retrieval {
       topK: Int = 5, salts: Int = 32,
       termBuckets: Int = 64): DataFrame = {
     import spark.implicits._
+    val queryTerms = queries.toDF("query_id", "qtext")
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(TextAnalysis.tokens(col("qtext"))).as("term"))
+      .distinct()
+    rankedFromIndex(spark, indexDir, queryTerms, topK, salts,
+      excludeSelf = false, termBuckets = termBuckets)
+  }
+
+  /** BM25 ranking from a persisted artifact for an arbitrary
+    * (query_id, term) relation — the from-index engine of
+    * [[bm25TopKFromIndex]] (literal queries) and the hybrid fusion's
+    * lexical pool ([[Hybrid.rrfTopKFromIndexes]], corpus-derived
+    * queries). The corpus is structurally unreachable (the by-name docs
+    * argument throws if analyzed). */
+  private[ops] def rankedFromIndex(spark: SparkSession, indexDir: String,
+      queryTerms: DataFrame, topK: Int, salts: Int,
+      excludeSelf: Boolean, termBuckets: Int = 64): DataFrame = {
     // a crashed compaction may have left partitions aside — restore
     // them before scanning (two fs.exists when no crash happened)
     val fs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/dl"))
-    val queryTerms = queries.toDF("query_id", "qtext")
-      .select(col("query_id").cast("long").as("query_id"),
-        explode(TextAnalysis.tokens(col("qtext"))).as("term"))
-      .distinct()
     val buckets = queryTerms
       .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // local relation: no corpus scan
@@ -485,8 +498,14 @@ object Retrieval {
     }
     bm25Rank(
       sys.error("the persisted-index path must not touch the corpus"),
-      Some((postings, dl)), queryTerms, topK, salts, excludeSelf = false)
+      Some((postings, dl)), queryTerms, topK, salts, excludeSelf = excludeSelf)
   }
+
+  /** The session's persisted postings artifact for `dir`, built on
+    * first use — shared by the q127 gate and the hybrid from-artifact
+    * serving path. */
+  private[ops] def persistedPostingsDir(spark: SparkSession, dir: String): String =
+    persistedIndex.getOrCreate(spark, dir)(savePostingsIndex(spark, dir, _))
 
   /** One persisted-index artifact per (session, dir), built on first
     * use — the q127 gate entry: the determinism contract (a query
@@ -502,10 +521,8 @@ object Retrieval {
     * restartable on-disk index), one pinned answer. */
   def bm25TopKPersisted(spark: SparkSession, dir: String,
       queries: Seq[(Int, String)] = DefaultQueries,
-      topK: Int = 5, salts: Int = 32): DataFrame = {
-    val indexDir = persistedIndex.getOrCreate(spark, dir)(savePostingsIndex(spark, dir, _))
-    bm25TopKFromIndex(spark, indexDir, queries, topK, salts)
-  }
+      topK: Int = 5, salts: Int = 32): DataFrame =
+    bm25TopKFromIndex(spark, persistedPostingsDir(spark, dir), queries, topK, salts)
 
   private def bm25Rank(docs: => DataFrame, index: Option[(DataFrame, DataFrame)],
       queryTerms: DataFrame, topK: Int, salts: Int, excludeSelf: Boolean): DataFrame = {

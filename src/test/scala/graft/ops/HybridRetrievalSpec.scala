@@ -68,4 +68,11 @@ class HybridRetrievalSpec extends AnyFunSuite {
     val again = Hybrid.rrfTopK(spark, sf).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("q166: the from-artifact fusion is row-identical to the live pools") {
+    val live = Hybrid.rrfTopK(spark, sf).collect().map(_.toString).toSeq
+    val fromIdx = Hybrid.rrfTopKFromIndexes(spark, sf).collect().map(_.toString).toSeq
+    assert(fromIdx == live,
+      "hybrid served from the persisted BM25 + LSH artifacts diverged from the live pools")
+  }
 }
