@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * Where idempotence comes from — nothing here re-implements it; each
   * stage's own guard composes:
   *   - converted parquet: deterministic rewrite of the same inputs;
-  *   - postings / image-hash appends: per-doc replay guards
+  *   - postings / image-hash / LSH-vector appends: per-id replay guards
   *     ([[Retrieval.appendPostingsDelta]] / [[ImageIndex
-  *     .appendImageHashDelta]] anti-join already-held ids — a replayed
-  *     batch appends zero rows);
+  *     .appendImageHashDelta]] / [[LshIndex.appendLshDelta]] anti-join
+  *     already-held ids — a replayed batch appends zero rows);
   *   - sketch rollup: the day-granular guard plus the integrity repair
   *     ([[Sketches.appendDailyDeltaVerified]] — a replayed full day is
   *     a no-op, a detected partial day re-rolls for one-day cost);
@@ -61,8 +61,9 @@ object Pipeline {
     * crawl"), append the kept docs to the BM25 and image-hash
     * artifacts, merge the day's events into the sketch rollup through
     * the verified append, and export the training shards. Artifacts
-    * live under `workDir` (`bm25/`, `images/`, `rollup/`, `shards/`,
-    * `converted/`); first run bootstraps them, every later run appends. */
+    * live under `workDir` (`bm25/`, `images/`, `lsh/`, `rollup/`,
+    * `shards/`, `converted/`); first run bootstraps them, every later
+    * run appends. */
   def runDaily(spark: SparkSession, corpusDir: String, workDir: String,
       incomingRawDir: Option[String] = None,
       batchPct: Int = 30): DailyReport = {
@@ -83,6 +84,13 @@ object Pipeline {
     // 3. INDEX: replay-guarded appends (first run bootstraps)
     Retrieval.appendPostingsDelta(kept, s"$workDir/bm25")
     ImageIndex.appendImageHashDelta(kept, s"$workDir/images")
+    // the kept docs' embeddings feed the vector index (doc_id ≡ vec_id
+    // in this corpus); appendLshDelta carries its own replay guard and
+    // freezes the geometry on the bootstrap run
+    LshIndex.appendLshDelta(
+      Similarity.unitEmbeddings(spark, corpusDir)
+        .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+      s"$workDir/lsh")
     val repaired = Sketches.appendDailyDeltaVerified(
       Tables.events(spark, corpusDir), s"$workDir/rollup")
     kept.unpersist(blocking = false)

@@ -37,6 +37,8 @@ class PipelineDailySpec extends AnyFunSuite {
         spark.read.parquet(s"$work/bm25/dl").count(),
         spark.read.parquet(s"$work/bm25/postings").count(),
         spark.read.parquet(s"$work/images/hashes").count(),
+        spark.read.parquet(s"$work/lsh/vectors").count(),
+        spark.read.parquet(s"$work/lsh/buckets").count(),
         spark.read.parquet(s"$work/rollup/daily")
           .select(date_format(col("day"), "yyyy-MM-dd"), col("event_type"),
             col("n_events"), hll_sketch_estimate(col("users_hll")))
