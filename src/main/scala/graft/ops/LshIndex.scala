@@ -58,16 +58,40 @@ object LshIndex {
 
   private def fsPath(p: String) = new org.apache.hadoop.fs.Path(p)
 
-  /** The bucket relation of a unit-vector relation under a fixed
-    * geometry: one row per (vec_id, table), plus the partition column.
-    * Keying goes through [[Similarity.lshSignaturesOf]], so the
-    * artifact and the live q38 path can never bucket differently. */
-  private def bucketsOf(vecs: DataFrame, bits: Int, nTables: Int,
-      bucketBuckets: Int): DataFrame =
+  /** Write the bucket store rows of a unit-vector relation under a
+    * fixed geometry: one row per (vec_id, table), partitioned by
+    * `bucket_bucket`. Keying goes through
+    * [[Similarity.lshSignaturesOf]], so the artifact and the live q38
+    * path can never bucket differently.
+    *
+    * Two separate jobs ON PURPOSE (the ImageIndex bands discipline —
+    * derive the wide store from a just-written narrow one): the
+    * bits×tables-dot signature array is computed in ONE codegen'd
+    * projection and landed as a tiny staging parquet (nTables ints per
+    * vector); the explode then generates from a STORED column. Feeding
+    * the array expression to the Generate directly collapses it into
+    * the generator, falls out of whole-stage codegen, and re-evaluates
+    * the whole array INTERPRETED per exploded output row — measured
+    * 98–197 s vs ~4 s for the 200 k × (14, 8) artifact build. Neither
+    * an exchange barrier (optimizer re-floats the projection) nor a
+    * dataset cache (an artifact build shouldn't pin executor memory)
+    * is a reliable fix; a materialized column is. Crash window
+    * (staging written, buckets not, or buckets appended, vectors not):
+    * re-runs converge — see [[appendLshDelta]]. */
+  private def writeBuckets(vecs: DataFrame, bits: Int, nTables: Int,
+      bucketBuckets: Int, indexDir: String, mode: String): Unit = {
+    val spark = vecs.sparkSession
+    val staging = s"$indexDir/sig_staging_tmp"
     Similarity.lshSignaturesOf(vecs, bits, nTables)
+      .select(col("vec_id"), col("buckets"))
+      .write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging)
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       .withColumn("bucket_bucket",
         pmod(xxhash64(col("tbl"), col("bucket")), lit(bucketBuckets.toLong)))
+      .write.mode(mode).partitionBy("bucket_bucket").parquet(s"$indexDir/buckets")
+    hadoopFs(spark, indexDir).delete(fsPath(staging), true)
+  }
 
   private def readMeta(spark: SparkSession, indexDir: String): (Int, Int) = {
     val r = spark.read.parquet(s"$indexDir/meta").head()
@@ -91,8 +115,8 @@ object LshIndex {
       .write.mode("overwrite").parquet(s"$outDir/vectors")
     // bucket store derives from the just-written vectors parquet — a
     // second scan of the artifact, not of the upstream corpus
-    bucketsOf(spark.read.parquet(s"$outDir/vectors"), bitsEff, nTablesEff, bucketBuckets)
-      .write.mode("overwrite").partitionBy("bucket_bucket").parquet(s"$outDir/buckets")
+    writeBuckets(spark.read.parquet(s"$outDir/vectors"), bitsEff, nTablesEff,
+      bucketBuckets, outDir, "overwrite")
     import spark.implicits._
     Seq((bitsEff, nTablesEff)).toDF("bits", "n_tables")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
@@ -156,8 +180,7 @@ object LshIndex {
     // sees the delta absent and re-appends its bucket rows — duplicates
     // the serve-side `distinct()` absorbs, so answers stay exact and
     // the re-run converges.
-    bucketsOf(fresh, bits, nTables, bucketBuckets)
-      .write.mode("append").partitionBy("bucket_bucket").parquet(s"$indexDir/buckets")
+    writeBuckets(fresh, bits, nTables, bucketBuckets, indexDir, "append")
     fresh.write.mode("append").parquet(s"$indexDir/vectors")
     fresh.unpersist(blocking = false)
     delta.unpersist(blocking = false)

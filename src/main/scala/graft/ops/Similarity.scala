@@ -118,7 +118,7 @@ object Similarity {
     * left-folded term chain. An int key keeps the probe ladder a
     * constant-size expression — flipping bucket bits is `bucket XOR
     * mask` — and the (tbl, bucket) equi-join shuffles 4-byte keys. */
-  private def signBucketInt(u: Column, t: Int, bits: Int, dim: Int): Column =
+  private[ops] def signBucketInt(u: Column, t: Int, bits: Int, dim: Int = 64): Column =
     (1 to bits).map { b =>
       val w = typedLit((1 to dim).map(i => hyperplaneWeight(t, b, i).toDouble))
       when(dotProduct(u, w) >= 0, lit(1 << (bits - b))).otherwise(lit(0))
@@ -205,10 +205,21 @@ object Similarity {
     * vectors would silently project against the weight prefix
     * ([[graft.functions.DotProduct]] sums the shorter length). */
   private[graft] def lshSignaturesOf(unit: DataFrame, bits: Int, nTables: Int): DataFrame = {
-    val bucketCols = (0 until nTables).map(t => signBucketInt(col("u"), t, bits, dim = 64))
+    // ONE fused expression over a constant plane table, not bits×tables
+    // `when(dot ≥ 0)` column trees: the unrolled form blows past the
+    // JIT's huge-method threshold at the adaptive (14, 8) geometry and
+    // runs interpreted — ~95 s vs ~4 s for the 200 k-vector stage build
+    // (see [[graft.functions.LshSignature]]; [[signBucketInt]] remains
+    // as the executable spec of the per-bit semantics, pinned equal by
+    // LshSignatureSpec)
+    val flat = new Array[Double](nTables * bits * 64)
+    for (t <- 0 until nTables; b <- 1 to bits; i <- 1 to 64)
+      flat((t * bits + (b - 1)) * 64 + (i - 1)) = hyperplaneWeight(t, b, i).toDouble
+    val book = new graft.functions.PlaneBook(flat, bits, nTables, 64)
     // star-select: every input column rides along (the streaming gate
     // carries an event-time ts the batch (vec_id, u) relations don't)
-    unit.select(col("*"), array(bucketCols: _*).as("buckets"))
+    unit.select(col("*"),
+      graft.functions.VectorFunctions.lshSignature(col("u"), book).as("buckets"))
   }
 
   private def lshSigStage(spark: SparkSession, dir: String,
