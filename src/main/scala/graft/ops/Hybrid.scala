@@ -78,7 +78,10 @@ object Hybrid {
         Retrieval.persistedPostingsDir(spark, dir), queryTerms, poolK, salts,
         excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-    val vectors = spark.read.parquet(s"${LshIndex.persistedDir(spark, dir)}/vectors")
+    // liveVectors, not the raw parquet: crash-recovered and tombstone-
+    // filtered, so an artifact with pending deletes or a crashed swap
+    // still serves the q163 contract (ADVICE r12)
+    val vectors = LshIndex.liveVectors(spark, LshIndex.persistedDir(spark, dir))
     val qv = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val scored = broadcast(qv).join(vectors, col("vec_id") =!= col("q_id"))

@@ -58,6 +58,16 @@ object LshIndex {
 
   private def fsPath(p: String) = new org.apache.hadoop.fs.Path(p)
 
+  /** Entry-point recovery: restore any partitions a crashed swap left
+    * aside, and drop a [[writeBuckets]] staging dir a crash between its
+    * two jobs left behind (pure derivation — the re-run rewrites it). */
+  private def recoverStores(spark: SparkSession, indexDir: String): Unit = {
+    val fs = hadoopFs(spark, indexDir)
+    SafeSwap.recover(fs, fsPath(s"$indexDir/vectors"))
+    SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
+    fs.delete(fsPath(s"$indexDir/sig_staging_tmp"), true)
+  }
+
   /** Write the bucket store rows of a unit-vector relation under a
     * fixed geometry: one row per (vec_id, table), partitioned by
     * `bucket_bucket`. Keying goes through
@@ -93,9 +103,16 @@ object LshIndex {
     hadoopFs(spark, indexDir).delete(fsPath(staging), true)
   }
 
-  private def readMeta(spark: SparkSession, indexDir: String): (Int, Int) = {
+  /** (bits, nTables, bucketBuckets) — ALL THREE are frozen geometry:
+    * mixing bucket keys from two (bits, nTables) in one store zeroes
+    * recall across the split, and mixing two partition-dir counts makes
+    * the serve-time partition prune silently miss rows landed under the
+    * other modulus. */
+  private def readMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$indexDir/meta").head()
-    (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"))
+    val b = if (r.schema.fieldNames.contains("bucket_buckets"))
+      r.getAs[Int]("bucket_buckets") else DefaultBucketBuckets
+    (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"), b)
   }
 
   /** Persist the index from an arbitrary unit-vector relation. Geometry
@@ -118,7 +135,8 @@ object LshIndex {
     writeBuckets(spark.read.parquet(s"$outDir/vectors"), bitsEff, nTablesEff,
       bucketBuckets, outDir, "overwrite")
     import spark.implicits._
-    Seq((bitsEff, nTablesEff)).toDF("bits", "n_tables")
+    Seq((bitsEff, nTablesEff, bucketBuckets))
+      .toDF("bits", "n_tables", "bucket_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
   }
 
@@ -140,18 +158,25 @@ object LshIndex {
     * verbatim). Appended bucket rows land as dynamic-partition appends
     * touching only the delta's buckets. */
   def appendLshDelta(deltaVecs: DataFrame, indexDir: String,
-      bucketBuckets: Int = DefaultBucketBuckets): Unit = {
+      bucketBuckets: Int = DefaultBucketBuckets,
+      expectedCorpusVectors: Long = 0L): Unit = {
     val spark = deltaVecs.sparkSession
     val fs = hadoopFs(spark, indexDir)
-    val vectorsPath = fsPath(s"$indexDir/vectors")
-    SafeSwap.recover(fs, vectorsPath)
-    SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
+    recoverStores(spark, indexDir)
     if (!fs.exists(fsPath(s"$indexDir/meta"))) {
-      // bootstrap: the first delta IS the base build
-      saveLshIndexOf(deltaVecs, indexDir, bucketBuckets = bucketBuckets)
+      // bootstrap: the first delta IS the base build. The geometry it
+      // freezes should fit the corpus the artifact will GROW INTO, not
+      // the first day's batch — a caller that knows the expected corpus
+      // size passes it and the adaptive derivation runs over that
+      // (ADVICE r12: a small first delta otherwise pins small-batch
+      // (bits, nTables) forever, degrading selectivity as days accrue).
+      val (b, t) = if (expectedCorpusVectors > 0L)
+        Similarity.adaptiveLshConfig(expectedCorpusVectors) else (0, 0)
+      saveLshIndexOf(deltaVecs, indexDir, bits = b, nTables = t,
+        bucketBuckets = bucketBuckets)
       return
     }
-    val (bits, nTables) = readMeta(spark, indexDir)
+    val (bits, nTables, frozenBuckets) = readMeta(spark, indexDir)
     val delta = deltaVecs.select(col("vec_id"), col("u")).cache()
     delta.count()
     tombstonesOf(spark, indexDir).foreach { dead =>
@@ -180,7 +205,7 @@ object LshIndex {
     // sees the delta absent and re-appends its bucket rows — duplicates
     // the serve-side `distinct()` absorbs, so answers stay exact and
     // the re-run converges.
-    writeBuckets(fresh, bits, nTables, bucketBuckets, indexDir, "append")
+    writeBuckets(fresh, bits, nTables, frozenBuckets, indexDir, "append")
     fresh.write.mode("append").parquet(s"$indexDir/vectors")
     fresh.unpersist(blocking = false)
     delta.unpersist(blocking = false)
@@ -202,13 +227,23 @@ object LshIndex {
   /** Drop a dead set's rows from both stores: vectors rewrites wholesale
     * (the artifact's narrow per-vector relation — the dl/hashes
     * precedent), the bucket store rewrites only the partitions holding a
-    * dead vector's rows. */
+    * dead vector's rows. Which partitions those are is DERIVED, not
+    * discovered: bucket keys are pure functions of the vector, so the
+    * dead set's own signatures (recomputed from the vectors store under
+    * the frozen geometry — bit-identical to what the write landed) name
+    * the touched `bucket_bucket` dirs without scanning the full bucket
+    * store; expunge cost is ∝ |dead| + the touched partitions. */
   private def expunge(spark: SparkSession, indexDir: String, dead: DataFrame): Unit = {
     val fs = hadoopFs(spark, indexDir)
+    val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
     val buckets = spark.read.parquet(s"$indexDir/buckets")
-    val touched = buckets.join(dead, Seq("vec_id"))
-      .select(col("bucket_bucket").cast("long")).distinct()
-      .collect().map(_.getLong(0)) // bounded: ≤ bucketBuckets values
+    val deadVecs = spark.read.parquet(s"$indexDir/vectors")
+      .join(dead, Seq("vec_id"), "left_semi")
+    val touched = Similarity.lshSignaturesOf(deadVecs, bits, nTables)
+      .select(posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .select(pmod(xxhash64(col("tbl"), col("bucket")), lit(bucketBuckets.toLong))
+        .as("bb"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ bucketBuckets values
     if (touched.nonEmpty) {
       val tmp = s"$indexDir/buckets_compact_tmp"
       buckets.where(col("bucket_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
@@ -230,8 +265,7 @@ object LshIndex {
     * compaction ≡ fresh rebuild EXACTLY (no frozen trained state). */
   def compactLshIndex(spark: SparkSession, indexDir: String): Unit = {
     val fs = hadoopFs(spark, indexDir)
-    SafeSwap.recover(fs, fsPath(s"$indexDir/vectors"))
-    SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
+    recoverStores(spark, indexDir)
     tombstonesOf(spark, indexDir).foreach { dead =>
       expunge(spark, indexDir, dead)
       fs.delete(fsPath(s"$indexDir/tombstones"), true)
@@ -243,23 +277,25 @@ object LshIndex {
     * parquet: probes re-derive from the LIVE query vectors under the
     * frozen meta geometry (bit-identical keys by construction), the
     * probe set broadcasts (bounded: nQueries × nTables × |mask ladder|),
-    * the bucket store streams past it in place, candidates dedup, and
+    * and its `bucket_bucket` values — collected from that same bounded
+    * relation, ≤ bucketBuckets longs — push a STATIC partition filter
+    * into the bucket-store scan, so probe cost is ∝ the batch's bucket
+    * vocabulary, never the corpus (the [[Retrieval.rankedFromIndex]] /
+    * [[ImageIndex.probeImages]] twins' discipline). Candidates dedup and
     * the exact rescore joins the vectors store. Tombstoned vectors drop
-    * out on BOTH sides (a dead vector neither queries nor serves). */
+    * out on BOTH sides (a dead vector neither queries nor serves); the
+    * anti-join sits AFTER the partition prune, so it touches only
+    * probed rows. */
   def lshTopKFromIndex(spark: SparkSession, indexDir: String,
       nQueries: Int = 200, k: Int = 3, maxFlips: Int = 2): DataFrame = {
-    val fs = hadoopFs(spark, indexDir)
-    SafeSwap.recover(fs, fsPath(s"$indexDir/vectors"))
-    SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
-    val (bits, nTables) = readMeta(spark, indexDir)
+    recoverStores(spark, indexDir)
+    val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
     val dead = tombstonesOf(spark, indexDir)
     def live(df: DataFrame): DataFrame = dead match {
       case Some(d) => df.join(d, Seq("vec_id"), "left_anti")
       case None => df
     }
     val vectors = live(spark.read.parquet(s"$indexDir/vectors"))
-    val corpus = live(spark.read.parquet(s"$indexDir/buckets"))
-      .select(col("vec_id"), col("tbl"), col("bucket"))
     val qv = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val masks = typedLit(Similarity.probeMasks(bits, maxFlips))
@@ -268,6 +304,14 @@ object LshIndex {
       .select(col("vec_id").as("q_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket0")))
       .select(col("q_id"), col("tbl"), col("bucket0"), explode(masks).as("mask"))
       .select(col("q_id"), col("tbl"), col("bucket0").bitwiseXOR(col("mask")).as("bucket"))
+      .cache()
+    val probeBuckets = probes
+      .select(pmod(xxhash64(col("tbl"), col("bucket")), lit(bucketBuckets.toLong))
+        .as("bb"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: ≤ bucketBuckets values
+    val corpus = live(spark.read.parquet(s"$indexDir/buckets")
+        .where(col("bucket_bucket").isin(probeBuckets: _*)))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
     val cand = broadcast(probes).join(corpus, Seq("tbl", "bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"))
@@ -279,6 +323,20 @@ object LshIndex {
       .select(col("q_id"), col("neighbor_id"),
         dotProduct(col("qu"), col("nu")).as("cos"))
     Similarity.rankTopK(scored, k)
+  }
+
+  /** The artifact's exact-rescore store, SERVABLE: crash-recovered and
+    * with pending tombstones anti-joined out — what any external reader
+    * (the hybrid fusion's dense pool) must consume instead of the raw
+    * parquet, or dead vectors re-enter its answers between a tombstone
+    * and the next compaction. */
+  def liveVectors(spark: SparkSession, indexDir: String): DataFrame = {
+    recoverStores(spark, indexDir)
+    val raw = spark.read.parquet(s"$indexDir/vectors")
+    tombstonesOf(spark, indexDir) match {
+      case Some(dead) => raw.join(dead, Seq("vec_id"), "left_anti")
+      case None => raw
+    }
   }
 
   /** q164: q38's multi-probe top-k served ENTIRELY from the persisted

@@ -85,12 +85,21 @@ object Pipeline {
     Retrieval.appendPostingsDelta(kept, s"$workDir/bm25")
     ImageIndex.appendImageHashDelta(kept, s"$workDir/images")
     // the kept docs' embeddings feed the vector index (doc_id ≡ vec_id
-    // in this corpus); appendLshDelta carries its own replay guard and
-    // freezes the geometry on the bootstrap run
+    // in this corpus); appendLshDelta carries its own replay guard. The
+    // bootstrap run freezes geometry for the corpus the artifact GROWS
+    // INTO (the full-corpus vector count), not the first day's batch —
+    // a small day-1 delta would otherwise pin small-batch (bits,
+    // nTables) forever (ADVICE r12). The count job runs only when the
+    // artifact doesn't exist yet.
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val expectedVectors =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/lsh/meta"))) 0L
+      else Similarity.unitEmbeddings(spark, corpusDir).count()
     LshIndex.appendLshDelta(
       Similarity.unitEmbeddings(spark, corpusDir)
         .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
-      s"$workDir/lsh")
+      s"$workDir/lsh", expectedCorpusVectors = expectedVectors)
     val repaired = Sketches.appendDailyDeltaVerified(
       Tables.events(spark, corpusDir), s"$workDir/rollup")
     kept.unpersist(blocking = false)

@@ -111,20 +111,67 @@ class LshIndexSpec extends AnyFunSuite {
         .agg(min(col("vec_id"))).as[Long].head()
       LshIndex.tombstoneVectors(Seq(victim).toDF("vec_id"), out)
       val withTombstones = rows(LshIndex.lshTopKFromIndex(spark, out))
-      val mtimes = new java.io.File(s"$out/buckets").listFiles()
-        .filter(_.getName.startsWith("bucket_bucket="))
-        .map(f => f.getName -> f.lastModified()).toMap
+      // identity of a partition's CONTENTS, not the dir mtime: a rewrite
+      // landing within the filesystem's mtime granularity would count as
+      // untouched under an mtime pin (ADVICE r12) — file names are
+      // job-unique, so an untouched partition keeps its exact file set
+      def contents(): Map[String, Set[(String, Long)]] =
+        new java.io.File(s"$out/buckets").listFiles()
+          .filter(_.getName.startsWith("bucket_bucket="))
+          .map(d => d.getName -> d.listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet).toMap
+      val before = contents()
       LshIndex.compactLshIndex(spark, out)
       assert(!new java.io.File(s"$out/tombstones").exists(), "compaction never committed")
       assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == withTombstones,
         "compaction changed the served answers")
-      val after = new java.io.File(s"$out/buckets").listFiles()
-        .filter(_.getName.startsWith("bucket_bucket="))
-        .map(f => f.getName -> f.lastModified()).toMap
+      val after = contents()
       // one vector touches <= nTables of the 64 bucket partitions
-      val untouched = after.keySet.count(k => mtimes.get(k).contains(after(k)))
+      val untouched = after.keySet.count(k => before.get(k).contains(after(k)))
       assert(untouched > 0,
         s"a one-vector delete should leave some of the ${after.size} buckets untouched")
+      assert(untouched < after.size,
+        "the delete's own buckets must have been rewritten")
+    } finally rm(new java.io.File(out))
+  }
+
+  test("the serve scan prunes the bucket store to the probed partitions") {
+    val out = tmpDir("graft-lshidx-prune")
+    try {
+      LshIndex.saveLshIndex(spark, dir, out)
+      // a SMALL probe batch (one query, no flip ladder) probes at most
+      // nTables (tbl, bucket) pairs -> <= 8 of the 64 partition dirs.
+      // selectedPartitions is the post-pruning partition set the scan
+      // actually reads (df.inputFiles would lie: it lists the FileIndex
+      // BEFORE partition filters)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val df = LshIndex.lshTopKFromIndex(spark, out, nQueries = 1, maxFlips = 0)
+      df.collect()
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          // AQE wraps materialized stages in LEAF nodes — descend via .plan
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scansOf)
+      }
+      val bucketScans = scansOf(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/buckets")))
+      assert(bucketScans.nonEmpty, "no bucket-store scan in the serve plan")
+      val readParts = bucketScans.map(_.selectedPartitions.partitionCount).max
+      val allDirs = new java.io.File(s"$out/buckets").listFiles()
+        .count(_.getName.startsWith("bucket_bucket="))
+      assert(readParts <= 8,
+        s"a 1-query/0-flip probe must read <=8 bucket partitions, read $readParts")
+      assert(readParts < allDirs,
+        s"the probe read all $allDirs partitions - the static filter vanished")
+      assert(bucketScans.exists(_.partitionFilters.exists(
+          _.references.exists(_.name == "bucket_bucket"))),
+        "the bucket_bucket partition filter vanished from the serve plan")
     } finally rm(new java.io.File(out))
   }
 
