@@ -429,6 +429,11 @@ object SparkEntry {
     // structurally unreachable, dense pool rescored exactly over the
     // LSH artifact's vectors store, same oracle as q163
     "q166_hybrid_from_indexes" -> ((s, d) => Hybrid.rrfTopKFromIndexes(s, d)),
+    // q167: the DEPLOYED hybrid shape — LSH-multi-probe dense pool (from
+    // the persisted artifact, pruned serve) + exact lexical pool + RRF —
+    // gated by fused recall@10 vs the exact-pool q163 relation with a
+    // verdict flag (the q62/q130/q140 recall-gate discipline)
+    "q167_hybrid_ann_pool_recall" -> ((s, d) => Hybrid.rrfAnnPoolRecall(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -936,9 +941,10 @@ object SparkEntry {
 
   private lazy val Bm25TopKSql = bm25TopKSqlOver("TRUE")
 
-  /** q163's oracle — shared verbatim by q166 (from-artifact hybrid
-    * serving must pin the same fused relation the live pools serve). */
-  private lazy val Q163Sql: String = UnitVecCte + """,
+  /** q163's CTE chain (exact lexical pool `lex` of 20, exact dense pool
+    * `den` of 20, fused `franked`) — the tail below emits the q163/q166
+    * relation; q167 composes an ANN dense pool on top and compares. */
+  private lazy val Q163Ctes: String = UnitVecCte + """,
         |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
         |q AS (SELECT doc_id AS query_id, t[1:8] AS qt FROM tok WHERE doc_id < 8),
         |qt AS (SELECT DISTINCT query_id, unnest(qt) AS term FROM q),
@@ -981,10 +987,44 @@ object SparkEntry {
         |  FROM lex l FULL OUTER JOIN den d
         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
         |franked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank FROM fused)
+        |    ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank FROM fused)""".stripMargin
+
+  /** q163's oracle — shared verbatim by q166 (from-artifact hybrid
+    * serving must pin the same fused relation the live pools serve). */
+  private lazy val Q163Sql: String = Q163Ctes + """
         |SELECT query_id, doc_id, rank_lex, rank_dense, rrf_pico, rank
         |FROM franked WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin
+
+  /** q167's oracle: q163's exact-pool fusion as the reference, the SAME
+    * lexical pool fused with an LSH multi-probe dense pool (q38's CTEs
+    * at the frozen 8×8 gate geometry, rank ≤ poolK), and the verdict is
+    * fused recall@10 with the bound flag — the q62 recall-gate
+    * discipline applied to the deployed hybrid shape. */
+  private lazy val Q167Sql: String = Q163Ctes +
+    lshCtes(bits = 8, nTables = 8, nQueries = 8, prefix = "a") + """,
+        |aden AS (SELECT q_id AS query_id, neighbor_id AS doc_id,
+        |    rank AS rank_dense FROM aranked WHERE rank <= 20),
+        |afused AS (
+        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + l.rank_lex), 0) +
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + d.rank_dense), 0) AS rrf_pico
+        |  FROM lex l FULL OUTER JOIN aden d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+        |afranked AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank FROM afused),
+        |xfused AS (SELECT query_id, doc_id FROM franked WHERE rank <= 10),
+        |afinal AS (SELECT query_id, doc_id FROM afranked WHERE rank <= 10)
+        |SELECT 'hybrid_lsh_pool' AS method, n_exact, n_hit,
+        |  round(n_hit * 1.0 / n_exact, 4) AS recall,
+        |  n_hit * 1.0 / n_exact >= 0.7 AS recall_ok
+        |FROM (
+        |  SELECT count(*) AS n_exact,
+        |    CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM xfused x LEFT JOIN afinal a
+        |    ON x.query_id = a.query_id AND x.doc_id = a.doc_id)""".stripMargin
 
   /** q38's oracle — shared verbatim by q164 (persisted-artifact serving
     * must pin the same relation the session stage serves). */
@@ -2034,6 +2074,10 @@ object SparkEntry {
     // LSH artifacts (the RAG restart shape) — the live-vs-artifact
     // equivalence IS the gate, so the oracle is q163's verbatim
     "q166_hybrid_from_indexes" -> Q163Sql,
+    // q167: fused recall of the ANN-pooled hybrid vs the exact-pool
+    // fusion, bound flag included — both engines compute the identical
+    // integer-exact RRF over the identical pools
+    "q167_hybrid_ann_pool_recall" -> Q167Sql,
     // q147 = q145 compacted: compaction must be answer-invisible, so
     // the oracle IS q145's
     "q147_ann_ivfpq_compacted" -> Q145Sql,

@@ -93,6 +93,50 @@ object Hybrid {
     fuse(lex, den, topK, rrfK)
   }
 
+  /** q167: the DEPLOYED hybrid shape — the dense pool comes from the
+    * persisted multi-probe LSH artifact instead of exact brute force —
+    * gated the q62/q130/q140 way: the relation reports fused recall@topK
+    * against the exact-pool [[rrfTopK]] relation, with a verdict flag,
+    * so pool-swap quality sits INSIDE the hash gate instead of being
+    * asserted. Fusion semantics ([[fuse]]) are shared verbatim; only
+    * the dense pool's provenance changes, which is the point — RRF is
+    * pool-agnostic, and this pins how much fused quality the ANN
+    * substitution costs (the lexical pool is exact in both, so fused
+    * recall is typically higher than the raw ANN recall@k).
+    *
+    * Scale shape: the ANN dense pool is the pruned artifact serve
+    * ([[LshIndex.lshTopKFromIndex]] — probe-bucket partition filter, no
+    * corpus scan), the lexical pool broadcasts query terms, the exact
+    * reference pool is |queries| × corpus ONLY because the gate needs
+    * the closed-form oracle — a production deployment runs just the
+    * ANN+RRF half. */
+  def rrfAnnPoolRecall(spark: SparkSession, dir: String,
+      nQueries: Long = 8L, prefixTokens: Int = 8,
+      poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
+      salts: Int = 32, recallBound: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // one lexical pool feeds BOTH fusions — bounded (|queries| × poolK)
+    val lex = Retrieval.rankedBatch(docs, None, col("doc_id") < nQueries,
+        prefixTokens, poolK, salts)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+      .cache()
+    val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    val denAnn = LshIndex.lshTopKPersisted(spark, dir, nQueries.toInt, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    val exactFused = fuse(lex, denExact, topK, rrfK).select("query_id", "doc_id")
+    val annFused = fuse(lex, denAnn, topK, rrfK)
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    exactFused.join(annFused, Seq("query_id", "doc_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(lit("hybrid_lsh_pool").as("method"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"),
+        (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
+  }
+
   /** RRF fusion of two (query_id, doc_id, rank_*) pools. Exposed at
     * `ops` scope so specs can drive planted pools directly. */
   private[ops] def fuse(lex: DataFrame, den: DataFrame,

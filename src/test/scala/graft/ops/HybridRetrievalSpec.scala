@@ -75,4 +75,22 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(fromIdx == live,
       "hybrid served from the persisted BM25 + LSH artifacts diverged from the live pools")
   }
+
+  test("q167: the ANN-pooled fusion clears the recall bound with an exact verdict") {
+    val r = Hybrid.rrfAnnPoolRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "hybrid_lsh_pool")
+    val (nExact, nHit) = (row.getLong(1), row.getLong(2))
+    assert(nExact == 80L, s"8 queries x topK 10 fused reference rows, got $nExact")
+    assert(nHit <= nExact)
+    // the verdict column IS the gate: recall must be the exact ratio and
+    // the flag must reflect the bound (and hold at gate scale)
+    assert(math.abs(row.getDouble(3) - math.round(nHit * 10000.0 / nExact) / 10000.0) < 1e-12)
+    assert(row.getBoolean(4), s"fused recall ${row.getDouble(3)} fell under the 0.7 bound")
+    // a lexical-pool hit can survive a dense-pool miss: fused recall must
+    // not be BELOW the raw dense recall gate's floor by construction --
+    // sanity: with the exact lexical pool shared, at least half survive
+    assert(nHit * 2 >= nExact)
+  }
 }
