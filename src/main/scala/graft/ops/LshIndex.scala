@@ -325,6 +325,53 @@ object LshIndex {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Ingest-gate probe: which HELD vectors is each arriving vector a
+    * near-duplicate of? The vector analog of [[ImageIndex.probeImages]],
+    * under q95's candidate discipline (same bucket in ≥1 table, no flip
+    * ladder — near-dup targets high-cosine pairs whose per-table
+    * collision probability is already high): the arriving batch's
+    * signatures are computed ONCE under the frozen meta geometry, the
+    * buckets they hash to collected from a LOCAL bounded relation
+    * (≤ bucketBuckets values) and pushed as a static partition filter —
+    * the bucket-store scan reads only the probed directories, so probe
+    * cost is bounded by the delta's bucket vocabulary no matter how
+    * large the corpus grows. Candidates rescore with the exact cosine
+    * against the vectors store; tombstoned vectors never flag; a
+    * replayed vec_id does not flag itself.
+    * Output: (probe_id, vec_id, cos_sim) at cos_sim ≥ threshold. */
+  def probeVectors(probeVecs: DataFrame, indexDir: String,
+      threshold: Double = 0.4): DataFrame = {
+    val spark = probeVecs.sparkSession
+    recoverStores(spark, indexDir)
+    val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
+    val probes = Similarity.lshSignaturesOf(
+        probeVecs.select(col("vec_id"), col("u")), bits, nTables)
+      .select(col("vec_id").as("probe_id"), col("u").as("pu"),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .cache()
+    val probeBuckets = probes
+      .select(pmod(xxhash64(col("tbl"), col("bucket")), lit(bucketBuckets.toLong))
+        .as("bb"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: ≤ bucketBuckets values
+    val pruned = spark.read.parquet(s"$indexDir/buckets")
+      .where(col("bucket_bucket").isin(probeBuckets: _*))
+      .select(col("vec_id"), col("tbl"), col("bucket"))
+    val held = tombstonesOf(spark, indexDir) match {
+      case Some(dead) => pruned.join(dead, Seq("vec_id"), "left_anti")
+      case None => pruned
+    }
+    val cand = probes.join(held, Seq("tbl", "bucket"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("pu"), col("vec_id"))
+      .dropDuplicates("probe_id", "vec_id")
+    cand.join(spark.read.parquet(s"$indexDir/vectors")
+        .select(col("vec_id"), col("u").as("nu")), Seq("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(dotProduct(col("pu"), col("nu")), 4).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+      .orderBy("probe_id", "vec_id")
+  }
+
   /** The artifact's exact-rescore store, SERVABLE: crash-recovered and
     * with pending tombstones anti-joined out — what any external reader
     * (the hybrid fusion's dense pool) must consume instead of the raw

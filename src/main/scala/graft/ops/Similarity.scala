@@ -35,7 +35,7 @@ object Similarity {
 
   /** Unit-normalized double vector (pre-normalizing turns every cosine
     * into a plain dot product — one sqrt per vector instead of per pair). */
-  private def unitVec(v: Column): Column = {
+  private[graft] def unitVec(v: Column): Column = {
     val d = transform(v, x => x.cast("double"))
     val norm = sqrt(dotProduct(d, d))
     transform(d, x => x / norm)

@@ -377,6 +377,38 @@ object DocumentsStreaming {
     statefulBandGate(keyed, stateTtlMs, maxKeyPopulation)
   }
 
+  /** EMBEDDING vs-ARTIFACT ingest gate — the artifact-backed half the
+    * stateful gate family was missing for vectors (images already have
+    * [[graft.ops.ImageIndex.probeImages]]): each arriving micro-batch
+    * probes the PERSISTED LSH index via
+    * [[graft.ops.LshIndex.probeVectors]] — signatures computed once
+    * under the artifact's frozen geometry, the batch's bucket
+    * vocabulary pushed as a static partition filter into the bucket
+    * store, exact-cosine rescore against the vectors store — and
+    * appends its confirmed flags to `outDir`. Unlike the stateful gate
+    * (within-stream memory, TTL-bounded), this gate answers "is this a
+    * near-dup of anything the CORPUS holds", with cost per trigger
+    * bounded by the batch's bucket vocabulary, not corpus size.
+    *
+    * foreachBatch on purpose: the partition-prune needs a per-batch
+    * local collect of ≤ 64 bucket ids, which no continuous streaming
+    * join can express — the same reason the rollup ingest
+    * ([[EventsStreaming.rollupIngest]]) is a foreachBatch fold. */
+  def embeddingDupVsArtifact(vecs: DataFrame, indexDir: String, outDir: String,
+      checkpointDir: String, threshold: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.LshIndex.probeVectors(
+          batch.select(col("doc_id").as("vec_id"),
+            graft.ops.Similarity.unitVec(col("embedding")).as("u")),
+          indexDir, threshold)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** The shared one-pass bounded state machine behind ALL stateful
     * gates ([[nearDupStateful]] text bands, [[imageDupStateful]] /
     * [[audioDupStateful]] perceptual bands, [[embeddingDupStateful]]

@@ -175,6 +175,55 @@ class LshIndexSpec extends AnyFunSuite {
     } finally rm(new java.io.File(out))
   }
 
+  test("probeVectors prunes its scan and matches the q95 pair discipline") {
+    val out = tmpDir("graft-lshidx-probe")
+    try {
+      // held = all but three probes; the probe batch is SMALL so its
+      // bucket vocabulary (<= 3 x nTables pairs) must prune the scan
+      val probeRule = col("vec_id").isin(3L, 57L, 101L)
+      LshIndex.saveLshIndexOf(vecs.where(!probeRule), out)
+      val df = LshIndex.probeVectors(vecs.where(probeRule), out, threshold = 0.2)
+      val flags = df.collect()
+      // cross-check against the same candidate rule computed live: pairs
+      // sharing >=1 bucket, exact cosine >= threshold
+      val sigs = Similarity.lshSignaturesOf(vecs, 8, 8)
+        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val probesLive = sigs.where(probeRule).withColumnRenamed("vec_id", "probe_id")
+      val heldLive = sigs.where(!probeRule)
+      val candLive = probesLive.join(heldLive, Seq("tbl", "bucket"))
+        .select("probe_id", "vec_id").distinct()
+      val expected = candLive
+        .join(vecs.select(col("vec_id").as("probe_id"), col("u").as("pu")),
+          Seq("probe_id"))
+        .join(vecs.select(col("vec_id"), col("u").as("nu")), Seq("vec_id"))
+        .select(col("probe_id"), col("vec_id"),
+          round(graft.functions.VectorFunctions.dotProduct(col("pu"), col("nu")), 4)
+            .as("cos_sim"))
+        .where(col("cos_sim") >= 0.2)
+        .orderBy("probe_id", "vec_id").collect()
+      assert(flags.map(_.toString).toSeq == expected.map(_.toString).toSeq,
+        "artifact probe diverged from the live candidate rule")
+      // pruning pin: the bucket-store scan reads only the probed dirs
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scansOf)
+      }
+      val bucketScans = scansOf(df.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/buckets")))
+      assert(bucketScans.nonEmpty, "no bucket-store scan in the probe plan")
+      val readParts = bucketScans.map(_.selectedPartitions.partitionCount).max
+      assert(readParts <= 24,
+        s"a 3-probe batch must read <= 3 x nTables bucket partitions, read $readParts")
+    } finally rm(new java.io.File(out))
+  }
+
   test("a deleted vector re-appended is RESURRECTED; composition equals a fresh build") {
     val out = tmpDir("graft-lshidx-resurrect")
     try {

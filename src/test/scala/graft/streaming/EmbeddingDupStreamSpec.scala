@@ -58,4 +58,39 @@ class EmbeddingDupStreamSpec extends AnyFunSuite {
     assert(spark.table("embdup_state")
       .where(col("doc_id") === 11L && col("orig_id") === 1L).count() == 8)
   }
+
+  test("vs-artifact gate: streamed flags equal the batch probe over the persisted index") {
+    val work = Files.createTempDirectory("graft-embdup-artifact")
+    val sf = "/root/testdata/sf0.001"
+    val unit = graft.ops.Similarity.unitEmbeddings(spark, sf)
+    // held corpus = 90% of the vectors, arrivals = the other 10%
+    val arrivalRule = pmod(col("vec_id"), lit(10)) === 0
+    val idx = work.resolve("lsh").toString
+    graft.ops.LshIndex.saveLshIndexOf(unit.where(!arrivalRule), idx)
+
+    // the arrivals stream in RAW (un-normalized float) form, two triggers
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .where(pmod(col("doc_id"), lit(10)) === 0)
+    val inDir = work.resolve("in").toString
+    raw.where(col("doc_id") < 500).coalesce(1).write.parquet(inDir)
+    raw.where(col("doc_id") >= 500).coalesce(1).write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val outDir = work.resolve("flags").toString
+    val q = DocumentsStreaming.embeddingDupVsArtifact(stream, idx, outDir,
+      work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .collect().map(_.toString).toSet
+    val batch = graft.ops.LshIndex.probeVectors(unit.where(arrivalRule), idx)
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty, "the gate corpus must produce at least one cross-split flag")
+    assert(streamed == batch,
+      s"streamed vs-artifact flags diverged from the batch probe: " +
+        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+  }
 }
