@@ -204,6 +204,11 @@ object SparkEntry {
     // hash gate as the 16-centroid plateau default — the q92 discipline
     // applied to the IVF rung
     "q120_ann_ivf_scaled" -> ((s, d) => Similarity.ivfTopK(s, d, nCentroids = 64)),
+    // q168: flat-IVF lifecycle parity — base build (frozen codebook) +
+    // delta append + tombstone + resurrection + compaction, served from
+    // the persisted artifact (the q161/q162/q165 contract for the last
+    // index family without one)
+    "q168_ann_ivf_composed" -> ((s, d) => Similarity.ivfComposed(s, d)),
     // the BPE training LOOP (q115 is round 1's snapshot): per round the
     // top pair merges greedily into the vocab state — 5 gated rounds,
     // bounded driver loop with rounds telemetry
@@ -568,17 +573,19 @@ object SparkEntry {
     * assignment, `nProbe` probes, exact cosine within probed lists.
     * Emits `prefix`scored/`prefix`ranked. */
   private def ivfCtes(nQueries: Int, nProbe: Int = 8, prefix: String = "",
-      nCentroids: Int = 16): String =
-    ivfAssignCtes(nCentroids) + s""",
+      nCentroids: Int = 16, trainPred: String = "TRUE",
+      servedPred: String = "TRUE"): String =
+    ivfAssignCtes(nCentroids, trainPred) + s""",
+       |sflat AS (SELECT * FROM assigned WHERE $servedPred),
        |probes AS (
        |  SELECT vec_id AS q_id, u AS qu, cent_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY round(cdot, 6) DESC, cent_id) AS crn
-       |    FROM adist WHERE vec_id < $nQueries)
+       |    FROM adist WHERE vec_id < $nQueries AND $servedPred)
        |  WHERE crn <= $nProbe),
        |${prefix}scored AS (
        |  SELECT q_id, a.vec_id AS neighbor_id, ${cosSql("qu", "a.u")} AS cos
-       |  FROM probes p JOIN assigned a USING (cent_id)
+       |  FROM probes p JOIN sflat a USING (cent_id)
        |  WHERE a.vec_id <> p.q_id),
        |${prefix}ranked AS (
        |  SELECT q_id, neighbor_id, cos,
@@ -2302,6 +2309,16 @@ object SparkEntry {
     // the 500-vector gate corpus): the codebook, Lloyd round and probe
     // ladder come from the same parameterized CTEs as q39
     "q120_ann_ivf_scaled" -> (UnitVecCte + ivfCtes(nQueries = 100, nCentroids = 64) + """
+        |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY q_id, rank""".stripMargin),
+    // q168: the flat-IVF lifecycle composed — the codebook trains on the
+    // 70 % base split and stays frozen; the served inverted file (and
+    // the query set) keep only the survivors of the delete/resurrection
+    // rules; same CTE chain as q39 with the two predicates bound
+    "q168_ann_ivf_composed" -> (UnitVecCte + ivfCtes(nQueries = 100,
+        trainPred = "(vec_id * 2654435761) % 100 >= 30",
+        servedPred = "NOT ((vec_id * 7919) % 100 < 10 AND (vec_id * 104729) % 100 >= 50)") + """
         |SELECT q_id, neighbor_id, round(cos, 4) AS cos_sim, rank
         |FROM ranked WHERE rank <= 3
         |ORDER BY q_id, rank""".stripMargin),

@@ -250,6 +250,7 @@ object Similarity {
       twoLevelCentCache.release(_._1 eq spark) +
       twoLevelAssignCache.release(_._1 eq spark) +
       persistedTwoLevel.release(spark) +
+      persistedIvf.release(spark) +
       persistedPq.release(spark) +
       releaseMomentsStages(spark)
   }
@@ -469,16 +470,122 @@ object Similarity {
       .parquet(s"$outDir/assignments")
   }
 
-  /** Answer ANN queries from a persisted [[saveIvfIndex]] artifact. */
+  /** Answer ANN queries from a persisted [[saveIvfIndex]] artifact.
+    * Tombstoned vectors drop out of BOTH sides (the inverted file feeds
+    * queries and candidates alike), so a tombstone-then-serve answers
+    * exactly as a rebuild on the survivors under the frozen codebook. */
   def ivfTopKFromIndex(spark: SparkSession, indexDir: String,
-      nProbe: Int = 8, nQueries: Int = 100, k: Int = 3): DataFrame =
-    ivfProbe(
-      spark.read.parquet(s"$indexDir/centroids"),
-      spark.read.parquet(s"$indexDir/assignments")
-        // the partition-discovery column comes back int-typed; restore
-        // the live stage's long so both paths run the identical plan
-        .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"), col("u")),
+      nProbe: Int = 8, nQueries: Int = 100, k: Int = 3): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/assignments"))
+    val raw = spark.read.parquet(s"$indexDir/assignments")
+      // the partition-discovery column comes back int-typed; restore
+      // the live stage's long so both paths run the identical plan
+      .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"), col("u"))
+    val assigned = vecTombstonesOf(spark, indexDir) match {
+      case Some(dead) => raw.join(dead, Seq("vec_id"), "left_anti")
+      case None => raw
+    }
+    ivfProbe(spark.read.parquet(s"$indexDir/centroids"), assigned,
       nProbe, nQueries, k)
+  }
+
+  /** Persist the flat index from an arbitrary unit-vector relation —
+    * the codebook trains on THIS relation and stays frozen for every
+    * later delta (the [[saveTwoLevelIndexOf]] contract one level
+    * down). */
+  def saveIvfIndexOf(vecs: DataFrame, outDir: String,
+      nCentroids: Int = 16, rounds: Int = 1): Unit = {
+    val cents = ivfCentroidsOf(vecs, nCentroids, rounds).cache()
+    cents.count()
+    cents.write.mode("overwrite").parquet(s"$outDir/centroids")
+    assignNearest(vecs, cents).write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$outDir/assignments")
+    cents.unpersist(blocking = false)
+  }
+
+  /** Merge a delta batch into a persisted flat-IVF artifact under the
+    * FROZEN codebook — [[appendTwoLevelDelta]]'s contract one level
+    * down, completing lifecycle parity for the flat family: replay-safe
+    * (already-indexed vec_ids anti-join out), resurrection-safe (a
+    * tombstoned vec_id in the delta is expunged and its tombstone
+    * withdrawn before the guard runs), and appended rows land as
+    * dynamic-partition appends touching only the delta's cells. Because
+    * assignment is per-row under frozen centroids, base ∪ delta is
+    * row-identical to assigning the merged corpus — the q136 contract. */
+  def appendIvfDelta(deltaVecs: DataFrame, indexDir: String): Unit = {
+    val spark = deltaVecs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/assignments"))
+    vecTombstonesOf(spark, indexDir).foreach { dead =>
+      val overlap = dead.join(deltaVecs.select("vec_id"), Seq("vec_id")).cache()
+      if (overlap.count() > 0) {
+        expungeTwoLevel(spark, indexDir, overlap) // flat shares the cell layout
+        val tsTmp = s"$indexDir/tombstones_withdraw_tmp"
+        dead.join(overlap, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(tsTmp)
+        SafeSwap.swapDir(fs,
+          new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"),
+          new org.apache.hadoop.fs.Path(tsTmp))
+      }
+      overlap.unpersist(blocking = false)
+    }
+    val invPath = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    val fresh = (if (fs.exists(invPath))
+      deltaVecs.join(
+        spark.read.parquet(s"$indexDir/assignments").select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    else deltaVecs).cache()
+    fresh.count() // materialize before the self-path append
+    assignNearest(fresh, spark.read.parquet(s"$indexDir/centroids"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$indexDir/assignments")
+    fresh.unpersist(blocking = false)
+  }
+
+  /** Expunge vector tombstones from a flat-IVF artifact — the flat
+    * family shares the two-level artifact's cell layout
+    * (`assignments/cent_id=N` + `tombstones`), so compaction IS
+    * [[compactTwoLevelIndex]]: rewrite only the touched cells, delete
+    * the tombstone set last. */
+  def compactIvfIndex(spark: SparkSession, indexDir: String): Unit =
+    compactTwoLevelIndex(spark, indexDir)
+
+  /** q168: the flat-IVF lifecycle COMPOSED — base build (70 %, the
+    * codebook trains here and stays frozen) → delta append (30 %) →
+    * tombstone a 10 % delete set spanning both → re-append half the
+    * deleted vectors (resurrection) → compact → serve; the
+    * [[twoLevelComposed]]/[[LshIndex.lshTopKComposed]] contract closing
+    * lifecycle parity for the last persisted family. Gated against an
+    * oracle whose codebook trains on the base split while the served
+    * inverted file keeps only the survivors. */
+  def ivfComposed(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, nProbe: Int = 8,
+      nQueries: Int = 100, k: Int = 3, batchPct: Int = 30,
+      deletePct: Int = 10, reappendPct: Int = 50): DataFrame = {
+    val indexDir = persistedIvf.getOrCreate(
+      spark, s"$dir#composed:$nCentroids:$batchPct:$deletePct:$reappendPct") { tmp =>
+      val e = unitEmbeddings(spark, dir).select(col("vec_id"), col("u"),
+        (pmod(col("vec_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"),
+        (pmod(col("vec_id") * lit(7919L), lit(100)) < deletePct).as("deleted"))
+      saveIvfIndexOf(e.where(!col("incoming")).select("vec_id", "u"), tmp, nCentroids)
+      appendIvfDelta(e.where(col("incoming")).select("vec_id", "u"), tmp)
+      tombstoneVectors(e.where(col("deleted")).select("vec_id"), tmp)
+      appendIvfDelta(
+        e.where(col("deleted") &&
+            pmod(col("vec_id") * lit(104729L), lit(100)) < reappendPct)
+          .select("vec_id", "u"), tmp)
+      compactIvfIndex(spark, tmp)
+    }
+    ivfTopKFromIndex(spark, indexDir, nProbe, nQueries, k)
+  }
+
+  private val persistedIvf = new TempArtifacts("graft-ivf-index")
+  private[ops] def persistedIvfDirFor(spark: SparkSession, dir: String,
+      suffix: String): Option[String] =
+    persistedIvf.peek(spark, s"$dir#$suffix")
 
   /** TWO-LEVEL IVF — the lever past [[adaptiveIvfConfig]]'s 4096-
     * centroid cap: a coarse codebook (≤ 4096 centroids, broadcastable
