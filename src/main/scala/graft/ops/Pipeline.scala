@@ -107,4 +107,49 @@ object Pipeline {
     val manifest = Export.writeTrainingShards(spark, corpusDir, s"$workDir/shards")
     DailyReport(converted, incoming.count(), nKept, repaired, manifest.count())
   }
+
+  /** One maintenance run's accounting. */
+  final case class MaintenanceReport(
+      retiredDocs: Long,
+      repairedDays: Seq[String],
+      servedBm25: Long,
+      servedImages: Long,
+      servedLsh: Long)
+
+  /** The MAINTENANCE half of the nightly job — [[runDaily]] only ever
+    * appends; a production pipeline also runs retention deletes and
+    * periodic compaction. One deterministic retired set (the repo's
+    * delete-rule idiom) is tombstoned across every doc-keyed artifact,
+    * each artifact compacts (tombstones expunged, only touched
+    * partitions rewritten, crash-safe swaps — the [[SafeSwap]] recovery
+    * paths exercised end-to-end in composition), the rollup's day
+    * integrity is verified/repaired, and each artifact is SERVED
+    * afterward so the report proves post-maintenance health.
+    *
+    * Idempotent by the same composition argument as [[runDaily]]:
+    * tombstoning an id the artifact no longer holds is absorbed (the
+    * serve-side anti-join sees no matching rows; compaction expunges
+    * nothing and deletes the tombstone set), so a second identical run
+    * changes no served answer and returns the same report. */
+  def runMaintenance(spark: SparkSession, corpusDir: String, workDir: String,
+      retirePct: Int = 10): MaintenanceReport = {
+    val retired = Tables.documents(spark, corpusDir)
+      .where(pmod(col("doc_id") * lit(7919L), lit(100)) < retirePct)
+      .select("doc_id").cache()
+    val nRetired = retired.count()
+    Retrieval.tombstoneDocs(retired, s"$workDir/bm25")
+    ImageIndex.tombstoneImages(retired, s"$workDir/images")
+    LshIndex.tombstoneVectors(retired.select(col("doc_id").as("vec_id")),
+      s"$workDir/lsh")
+    Retrieval.compactPostings(spark, s"$workDir/bm25")
+    ImageIndex.compactImageHashIndex(spark, s"$workDir/images")
+    LshIndex.compactLshIndex(spark, s"$workDir/lsh")
+    val repaired = Sketches.repairDays(spark, s"$workDir/rollup",
+      Tables.events(spark, corpusDir))
+    retired.unpersist(blocking = false)
+    MaintenanceReport(nRetired, repaired,
+      Retrieval.bm25TopKFromIndex(spark, s"$workDir/bm25").count(),
+      ImageIndex.imageDupsFromIndex(spark, s"$workDir/images").count(),
+      LshIndex.lshTopKFromIndex(spark, s"$workDir/lsh").count())
+  }
 }

@@ -86,4 +86,48 @@ class PipelineDailySpec extends AnyFunSuite {
         "a replayed doc double-indexed across days")
     } finally rm(new java.io.File(work))
   }
+
+  test("maintenance retires, compacts and serves; a second run changes nothing") {
+    val work = tmpDir("graft-daily-maint")
+    try {
+      Pipeline.runDaily(spark, dir, work)
+      val beforeBm25 = Retrieval.bm25TopKFromIndex(spark, s"$work/bm25")
+        .collect().map(_.toString).toSeq
+      val beforeLsh = LshIndex.lshTopKFromIndex(spark, s"$work/lsh")
+        .collect().map(_.toString).toSeq
+      val first = Pipeline.runMaintenance(spark, dir, work)
+      assert(first.retiredDocs > 0)
+      // non-vacuous: the retired set must actually change a served answer
+      val afterLsh = LshIndex.lshTopKFromIndex(spark, s"$work/lsh")
+        .collect().map(_.toString).toSeq
+      assert(afterLsh != beforeLsh || Retrieval.bm25TopKFromIndex(spark, s"$work/bm25")
+          .collect().map(_.toString).toSeq != beforeBm25,
+        "maintenance retired nothing the artifacts held")
+      // the tombstones committed: compaction deleted every set
+      for (a <- Seq("bm25", "images", "lsh"))
+        assert(!new java.io.File(s"$work/$a/tombstones").exists,
+          s"$a compaction never committed")
+      // idempotence INCLUDING the maintenance pass: same report, same
+      // served relations, artifact by artifact
+      def served() = (
+        Retrieval.bm25TopKFromIndex(spark, s"$work/bm25")
+          .collect().map(_.toString).toSeq,
+        ImageIndex.imageDupsFromIndex(spark, s"$work/images")
+          .collect().map(_.toString).toSeq,
+        LshIndex.lshTopKFromIndex(spark, s"$work/lsh")
+          .collect().map(_.toString).toSeq)
+      val servedFirst = served()
+      val second = Pipeline.runMaintenance(spark, dir, work)
+      assert(second == first, "a replayed maintenance run changed the report")
+      assert(served() == servedFirst,
+        "a replayed maintenance run changed a served relation")
+      // and the daily job still replays cleanly AFTER maintenance: the
+      // retired docs are gone, so the day's batch re-appends only them
+      val day = Pipeline.runDaily(spark, dir, work)
+      assert(day.keptDocs >= 0) // composes without error; guards intact
+      val dl = spark.read.parquet(s"$work/bm25/dl")
+      assert(dl.count() == dl.select("doc_id").distinct().count(),
+        "post-maintenance replay double-indexed a doc")
+    } finally rm(new java.io.File(work))
+  }
 }
