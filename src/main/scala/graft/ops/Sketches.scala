@@ -82,11 +82,14 @@ object Sketches {
       lgK: Int = DefaultLgK): Unit = {
     val spark = deltaEvents.sparkSession
     // bootstrap: the very first append (streaming ingest starts cold)
-    // has no daily dir yet — every delta day is fresh then
+    // has no daily dir yet — every delta day is fresh then. A dir that
+    // EXISTS but holds no day partition is the same state: retracting
+    // the artifact's only day (a repair of a one-day rollup) leaves the
+    // bare root, which a parquet read can't infer a schema from
     val dailyPath = new org.apache.hadoop.fs.Path(s"$indexDir/daily")
     val fs = dailyPath.getFileSystem(spark.sessionState.newHadoopConf())
     val guarded =
-      if (!fs.exists(dailyPath)) deltaEvents
+      if (!hasDayPartitions(fs, dailyPath)) deltaEvents
       else {
         val indexed = spark.read.parquet(s"$indexDir/daily").select("day").distinct()
         deltaEvents
@@ -362,11 +365,18 @@ object Sketches {
     * days present in the artifact whose stored Σn_events disagrees
     * with the batch's recount. Cost: one column-pruned artifact scan +
     * an aggregate over the batch — never raw history. */
+  /** An artifact root can exist with zero day partitions (the only day
+    * retracted); both guard reads must treat that as empty. */
+  private def hasDayPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      dailyPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dailyPath) &&
+      fs.listStatus(dailyPath).exists(_.getPath.getName.startsWith("day="))
+
   def verifyDays(spark: SparkSession, indexDir: String,
       recountEvents: DataFrame): Seq[String] = {
     val dailyPath = new org.apache.hadoop.fs.Path(s"$indexDir/daily")
     val fs = dailyPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(dailyPath)) return Nil
+    if (!hasDayPartitions(fs, dailyPath)) return Nil
     val stored = spark.read.parquet(s"$indexDir/daily")
       .groupBy("day").agg(sum("n_events").as("stored_n"))
     recountEvents

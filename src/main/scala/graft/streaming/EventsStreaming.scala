@@ -231,16 +231,23 @@ object EventsStreaming {
     * maxFilesPerTrigger=1). The artifact's day-level replay guard then
     * makes redelivery idempotent: a restarted stream that re-reads an
     * already-rolled-up day appends nothing (EventsStreamingSpec pins
-    * redelivery). A batch that SPLITS a day would under-roll it — that
-    * is the same caller-owned granularity contract as the postings
-    * delta's doc batches, stated here rather than hidden. */
+    * redelivery). A batch that SPLITS a day USED to under-roll it
+    * silently; the sink now folds through the VERIFIED append
+    * ([[graft.ops.Sketches.appendDailyDeltaVerified]]): any of the
+    * batch's days already in the artifact with a disagreeing count — a
+    * prior partial trigger — is retracted and re-rolled from this batch
+    * before the normal day-guarded append runs, so a redelivery that
+    * carries the day in full CONVERGES the artifact instead of relying
+    * on the cadence contract alone (the contract still names the
+    * convergence condition: the repairing batch must carry each of its
+    * days in full). */
   def rollupIngest(events: DataFrame, indexDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Sketches.appendDailyDelta(batch, indexDir)
+        graft.ops.Sketches.appendDailyDeltaVerified(batch, indexDir): Unit
       }
       .start()
 

@@ -196,6 +196,48 @@ class EventsStreamingSpec extends AnyFunSuite {
     assert(after.sameElements(served))
   }
 
+  test("a PARTIAL trigger followed by full-day redelivery converges the streamed rollup") {
+    import graft.ops.Sketches
+    val ev = Tables.events(spark, sfDir)
+    val streamDir = Files.createTempDirectory("graft-rollup-partial")
+    val ingestDir = Files.createTempDirectory("graft-rollup-partial-ingest").toString
+    val ckptDir = Files.createTempDirectory("graft-rollup-partial-ckpt").toString
+    def writeBatch(name: String, rel: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = Files.createTempDirectory("graft-rollup-pbatch").toString
+      rel.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, java.nio.file.Path.of(s"$streamDir/$name.parquet"))
+    }
+    val day = to_date(col("ts")) === lit("2024-01-10")
+    // trigger 1: HALF of one day's events — the mid-day crash/partial
+    // delivery the cadence contract forbids but reality ships anyway
+    writeBatch("day10_partial", ev.where(day && pmod(col("event_id"), lit(2)) === 0))
+    val stream = EventsStreaming.readEvents(spark, streamDir.toString, maxFilesPerTrigger = 1,
+      schema = Some(spark.read.parquet(s"$sfDir/events.parquet").schema))
+    val q = EventsStreaming.rollupIngest(stream, ingestDir, ckptDir)
+    try {
+      q.processAllAvailable()
+      // the partial day persisted (this is the failure mode)
+      val partialN = spark.read.parquet(s"$ingestDir/daily")
+        .agg(sum("n_events")).head.getLong(0)
+      // trigger 2: the SAME day redelivered in full — the verified
+      // append must detect the disagreeing count, retract, re-roll
+      writeBatch("day10_full", ev.where(day))
+      q.processAllAvailable()
+      val monoDir = Files.createTempDirectory("graft-rollup-partial-mono").toString
+      Sketches.saveDailyRollup(ev.where(day), monoDir)
+      val served = Sketches.distinctUsersFromRollup(spark, ingestDir, Sketches.DefaultRanges)
+        .orderBy("range_id", "event_type").collect()
+      val mono = Sketches.distinctUsersFromRollup(spark, monoDir, Sketches.DefaultRanges)
+        .orderBy("range_id", "event_type").collect()
+      assert(served.sameElements(mono),
+        "the streamed artifact did not converge after a full-day redelivery")
+      assert(spark.read.parquet(s"$ingestDir/daily")
+          .agg(sum("n_events")).head.getLong(0) > partialN,
+        "the repair never replaced the partial day")
+    } finally q.stop()
+  }
+
   test("theta/KLL/freq columns of a stream-built rollup serve within their verdict bounds") {
     import graft.ops.Sketches
     import graft.functions.{FreqFunctions, KllFunctions, ThetaFunctions}
