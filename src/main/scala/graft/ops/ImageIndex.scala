@@ -125,6 +125,7 @@ object ImageIndex {
     val fs = hadoopFs(spark, indexDir)
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+    AppendCommit.recover(fs, indexDir)
     // decode ONCE, up front: both the resurrection check and the append
     // plan from this one materialized relation
     val deltaHashes = Multimodal.imageHashesOf(deltaDocs).cache()
@@ -157,13 +158,15 @@ object ImageIndex {
     // listing, evaluating `fresh` to EMPTY for the band write: the
     // delta's band rows silently never landed (caught by the LSH twin's
     // lifecycle spec; the pair serve reads only the hashes store, so
-    // q156/q159 couldn't see it — the PROBE path could). Crash window
-    // (bands appended, hashes not): a re-run's guard re-appends the
-    // delta's band rows — duplicates [[probeImages]]'s `distinct()`
-    // absorbs, so the re-run converges.
+    // q156/q159 couldn't see it — the PROBE path could). The commit
+    // marker makes any crash between the two writes roll BOTH stores
+    // back to their recorded listings at the next recover — the re-run
+    // re-admits the whole delta and no duplicate band row ever exists.
+    AppendCommit.begin(fs, indexDir, Seq("bands", "hashes"))
     bandsOfHashes(fresh, bandBuckets)
       .write.mode("append").partitionBy("band_bucket").parquet(s"$indexDir/bands")
     fresh.write.mode("append").parquet(s"$indexDir/hashes")
+    AppendCommit.commit(fs, indexDir)
     fresh.unpersist(blocking = false)
     deltaHashes.unpersist(blocking = false)
   }
@@ -225,6 +228,7 @@ object ImageIndex {
     val fs = hadoopFs(spark, indexDir)
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+    AppendCommit.recover(fs, indexDir)
     tombstonesOf(spark, indexDir).foreach { dead =>
       expunge(spark, indexDir, dead, DefaultBandBuckets)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
@@ -244,6 +248,7 @@ object ImageIndex {
     val fs = hadoopFs(spark, indexDir)
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+    AppendCommit.recover(fs, indexDir)
     val all = spark.read.parquet(s"$indexDir/hashes")
     val live = tombstonesOf(spark, indexDir) match {
       case Some(dead) => all.join(dead, Seq("doc_id"), "left_anti")
@@ -270,6 +275,7 @@ object ImageIndex {
     val spark = probeDocs.sparkSession
     val fs = hadoopFs(spark, indexDir)
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/bands"))
+    AppendCommit.recover(fs, indexDir)
     val family = if (gradient) 1 else 0
     val probeBands = bandsOfHashes(Multimodal.imageHashesOf(probeDocs), bandBuckets)
       .where(col("family") === family)

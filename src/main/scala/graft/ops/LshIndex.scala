@@ -65,6 +65,7 @@ object LshIndex {
     val fs = hadoopFs(spark, indexDir)
     SafeSwap.recover(fs, fsPath(s"$indexDir/vectors"))
     SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
+    AppendCommit.recover(fs, indexDir)
     fs.delete(fsPath(s"$indexDir/sig_staging_tmp"), true)
   }
 
@@ -201,12 +202,14 @@ object LshIndex {
     // itself — and Spark's recache re-runs the anti-join against the
     // post-append listing, evaluating `fresh` to EMPTY for the second
     // write (measured: the delta's bucket rows silently never landed).
-    // Crash window (buckets appended, vectors not): a re-run's guard
-    // sees the delta absent and re-appends its bucket rows — duplicates
-    // the serve-side `distinct()` absorbs, so answers stay exact and
-    // the re-run converges.
+    // The commit marker makes the append atomic-by-observation: a crash
+    // anywhere between begin and commit rolls the stores back to their
+    // recorded listings at the next recover, so the re-run re-admits
+    // the whole delta and no duplicate row ever exists in either store.
+    AppendCommit.begin(fs, indexDir, Seq("buckets", "vectors"))
     writeBuckets(fresh, bits, nTables, frozenBuckets, indexDir, "append")
     fresh.write.mode("append").parquet(s"$indexDir/vectors")
+    AppendCommit.commit(fs, indexDir)
     fresh.unpersist(blocking = false)
     delta.unpersist(blocking = false)
   }

@@ -212,6 +212,7 @@ object Retrieval {
     val fs = dlPath.getFileSystem(spark.sessionState.newHadoopConf())
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
     SafeSwap.recover(fs, dlPath)
+    AppendCommit.recover(fs, indexDir)
     // RESURRECTION (the deleted-then-re-appended interaction): a delta
     // doc_id sitting in the tombstone set is being deliberately
     // re-ingested — expunge its dead rows (targeted compaction, cost ∝
@@ -242,6 +243,11 @@ object Retrieval {
         spark.read.parquet(s"$indexDir/dl").select("doc_id"),
         Seq("doc_id"), "left_anti")).cache()
     fresh.count()
+    // commit marker: a crash between the two writes rolls both stores
+    // back to their recorded listings at the next recover, so the
+    // re-run re-admits the whole delta (derived-first order still
+    // matters for the cached-plan recache trap on a SUCCESSFUL append)
+    AppendCommit.begin(fs, indexDir, Seq("postings", "dl"))
     val p = postingsOf(fresh)
     p.where(col("term").isNotNull)
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
@@ -249,6 +255,7 @@ object Retrieval {
       .parquet(s"$indexDir/postings")
     p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
       .write.mode("append").parquet(s"$indexDir/dl")
+    AppendCommit.commit(fs, indexDir)
     fresh.unpersist(blocking = false)
   }
 
@@ -305,6 +312,7 @@ object Retrieval {
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/dl"))
+    AppendCommit.recover(fs, indexDir)
     tombstonesOf(spark, indexDir).foreach { dead =>
       expungePostings(spark, indexDir, dead)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
@@ -478,6 +486,7 @@ object Retrieval {
       .getFileSystem(spark.sessionState.newHadoopConf())
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/postings"))
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/dl"))
+    AppendCommit.recover(fs, indexDir)
     val buckets = queryTerms
       .select(pmod(xxhash64(col("term")), lit(termBuckets.toLong)).as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq // local relation: no corpus scan

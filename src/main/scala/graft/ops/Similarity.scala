@@ -1262,6 +1262,7 @@ object Similarity {
     val vfs = vecPath.getFileSystem(spark.sessionState.newHadoopConf())
     SafeSwap.recover(vfs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
     SafeSwap.recover(vfs, vecPath)
+    AppendCommit.recover(vfs, indexDir)
     // RESURRECTION: a delta vec_id in the tombstone set is being
     // deliberately re-ingested — expunge its dead code/refine rows and
     // withdraw its tombstones before the replay guard runs (re-encoding
@@ -1289,12 +1290,18 @@ object Similarity {
     val subCents = spark.read.parquet(s"$indexDir/subcents")
     val book = readPqBook(spark, indexDir)
     val assigned = buildAssigned2(assignNearest(fresh, cents), subCents)
+    // commit marker: a crash between the two writes rolls both stores
+    // back to their recorded listings at the next recover (the
+    // derived-first order still matters for the recache trap on a
+    // SUCCESSFUL append)
+    AppendCommit.begin(vfs, indexDir, Seq("codes", "vectors"))
     residualsOf(assigned, subCents)
       .select(col("vec_id"), col("cent_id"), col("sub_id"), col("proj"),
         graft.functions.CodebookFunctions.pqEncode(col("r"), book).as("codes"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$indexDir/codes")
     assigned.select(col("vec_id"), col("u"))
       .write.mode("append").parquet(s"$indexDir/vectors")
+    AppendCommit.commit(vfs, indexDir)
     fresh.unpersist(blocking = false)
     // a warm serve caches the artifact relations as of load time — an
     // append extends the files underneath, so drop this artifact's
@@ -1335,6 +1342,7 @@ object Similarity {
       .getFileSystem(spark.sessionState.newHadoopConf())
     SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
     SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
+    AppendCommit.recover(rfs, indexDir)
     val book = pqLoadedBookCache.computeIfAbsent((spark, indexDir),
       _ => readPqBook(spark, indexDir))
     def rel(part: String)(load: => DataFrame): DataFrame =
@@ -1496,6 +1504,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
     SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
+    AppendCommit.recover(fs, indexDir)
     vecTombstonesOf(spark, indexDir).foreach { dead =>
       expungePq(spark, indexDir, dead)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
