@@ -343,7 +343,24 @@ object LshIndex {
     * replayed vec_id does not flag itself.
     * Output: (probe_id, vec_id, cos_sim) at cos_sim ≥ threshold. */
   def probeVectors(probeVecs: DataFrame, indexDir: String,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4): DataFrame =
+    probeVectorsStaged(probeVecs, indexDir, threshold)._1
+
+  /** Streaming-sink variant: probe, append the flags to `outDir`, and
+    * RELEASE the per-batch probe cache. A long-running stream calls the
+    * gate once per trigger — returning the lazy relation (whose plan
+    * pins the cached probe stage) would accumulate one resident cache
+    * entry per micro-batch forever; the sink shape lets the gate drop
+    * it as soon as the batch's flags are durable. */
+  private[graft] def probeVectorsInto(probeVecs: DataFrame, indexDir: String,
+      outDir: String, threshold: Double): Unit = {
+    val (flags, release) = probeVectorsStaged(probeVecs, indexDir, threshold)
+    try flags.write.mode("append").parquet(outDir)
+    finally release()
+  }
+
+  private def probeVectorsStaged(probeVecs: DataFrame, indexDir: String,
+      threshold: Double): (DataFrame, () => Unit) = {
     val spark = probeVecs.sparkSession
     recoverStores(spark, indexDir)
     val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
@@ -367,12 +384,13 @@ object LshIndex {
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("pu"), col("vec_id"))
       .dropDuplicates("probe_id", "vec_id")
-    cand.join(spark.read.parquet(s"$indexDir/vectors")
+    val flags = cand.join(spark.read.parquet(s"$indexDir/vectors")
         .select(col("vec_id"), col("u").as("nu")), Seq("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         round(dotProduct(col("pu"), col("nu")), 4).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy("probe_id", "vec_id")
+    (flags, () => probes.unpersist(blocking = false): Unit)
   }
 
   /** The artifact's exact-rescore store, SERVABLE: crash-recovered and

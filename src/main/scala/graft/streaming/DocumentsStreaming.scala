@@ -401,11 +401,13 @@ object DocumentsStreaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.LshIndex.probeVectors(
+        // the Into variant releases the per-batch probe cache once the
+        // flags are durable — a long stream must not accumulate one
+        // resident cache entry per trigger
+        graft.ops.LshIndex.probeVectorsInto(
           batch.select(col("doc_id").as("vec_id"),
             graft.ops.Similarity.unitVec(col("embedding")).as("u")),
-          indexDir, threshold)
-          .write.mode("append").parquet(outDir)
+          indexDir, outDir, threshold)
       }
       .start()
 
