@@ -439,6 +439,11 @@ object SparkEntry {
     // gated by fused recall@10 vs the exact-pool q163 relation with a
     // verdict flag (the q62/q130/q140 recall-gate discipline)
     "q167_hybrid_ann_pool_recall" -> ((s, d) => Hybrid.rrfAnnPoolRecall(s, d)),
+    // q169: the FULLY DEPLOYED hybrid — both pools from persisted
+    // artifacts (pruned BM25 postings + pruned LSH multi-probe) + RRF,
+    // under q167's fused-recall gate: the q166 restart shape combined
+    // with the q167 ANN pool, end to end
+    "q169_hybrid_deployed_recall" -> ((s, d) => Hybrid.rrfDeployedRecall(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -2085,6 +2090,10 @@ object SparkEntry {
     // fusion, bound flag included — both engines compute the identical
     // integer-exact RRF over the identical pools
     "q167_hybrid_ann_pool_recall" -> Q167Sql,
+    // q169 is row-identical to q167 by construction (artifact lexical
+    // pool == live pool per the q127 contract; the dense pool IS
+    // q167's) — same oracle, the q164/q166 shared-oracle discipline
+    "q169_hybrid_deployed_recall" -> Q167Sql,
     // q147 = q145 compacted: compaction must be answer-invisible, so
     // the oracle IS q145's
     "q147_ann_ivfpq_compacted" -> Q145Sql,

@@ -137,6 +137,46 @@ object Hybrid {
         (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
   }
 
+  /** q169: the FULLY DEPLOYED hybrid — BOTH pools served from persisted
+    * artifacts (term-bucket-pruned BM25 postings; bucket-pruned LSH
+    * multi-probe) fused by the same RRF, under q167's fused-recall gate.
+    * This is the restart shape q166 pins (corpus structurally
+    * unreachable on the lexical side) COMBINED with the ANN pool q167
+    * gates: what a redeployed RAG service actually executes end to end.
+    * Row-identical to [[rrfAnnPoolRecall]] by construction — the
+    * artifact lexical pool ≡ the live pool (the q127 contract) and the
+    * artifact dense pool IS q167's — so it gates under the same oracle;
+    * the only corpus touch is deriving the gate's stand-in query batch. */
+  def rrfDeployedRecall(spark: SparkSession, dir: String,
+      nQueries: Long = 8L, prefixTokens: Int = 8,
+      poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
+      salts: Int = 32, recallBound: Double = 0.7): DataFrame = {
+    val queryTerms = Tables.documents(spark, dir).where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, prefixTokens)))
+          .as("term"))
+    val lex = Retrieval.rankedFromIndex(spark,
+        Retrieval.persistedPostingsDir(spark, dir), queryTerms, poolK, salts,
+        excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+      .cache()
+    val denAnn = LshIndex.lshTopKPersisted(spark, dir, nQueries.toInt, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    val exactFused = fuse(lex, denExact, topK, rrfK).select("query_id", "doc_id")
+    val annFused = fuse(lex, denAnn, topK, rrfK)
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    exactFused.join(annFused, Seq("query_id", "doc_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(lit("hybrid_lsh_pool").as("method"), col("n_exact"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"),
+        (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
+  }
+
   /** RRF fusion of two (query_id, doc_id, rank_*) pools. Exposed at
     * `ops` scope so specs can drive planted pools directly. */
   private[ops] def fuse(lex: DataFrame, den: DataFrame,

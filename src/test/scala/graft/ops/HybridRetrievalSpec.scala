@@ -93,4 +93,13 @@ class HybridRetrievalSpec extends AnyFunSuite {
     // sanity: with the exact lexical pool shared, at least half survive
     assert(nHit * 2 >= nExact)
   }
+
+  test("q169: the fully deployed (both-pools-from-artifacts) fusion equals q167's relation") {
+    val live = Hybrid.rrfAnnPoolRecall(spark, sf).collect().map(_.toString).toSeq
+    val deployed = Hybrid.rrfDeployedRecall(spark, sf).collect().map(_.toString).toSeq
+    assert(deployed == live,
+      "the artifact-served lexical pool changed the fused-recall verdict")
+    assert(deployed.nonEmpty && deployed.head.contains("true"),
+      s"the deployed hybrid fell under the recall bound: $deployed")
+  }
 }
