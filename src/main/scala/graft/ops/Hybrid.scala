@@ -114,12 +114,24 @@ object Hybrid {
       nQueries: Long = 8L, prefixTokens: Int = 8,
       poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
       salts: Int = 32, recallBound: Double = 0.7): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // one lexical pool feeds BOTH fusions — bounded (|queries| × poolK)
-    val lex = Retrieval.rankedBatch(docs, None, col("doc_id") < nQueries,
-        prefixTokens, poolK, salts)
+    val lex = Retrieval.rankedBatch(Tables.documents(spark, dir), None,
+        col("doc_id") < nQueries, prefixTokens, poolK, salts)
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-      .cache()
+    annPoolGate(spark, dir, lex, nQueries, poolK, topK, rrfK, recallBound)
+  }
+
+  /** The shared q167/q169 verdict: fuse the given lexical pool with the
+    * artifact-served ANN dense pool AND with the exact dense pool, and
+    * report fused recall@topK with the bound flag. ONE implementation
+    * on purpose — the two gates share one oracle, so the verdict shape
+    * (method label, rounding, bound) must not be able to drift between
+    * them. The lexical pool is cached: it feeds both fusions, is
+    * bounded at |queries| × poolK rows, and identical gate invocations
+    * dedupe in the CacheManager. */
+  private def annPoolGate(spark: SparkSession, dir: String, lexPool: DataFrame,
+      nQueries: Long, poolK: Int, topK: Int, rrfK: Int,
+      recallBound: Double): DataFrame = {
+    val lex = lexPool.cache()
     val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rank_dense"))
@@ -159,22 +171,7 @@ object Hybrid {
         Retrieval.persistedPostingsDir(spark, dir), queryTerms, poolK, salts,
         excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-      .cache()
-    val denAnn = LshIndex.lshTopKPersisted(spark, dir, nQueries.toInt, poolK)
-      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("rank_dense"))
-    val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
-      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("rank_dense"))
-    val exactFused = fuse(lex, denExact, topK, rrfK).select("query_id", "doc_id")
-    val annFused = fuse(lex, denAnn, topK, rrfK)
-      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
-    exactFused.join(annFused, Seq("query_id", "doc_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-      .select(lit("hybrid_lsh_pool").as("method"), col("n_exact"), col("n_hit"),
-        round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"),
-        (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
+    annPoolGate(spark, dir, lex, nQueries, poolK, topK, rrfK, recallBound)
   }
 
   /** RRF fusion of two (query_id, doc_id, rank_*) pools. Exposed at

@@ -111,9 +111,15 @@ object LshIndex {
     * other modulus. */
   private def readMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$indexDir/meta").head()
-    val b = if (r.schema.fieldNames.contains("bucket_buckets"))
-      r.getAs[Int]("bucket_buckets") else DefaultBucketBuckets
-    (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"), b)
+    // FAIL FAST, never guess: the serve/expunge partition prune is only
+    // sound under the exact modulus the writes used. Guessing a default
+    // for an artifact whose meta predates the field would let a
+    // non-default-built store serve silently-empty candidates (probes
+    // hashed mod 64 miss dirs laid out mod 16) — an error is the safe
+    // answer; rebuild the artifact.
+    require(r.schema.fieldNames.contains("bucket_buckets"),
+      s"$indexDir/meta lacks bucket_buckets (pre-partition-prune artifact); rebuild the index")
+    (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"), r.getAs[Int]("bucket_buckets"))
   }
 
   /** Persist the index from an arbitrary unit-vector relation. Geometry
@@ -302,12 +308,15 @@ object LshIndex {
     val qv = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val masks = typedLit(Similarity.probeMasks(bits, maxFlips))
+    // uncached: read twice (bucket-id collect + broadcast join), but
+    // each read is a pushed-filter scan of nQueries vectors + one
+    // codegen'd projection; an append changes the vectors listing and
+    // would strand a per-plan cache entry with no release path
     val probes = Similarity.lshSignaturesOf(
         qv.select(col("q_id").as("vec_id"), col("qu").as("u")), bits, nTables)
       .select(col("vec_id").as("q_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket0")))
       .select(col("q_id"), col("tbl"), col("bucket0"), explode(masks).as("mask"))
       .select(col("q_id"), col("tbl"), col("bucket0").bitwiseXOR(col("mask")).as("bucket"))
-      .cache()
     val probeBuckets = probes
       .select(pmod(xxhash64(col("tbl"), col("bucket")), lit(bucketBuckets.toLong))
         .as("bb"))
@@ -343,32 +352,21 @@ object LshIndex {
     * replayed vec_id does not flag itself.
     * Output: (probe_id, vec_id, cos_sim) at cos_sim ≥ threshold. */
   def probeVectors(probeVecs: DataFrame, indexDir: String,
-      threshold: Double = 0.4): DataFrame =
-    probeVectorsStaged(probeVecs, indexDir, threshold)._1
-
-  /** Streaming-sink variant: probe, append the flags to `outDir`, and
-    * RELEASE the per-batch probe cache. A long-running stream calls the
-    * gate once per trigger — returning the lazy relation (whose plan
-    * pins the cached probe stage) would accumulate one resident cache
-    * entry per micro-batch forever; the sink shape lets the gate drop
-    * it as soon as the batch's flags are durable. */
-  private[graft] def probeVectorsInto(probeVecs: DataFrame, indexDir: String,
-      outDir: String, threshold: Double): Unit = {
-    val (flags, release) = probeVectorsStaged(probeVecs, indexDir, threshold)
-    try flags.write.mode("append").parquet(outDir)
-    finally release()
-  }
-
-  private def probeVectorsStaged(probeVecs: DataFrame, indexDir: String,
-      threshold: Double): (DataFrame, () => Unit) = {
+      threshold: Double = 0.4): DataFrame = {
     val spark = probeVecs.sparkSession
     recoverStores(spark, indexDir)
     val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
+    // UNCACHED on purpose: the probe relation is read twice (the local
+    // bucket-id collect below + the candidate join), but each read is
+    // one narrow codegen'd projection over the delta. A cache here
+    // pins one resident entry PER CALL (per-batch probe data means
+    // per-call plans — CacheManager can't dedupe them), which a
+    // per-trigger streaming caller would accumulate forever; paying the
+    // projection twice is strictly cheaper than any release protocol.
     val probes = Similarity.lshSignaturesOf(
         probeVecs.select(col("vec_id"), col("u")), bits, nTables)
       .select(col("vec_id").as("probe_id"), col("u").as("pu"),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-      .cache()
     val probeBuckets = probes
       .select(pmod(xxhash64(col("tbl"), col("bucket")), lit(bucketBuckets.toLong))
         .as("bb"))
@@ -384,13 +382,12 @@ object LshIndex {
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("pu"), col("vec_id"))
       .dropDuplicates("probe_id", "vec_id")
-    val flags = cand.join(spark.read.parquet(s"$indexDir/vectors")
+    cand.join(spark.read.parquet(s"$indexDir/vectors")
         .select(col("vec_id"), col("u").as("nu")), Seq("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         round(dotProduct(col("pu"), col("nu")), 4).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
       .orderBy("probe_id", "vec_id")
-    (flags, () => probes.unpersist(blocking = false): Unit)
   }
 
   /** The artifact's exact-rescore store, SERVABLE: crash-recovered and

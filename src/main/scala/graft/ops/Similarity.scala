@@ -583,9 +583,6 @@ object Similarity {
   }
 
   private val persistedIvf = new TempArtifacts("graft-ivf-index")
-  private[ops] def persistedIvfDirFor(spark: SparkSession, dir: String,
-      suffix: String): Option[String] =
-    persistedIvf.peek(spark, s"$dir#$suffix")
 
   /** TWO-LEVEL IVF — the lever past [[adaptiveIvfConfig]]'s 4096-
     * centroid cap: a coarse codebook (≤ 4096 centroids, broadcastable

@@ -382,7 +382,16 @@ object Sketches {
     recountEvents
       .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("recount_n"))
       .join(stored, Seq("day"))
-      .where(col("stored_n") =!= col("recount_n"))
+      // DIRECTION GUARD: only a day the batch knows MORE about than the
+      // artifact is repairable from this batch (a prior partial-day
+      // ingest). The opposite sign — stored > recount — means the BATCH
+      // is the partial one (late stragglers of an already-complete day);
+      // repairing from it would retract a complete day and re-roll it
+      // from the stragglers alone, destroying data the old day-guard
+      // merely ignored. The day-level replay guard makes an over-rolled
+      // artifact day impossible, so the under-informed-batch case is
+      // the only way the signs flip — skip it.
+      .where(col("stored_n") < col("recount_n"))
       .select(date_format(col("day"), "yyyy-MM-dd"))
       .collect().map(_.getString(0)).toSeq.sorted // bounded: ≤ days in the batch
   }

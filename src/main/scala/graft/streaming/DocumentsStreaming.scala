@@ -393,21 +393,31 @@ object DocumentsStreaming {
     * foreachBatch on purpose: the partition-prune needs a per-batch
     * local collect of ≤ 64 bucket ids, which no continuous streaming
     * join can express — the same reason the rollup ingest
-    * ([[EventsStreaming.rollupIngest]]) is a foreachBatch fold. */
+    * ([[EventsStreaming.rollupIngest]]) is a foreachBatch fold.
+    *
+    * Replay guard: foreachBatch is AT-LEAST-ONCE (a crash between the
+    * durable write and the checkpoint commit re-runs the batch), so the
+    * flags land partitioned by `batch_id` and a batch whose partition
+    * already exists is skipped — the sink-side idempotence every other
+    * artifact writer in this library carries. */
   def embeddingDupVsArtifact(vecs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // the Into variant releases the per-batch probe cache once the
-        // flags are durable — a long stream must not accumulate one
-        // resident cache entry per trigger
-        graft.ops.LshIndex.probeVectorsInto(
-          batch.select(col("doc_id").as("vec_id"),
-            graft.ops.Similarity.unitVec(col("embedding")).as("u")),
-          indexDir, outDir, threshold)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val done = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
+        val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(done)) {
+          graft.ops.LshIndex.probeVectors(
+              batch.select(col("doc_id").as("vec_id"),
+                graft.ops.Similarity.unitVec(col("embedding")).as("u")),
+              indexDir, threshold)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").partitionBy("batch_id").parquet(outDir)
+        }
       }
       .start()
 

@@ -84,13 +84,25 @@ class EmbeddingDupStreamSpec extends AnyFunSuite {
       work.resolve("ckpt").toString)
     try q.processAllAvailable() finally q.stop()
 
-    val streamed = spark.read.parquet(outDir)
-      .collect().map(_.toString).toSet
+    def streamedFlags(): Seq[String] = spark.read.parquet(outDir)
+      .select("probe_id", "vec_id", "cos_sim") // batch_id is the replay guard
+      .collect().map(_.toString).toSeq.sorted
+    val streamed = streamedFlags()
     val batch = graft.ops.LshIndex.probeVectors(unit.where(arrivalRule), idx)
-      .collect().map(_.toString).toSet
+      .collect().map(_.toString).toSeq.sorted
     assert(batch.nonEmpty, "the gate corpus must produce at least one cross-split flag")
     assert(streamed == batch,
       s"streamed vs-artifact flags diverged from the batch probe: " +
-        s"stream-only=${(streamed -- batch).take(3)} batch-only=${(batch -- streamed).take(3)}")
+        s"stream-only=${(streamed.toSet -- batch).take(3)} batch-only=${(batch.toSet -- streamed).take(3)}")
+
+    // foreachBatch is at-least-once: a redelivered batch (here: the
+    // whole stream re-run from a FRESH checkpoint, so every batch id
+    // redelivers) must append NOTHING — sequence equality, not set
+    // equality, or duplicate rows would hide
+    val q2 = DocumentsStreaming.embeddingDupVsArtifact(stream, idx, outDir,
+      work.resolve("ckpt2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(streamedFlags() == streamed,
+      "a replayed micro-batch duplicated its flag rows")
   }
 }

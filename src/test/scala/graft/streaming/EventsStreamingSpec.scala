@@ -235,6 +235,21 @@ class EventsStreamingSpec extends AnyFunSuite {
       assert(spark.read.parquet(s"$ingestDir/daily")
           .agg(sum("n_events")).head.getLong(0) > partialN,
         "the repair never replaced the partial day")
+      // the OPPOSITE direction must be safe: a late-straggler batch
+      // carrying a few events of the now-COMPLETE day must not retract
+      // it and re-roll from the stragglers alone (the direction guard:
+      // only stored < recount days repair from a batch)
+      val beforeStraggler = Sketches
+        .distinctUsersFromRollup(spark, ingestDir, Sketches.DefaultRanges)
+        .orderBy("range_id", "event_type").collect()
+      writeBatch("day10_stragglers",
+        ev.where(day && pmod(col("event_id"), lit(97)) === 0))
+      q.processAllAvailable()
+      val afterStraggler = Sketches
+        .distinctUsersFromRollup(spark, ingestDir, Sketches.DefaultRanges)
+        .orderBy("range_id", "event_type").collect()
+      assert(afterStraggler.sameElements(beforeStraggler),
+        "a late-straggler batch destroyed a complete day")
     } finally q.stop()
   }
 
