@@ -397,9 +397,10 @@ object DocumentsStreaming {
     *
     * Replay guard: foreachBatch is AT-LEAST-ONCE (a crash between the
     * durable write and the checkpoint commit re-runs the batch), so the
-    * flags land partitioned by `batch_id` and a batch whose partition
-    * already exists is skipped — the sink-side idempotence every other
-    * artifact writer in this library carries. */
+    * flags land through [[landBatchIdempotent]] — partitioned by
+    * `batch_id` under a per-batch commit marker, so a redelivered batch
+    * appends nothing and a crashed partial partition is rewritten
+    * rather than frozen. */
   def embeddingDupVsArtifact(vecs: DataFrame, indexDir: String, outDir: String,
       checkpointDir: String, threshold: Double = 0.4)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -407,19 +408,119 @@ object DocumentsStreaming {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val done = new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId")
-        val fs = done.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(done)) {
+        landBatchIdempotent(batch.sparkSession, outDir, batchId) {
           graft.ops.LshIndex.probeVectors(
-              batch.select(col("doc_id").as("vec_id"),
-                graft.ops.Similarity.unitVec(col("embedding")).as("u")),
-              indexDir, threshold)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").partitionBy("batch_id").parquet(outDir)
+            batch.select(col("doc_id").as("vec_id"),
+              graft.ops.Similarity.unitVec(col("embedding")).as("u")),
+            indexDir, threshold)
         }
+        ()
       }
       .start()
+
+  /** Idempotent per-batch landing for an at-least-once foreachBatch
+    * sink: the batch's rows land under `batch_id=N` and a durable
+    * commit marker (`_batch_commits/N`, `_`-prefixed so parquet readers
+    * of `outDir` never see it) is created AFTER the append — the
+    * replay guard keys on the MARKER, not on the partition directory.
+    * A bare-directory guard treats a crash mid job-commit (partition
+    * directory created, only some task files moved in) as "complete"
+    * and freezes the partial rows permanently; the marker guard deletes
+    * the partial partition wholesale and rewrites it, so committed
+    * batches are atomic to any observer. Returns whether this call
+    * landed the batch (false = already committed; `rows` not even
+    * evaluated — on redelivery the computation could see state the
+    * first delivery's downstream writes changed). */
+  private[graft] def landBatchIdempotent(spark: SparkSession, outDir: String,
+      batchId: Long)(rows: => DataFrame): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batch_commits/$batchId")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(marker)) return false
+    fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/batch_id=$batchId"), true)
+    rows.withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(outDir)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    true
+  }
+
+  /** GATE-THEN-ADMIT streaming ingest — the production loop the
+    * flag-only gates stop short of: each micro-batch probes the
+    * persisted LSH artifact for near-duplicates of anything the corpus
+    * HOLDS ([[graft.ops.LshIndex.probeVectors]] — signatures once under
+    * the frozen geometry, bucket vocabulary pushed as a static
+    * partition filter, exact-cosine rescore), lands the flags, and then
+    * ADMITS the surviving (un-flagged) vectors into that same artifact
+    * through the replay-guarded delta append — so the stream MAINTAINS
+    * the vector index, and the next trigger's arrivals are gated
+    * against everything admitted before them.
+    *
+    * Idempotence under at-least-once redelivery is compositional, with
+    * one ordering that matters: the flags commit FIRST (marker-guarded
+    * [[landBatchIdempotent]]), the admit runs SECOND and derives its
+    * survivor set from the DURABLE flags, not from a fresh probe — a
+    * redelivered batch's fresh probe would see the batch's own admitted
+    * vectors in the artifact and flag batch-mate near-dups it did not
+    * flag the first time, silently shrinking the survivor set between
+    * deliveries. From the durable flags the survivor set is identical
+    * on every delivery, and [[graft.ops.LshIndex.appendLshDelta]]'s own
+    * replay guard (vec_id anti-join) + commit marker make the re-admit
+    * a no-op. Bootstrap composes too: the first trigger probes nothing
+    * (no artifact → zero flags), and its admit IS the base build,
+    * freezing adaptive geometry for `expectedCorpusVectors` (the corpus
+    * the artifact grows into, not the first batch — ADVICE r12). */
+  def embeddingIngestAdmit(vecs: DataFrame, indexDir: String, flagsDir: String,
+      checkpointDir: String, threshold: Double = 0.4,
+      expectedCorpusVectors: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, indexDir, flagsDir, threshold,
+          expectedCorpusVectors)
+      }
+      .start()
+
+  /** One trigger of [[embeddingIngestAdmit]], exposed so the replay
+    * spec can redeliver a batch id directly (the at-least-once window
+    * no in-process stream run can force deterministically). */
+  private[graft] def admitBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, flagsDir: String, threshold: Double,
+      expectedCorpusVectors: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val unit = batch.select(col("doc_id").as("vec_id"),
+      graft.ops.Similarity.unitVec(col("embedding")).as("u"))
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/meta"))
+    // 1. GATE: flag near-dups of the held corpus. A bootstrap trigger
+    //    has no corpus to flag against — zero flags, landed anyway so
+    //    the batch's commit marker exists.
+    landBatchIdempotent(spark, flagsDir, batchId) {
+      if (hasIndex) graft.ops.LshIndex.probeVectors(unit, indexDir, threshold)
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Long, Double)].toDF("probe_id", "vec_id", "cos_sim")
+      }
+    }
+    // 2. SURVIVORS from the DURABLE flags (identical on redelivery —
+    //    see the ordering note above). An all-survivor batch has no
+    //    partition directory (zero flag rows land no files).
+    val part = new org.apache.hadoop.fs.Path(s"$flagsDir/batch_id=$batchId")
+    val flagsFs = part.getFileSystem(spark.sessionState.newHadoopConf())
+    val survivors =
+      if (flagsFs.exists(part))
+        unit.join(spark.read.parquet(part.toString)
+            .select(col("probe_id").as("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+      else unit
+    // 3. ADMIT: replay-guarded, crash-atomic delta append (bootstraps
+    //    the artifact on the first trigger).
+    graft.ops.LshIndex.appendLshDelta(survivors, indexDir,
+      expectedCorpusVectors = expectedCorpusVectors)
+  }
 
   /** The shared one-pass bounded state machine behind ALL stateful
     * gates ([[nearDupStateful]] text bands, [[imageDupStateful]] /
