@@ -59,14 +59,79 @@ object LshIndex {
   private def fsPath(p: String) = new org.apache.hadoop.fs.Path(p)
 
   /** Entry-point recovery: restore any partitions a crashed swap left
-    * aside, and drop a [[writeBuckets]] staging dir a crash between its
-    * two jobs left behind (pure derivation — the re-run rewrites it). */
+    * aside, drop a [[writeBuckets]] staging dir a crash between its
+    * two jobs left behind (pure derivation — the re-run rewrites it),
+    * and complete a crashed geometry rebuild ([[maintainGeometry]])
+    * from its durable snapshot. */
   private def recoverStores(spark: SparkSession, indexDir: String): Unit = {
     val fs = hadoopFs(spark, indexDir)
+    // the regeom recovery runs FIRST: a committed-but-unfinished rebuild
+    // supersedes every store (it overwrites all of them from the
+    // snapshot); with no marker, a leftover snapshot is a crash BEFORE
+    // the commit point — the old artifact is intact, drop the snapshot
+    if (fs.exists(regeomMarker(indexDir))) rebuildFromSnapshot(spark, indexDir)
+    else fs.delete(fsPath(regeomSnapshot(indexDir)), true)
     SafeSwap.recover(fs, fsPath(s"$indexDir/vectors"))
     SafeSwap.recover(fs, fsPath(s"$indexDir/buckets"))
     AppendCommit.recover(fs, indexDir)
     fs.delete(fsPath(s"$indexDir/sig_staging_tmp"), true)
+  }
+
+  private def regeomMarker(indexDir: String) = fsPath(s"$indexDir/_regeom_pending")
+  private def regeomSnapshot(indexDir: String) = s"$indexDir/regeom_snapshot"
+
+  /** The committed half of a geometry rebuild: overwrite every store
+    * from the durable live-vector snapshot under freshly-derived
+    * adaptive geometry, drop the (already-applied) tombstones, then
+    * clear the marker + snapshot. Idempotent from ANY crash point —
+    * every write is an overwrite of a derived store and the snapshot is
+    * the single source of truth — so [[recoverStores]] can re-run it
+    * wholesale; until the marker clears, no reader ever sees a mixed
+    * old/new-geometry artifact (every entry point recovers first). */
+  private def rebuildFromSnapshot(spark: SparkSession, indexDir: String): Unit = {
+    val fs = hadoopFs(spark, indexDir)
+    saveLshIndexOf(spark.read.parquet(regeomSnapshot(indexDir)), indexDir)
+    fs.delete(fsPath(s"$indexDir/tombstones"), true)
+    fs.delete(regeomMarker(indexDir), false)
+    fs.delete(fsPath(regeomSnapshot(indexDir)), true)
+  }
+
+  /** Geometry-drift maintenance — the lifecycle step the frozen
+    * (bits, nTables) otherwise lacks: bootstrap sizes geometry for the
+    * corpus the artifact is EXPECTED to grow into
+    * ([[appendLshDelta]]'s `expectedCorpusVectors`), but an artifact
+    * that outgrows even that (years past the estimate) degrades
+    * silently — bucket population scales ∝ n/2^bits, so probe cost
+    * creeps corpus-linear while recall stays fine. This measures the
+    * LIVE corpus size (one count over the narrow vectors store,
+    * tombstones out — the per-bucket population target
+    * [[Similarity.adaptiveLshConfig]] derives from is a pure function
+    * of it) against the frozen geometry and, when the adaptive target
+    * has moved off the frozen plateau, rebuilds the artifact under the
+    * new geometry. Rebuild-ness is already the family's proven
+    * property (compaction ≡ rebuild EXACTLY — no trained state), so
+    * the rebuild is answer-preserving by construction.
+    *
+    * Crash-safe via a commit marker: the live set is SNAPSHOTTED to a
+    * staging store first (the rebuild overwrites the very stores it
+    * reads), the marker commits the intent, and the rebuild runs from
+    * the snapshot with overwrite-mode writes only — a crash at any
+    * point re-runs [[rebuildFromSnapshot]] at the next entry
+    * ([[recoverStores]]), so no reader ever serves a mixed-geometry
+    * artifact. Cost: one artifact-proportional rebuild, on the
+    * maintenance cadence, only when geometry actually drifted.
+    * Returns the new (bits, nTables) if a rebuild ran. */
+  def maintainGeometry(spark: SparkSession, indexDir: String): Option[(Int, Int)] = {
+    val fs = hadoopFs(spark, indexDir)
+    recoverStores(spark, indexDir)
+    val (bits, nTables, _) = readMeta(spark, indexDir)
+    val live = liveVectors(spark, indexDir)
+    val target = Similarity.adaptiveLshConfig(live.count())
+    if (target == ((bits, nTables))) return None
+    live.write.mode("overwrite").parquet(regeomSnapshot(indexDir))
+    fs.create(regeomMarker(indexDir), true).close() // the commit point
+    rebuildFromSnapshot(spark, indexDir)
+    Some(target)
   }
 
   /** Write the bucket store rows of a unit-vector relation under a
@@ -118,8 +183,44 @@ object LshIndex {
     // hashed mod 64 miss dirs laid out mod 16) — an error is the safe
     // answer; rebuild the artifact.
     require(r.schema.fieldNames.contains("bucket_buckets"),
-      s"$indexDir/meta lacks bucket_buckets (pre-partition-prune artifact); rebuild the index")
+      s"$indexDir/meta lacks bucket_buckets (pre-partition-prune artifact); " +
+        "run LshIndex.migrateLshIndex once to upgrade it in place")
     (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"), r.getAs[Int]("bucket_buckets"))
+  }
+
+  /** One-shot in-place upgrade of a pre-partition-prune artifact (meta
+    * without `bucket_buckets`) to the current layout — the migration
+    * path a long-lived nightly deployment needs on library upgrade,
+    * instead of [[readMeta]]'s fail-fast crashing serve/append/compact
+    * until a manual rebuild. GUESSING the modulus would be unsound (a
+    * probe hashed mod 64 silently misses rows laid out mod 16), but
+    * REBUILDING is not: bucket keys are pure functions of the vector
+    * under the frozen (bits, nTables), so rewriting the bucket store
+    * from the vectors store under [[DefaultBucketBuckets]] reproduces
+    * exactly what a current-layout build would have written — one pass
+    * over the artifact's own vectors, never the upstream corpus. The
+    * meta store is swapped LAST (crash-safe commit point: until the new
+    * meta lands, readers still fail fast rather than mix layouts).
+    * Idempotent: a current-layout artifact is a no-op. */
+  def migrateLshIndex(spark: SparkSession, indexDir: String,
+      bucketBuckets: Int = DefaultBucketBuckets): Boolean = {
+    val fs = hadoopFs(spark, indexDir)
+    recoverStores(spark, indexDir)
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    if (meta.schema.fieldNames.contains("bucket_buckets")) return false
+    val (bits, nTables) = (meta.getAs[Int]("bits"), meta.getAs[Int]("n_tables"))
+    // overwrite of the buckets store IS the rebuild; a crash mid-write
+    // leaves a meta that still fails fast, so the artifact stays
+    // unreadable-LOUDLY during the window, never silently mixed-layout
+    writeBuckets(spark.read.parquet(s"$indexDir/vectors"), bits, nTables,
+      bucketBuckets, indexDir, "overwrite")
+    import spark.implicits._
+    val mTmp = s"$indexDir/meta_migrate_tmp"
+    Seq((bits, nTables, bucketBuckets))
+      .toDF("bits", "n_tables", "bucket_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(mTmp)
+    SafeSwap.swapDir(fs, fsPath(s"$indexDir/meta"), fsPath(mTmp))
+    true
   }
 
   /** Persist the index from an arbitrary unit-vector relation. Geometry

@@ -136,6 +136,72 @@ class LshIndexSpec extends AnyFunSuite {
     } finally rm(new java.io.File(out))
   }
 
+  test("maintainGeometry rebuilds a drifted artifact; on-plateau it is a no-op; a crashed rebuild recovers") {
+    val out = tmpDir("graft-lshidx-regeom")
+    try {
+      // an artifact whose frozen geometry no longer matches the live
+      // corpus's adaptive target (12 bits frozen; ~2k vectors → 8)
+      LshIndex.saveLshIndexOf(vecs, out, bits = 12, nTables = 8)
+      val expected = freshTopK(vecs) // the adaptive (8, 8) build's answers
+      assert(LshIndex.maintainGeometry(spark, out).contains((8, 8)),
+        "a drifted artifact was not rebuilt")
+      val meta = spark.read.parquet(s"$out/meta").head()
+      assert((meta.getAs[Int]("bits"), meta.getAs[Int]("n_tables")) == ((8, 8)))
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == expected,
+        "the re-geometried artifact diverged from a fresh adaptive build")
+      // on-plateau: re-measuring the same live count does nothing
+      assert(LshIndex.maintainGeometry(spark, out).isEmpty,
+        "an on-plateau artifact was rebuilt again")
+      // crash window: marker committed, rebuild unfinished — ANY entry
+      // point must complete it from the snapshot before serving
+      spark.read.parquet(s"$out/vectors")
+        .write.mode("overwrite").parquet(s"$out/regeom_snapshot")
+      new java.io.File(s"$out/_regeom_pending").createNewFile()
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == expected,
+        "serving over a crashed rebuild diverged")
+      assert(!new java.io.File(s"$out/_regeom_pending").exists &&
+        !new java.io.File(s"$out/regeom_snapshot").exists,
+        "the crashed rebuild's marker/snapshot survived recovery")
+    } finally rm(new java.io.File(out))
+  }
+
+  test("migrateLshIndex upgrades a pre-partition-prune artifact in place") {
+    val out = tmpDir("graft-lshidx-migrate")
+    try {
+      LshIndex.saveLshIndex(spark, dir, out)
+      val expected = rows(LshIndex.lshTopKFromIndex(spark, out))
+      // devolve to the round-12 layout: unpartitioned bucket store, meta
+      // without bucket_buckets — what a pre-upgrade nightly deployment
+      // actually holds on disk
+      def devolve(store: String, df: DataFrame): Unit = {
+        df.write.parquet(s"$out/${store}_old")
+        rm(new java.io.File(s"$out/$store"))
+        assert(new java.io.File(s"$out/${store}_old")
+          .renameTo(new java.io.File(s"$out/$store")))
+      }
+      devolve("buckets",
+        spark.read.parquet(s"$out/buckets").select("vec_id", "tbl", "bucket"))
+      devolve("meta",
+        spark.read.parquet(s"$out/meta").select("bits", "n_tables").coalesce(1))
+      // pre-migration: every reader fails FAST and names the fix
+      val e = intercept[IllegalArgumentException] {
+        LshIndex.lshTopKFromIndex(spark, out)
+      }
+      assert(e.getMessage.contains("migrateLshIndex"),
+        s"the fail-fast must point at the migration helper: ${e.getMessage}")
+      // one-shot upgrade: rebuilt bucket store + completed meta, answers
+      // identical to the never-devolved artifact
+      assert(LshIndex.migrateLshIndex(spark, out), "migration reported no-op")
+      assert(rows(LshIndex.lshTopKFromIndex(spark, out)) == expected,
+        "the migrated artifact serves different answers")
+      assert(new java.io.File(s"$out/buckets").listFiles()
+          .exists(_.getName.startsWith("bucket_bucket=")),
+        "migration did not re-partition the bucket store")
+      assert(!LshIndex.migrateLshIndex(spark, out),
+        "a current-layout artifact must be a migration no-op")
+    } finally rm(new java.io.File(out))
+  }
+
   test("the serve scan prunes the bucket store to the probed partitions") {
     val out = tmpDir("graft-lshidx-prune")
     try {
