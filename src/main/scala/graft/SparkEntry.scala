@@ -444,6 +444,12 @@ object SparkEntry {
     // under q167's fused-recall gate: the q166 restart shape combined
     // with the q167 ANN pool, end to end
     "q169_hybrid_deployed_recall" -> ((s, d) => Hybrid.rrfDeployedRecall(s, d)),
+    // q170: the SECOND ANN family under the fused-recall gate — dense
+    // pool from the persisted IVFADC+rerank artifact (the memory-bound
+    // family at 10^9 vectors) with fuse() and the verdict shape shared
+    // verbatim with q167/q169: RRF pool-agnosticism pinned structurally,
+    // not on the one family q167 happened to gate
+    "q170_hybrid_pq_pool_recall" -> ((s, d) => Hybrid.rrfPqPoolRecall(s, d)),
   )
 
   /** Shared DuckDB CTE prefix: tokenization + distinct word-3-gram
@@ -1030,6 +1036,37 @@ object SparkEntry {
         |xfused AS (SELECT query_id, doc_id FROM franked WHERE rank <= 10),
         |afinal AS (SELECT query_id, doc_id FROM afranked WHERE rank <= 10)
         |SELECT 'hybrid_lsh_pool' AS method, n_exact, n_hit,
+        |  round(n_hit * 1.0 / n_exact, 4) AS recall,
+        |  n_hit * 1.0 / n_exact >= 0.7 AS recall_ok
+        |FROM (
+        |  SELECT count(*) AS n_exact,
+        |    CAST(sum(CASE WHEN a.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM xfused x LEFT JOIN afinal a
+        |    ON x.query_id = a.query_id AND x.doc_id = a.doc_id)""".stripMargin
+
+  /** q170's oracle: Q167's verdict with the ANN dense pool swapped to
+    * the IVFADC+rerank chain (q138's CTEs at the full-corpus-trained
+    * codebooks, nQueries = 8, rerank widened to 64 so the 20-pool
+    * survives the ADC shortlist) — the exact-pool reference `franked`
+    * and the fused-recall tail are shared with Q167 by construction. */
+  private lazy val Q170Sql: String = Q163Ctes +
+    twoLevelIndexCtes(nCoarse = 8, nSub = 4) + pqCtes(m = 8, k = 64) +
+    pqAdcCtes(nProbe1 = 4, nProbe2 = 2, nQueries = 8, rerank = 64, prefix = "a") + """,
+        |aden AS (SELECT q_id AS query_id, neighbor_id AS doc_id,
+        |    rank AS rank_dense FROM axranked WHERE rank <= 20),
+        |afused AS (
+        |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+        |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + l.rank_lex), 0) +
+        |    coalesce(CAST(1000000000000 AS BIGINT) // (60 + d.rank_dense), 0) AS rrf_pico
+        |  FROM lex l FULL OUTER JOIN aden d
+        |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+        |afranked AS (SELECT query_id, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_pico DESC, doc_id) AS BIGINT) AS rank FROM afused),
+        |xfused AS (SELECT query_id, doc_id FROM franked WHERE rank <= 10),
+        |afinal AS (SELECT query_id, doc_id FROM afranked WHERE rank <= 10)
+        |SELECT 'hybrid_pq_pool' AS method, n_exact, n_hit,
         |  round(n_hit * 1.0 / n_exact, 4) AS recall,
         |  n_hit * 1.0 / n_exact >= 0.7 AS recall_ok
         |FROM (
@@ -2094,6 +2131,10 @@ object SparkEntry {
     // pool == live pool per the q127 contract; the dense pool IS
     // q167's) — same oracle, the q164/q166 shared-oracle discipline
     "q169_hybrid_deployed_recall" -> Q167Sql,
+    // q170: the same fused-recall verdict with the IVFADC dense pool —
+    // the exact-pool reference CTEs are Q167's; only the ANN chain and
+    // the method label change
+    "q170_hybrid_pq_pool_recall" -> Q170Sql,
     // q147 = q145 compacted: compaction must be answer-invisible, so
     // the oracle IS q145's
     "q147_ann_ivfpq_compacted" -> Q145Sql,

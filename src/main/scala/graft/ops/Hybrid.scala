@@ -117,36 +117,79 @@ object Hybrid {
     val lex = Retrieval.rankedBatch(Tables.documents(spark, dir), None,
         col("doc_id") < nQueries, prefixTokens, poolK, salts)
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-    annPoolGate(spark, dir, lex, nQueries, poolK, topK, rrfK, recallBound)
+    annPoolGate(spark, dir, lex, lshDensePool(spark, dir, nQueries, poolK),
+      "hybrid_lsh_pool", nQueries, poolK, topK, rrfK, recallBound)
   }
 
-  /** The shared q167/q169 verdict: fuse the given lexical pool with the
-    * artifact-served ANN dense pool AND with the exact dense pool, and
-    * report fused recall@topK with the bound flag. ONE implementation
-    * on purpose — the two gates share one oracle, so the verdict shape
-    * (method label, rounding, bound) must not be able to drift between
-    * them. The lexical pool is cached: it feeds both fusions, is
-    * bounded at |queries| × poolK rows, and identical gate invocations
-    * dedupe in the CacheManager. */
+  /** q170: the SECOND ANN family under the fused-recall gate — the
+    * dense pool comes from the persisted IVFADC+rerank artifact
+    * ([[Similarity.pqTopKPersisted]], the memory-bound choice at 10⁹
+    * vectors: m bytes/vector resident vs the full float payload)
+    * instead of the LSH multi-probe serve. [[fuse]] and the verdict
+    * shape are [[annPoolGate]] verbatim — zero changes to fusion — so
+    * this pins that RRF's pool-agnosticism is structural, not an
+    * accident of the one family q167 happened to gate. The rerank
+    * budget is raised to cover the pool (poolK candidates must survive
+    * the ADC shortlist; q140's wide-rerank budget). */
+  def rrfPqPoolRecall(spark: SparkSession, dir: String,
+      nQueries: Long = 8L, prefixTokens: Int = 8,
+      poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
+      salts: Int = 32, recallBound: Double = 0.7, rerank: Int = 64): DataFrame = {
+    val lex = Retrieval.rankedBatch(Tables.documents(spark, dir), None,
+        col("doc_id") < nQueries, prefixTokens, poolK, salts)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val pqPool = Similarity.pqTopKPersisted(spark, dir,
+        nQueries = nQueries.toInt, topK = poolK, rerank = rerank)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    annPoolGate(spark, dir, lex, pqPool, "hybrid_pq_pool",
+      nQueries, poolK, topK, rrfK, recallBound)
+  }
+
+  /** The multi-probe LSH dense pool projected to the gate's column
+    * shape — shared by q167 and q169 so the two gates' ANN pools cannot
+    * drift. */
+  private def lshDensePool(spark: SparkSession, dir: String,
+      nQueries: Long, poolK: Int): DataFrame =
+    LshIndex.lshTopKPersisted(spark, dir, nQueries.toInt, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+
+  /** The shared q167/q169/q170 verdict: fuse the given lexical pool
+    * with the given artifact-served ANN dense pool AND with the exact
+    * dense pool, and report fused recall@topK with the bound flag. ONE
+    * implementation on purpose — the gates share the exact-pool oracle,
+    * so the verdict shape (rounding, bound, column names) must not be
+    * able to drift between them; only the ANN pool's provenance and the
+    * method label vary (RRF is pool-agnostic, which is the point).
+    * The verdict is ONE row by construction, so it evaluates EAGERLY:
+    * the lexical pool feeds both fusions and is cached for the two
+    * passes, then released as soon as the row is computed — no
+    * CacheManager entry outlives the gate (the probeVectors discipline;
+    * a lazily-returned plan would pin the cache with no release path). */
   private def annPoolGate(spark: SparkSession, dir: String, lexPool: DataFrame,
+      annPool: DataFrame, method: String,
       nQueries: Long, poolK: Int, topK: Int, rrfK: Int,
       recallBound: Double): DataFrame = {
     val lex = lexPool.cache()
-    val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
-      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("rank_dense"))
-    val denAnn = LshIndex.lshTopKPersisted(spark, dir, nQueries.toInt, poolK)
-      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
-        col("rank").as("rank_dense"))
-    val exactFused = fuse(lex, denExact, topK, rrfK).select("query_id", "doc_id")
-    val annFused = fuse(lex, denAnn, topK, rrfK)
-      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
-    exactFused.join(annFused, Seq("query_id", "doc_id"), "left")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-      .select(lit("hybrid_lsh_pool").as("method"), col("n_exact"), col("n_hit"),
-        round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"),
-        (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
+    try {
+      val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
+        .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("rank_dense"))
+      val exactFused = fuse(lex, denExact, topK, rrfK).select("query_id", "doc_id")
+      val annFused = fuse(lex, annPool, topK, rrfK)
+        .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+      val r = exactFused.join(annFused, Seq("query_id", "doc_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("n_exact"), col("n_hit"),
+          round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"),
+          (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
+        .collect()(0)
+      import spark.implicits._
+      Seq((method, r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toDF("method", "n_exact", "n_hit", "recall", "recall_ok")
+    } finally lex.unpersist(blocking = false)
   }
 
   /** q169: the FULLY DEPLOYED hybrid — BOTH pools served from persisted
@@ -163,6 +206,20 @@ object Hybrid {
       nQueries: Long = 8L, prefixTokens: Int = 8,
       poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
       salts: Int = 32, recallBound: Double = 0.7): DataFrame = {
+    val (lex, ann) = deployedPools(spark, dir, nQueries, prefixTokens, poolK, salts)
+    annPoolGate(spark, dir, lex, ann,
+      "hybrid_lsh_pool", nQueries, poolK, topK, rrfK, recallBound)
+  }
+
+  /** The two artifact-served pools of the deployed hybrid (q169's
+    * serving half, before the gate's exact reference pool is added for
+    * the verdict) — factored so the structural spec can fuse EXACTLY
+    * what production serves and pin its plan: no embeddings-table scan
+    * anywhere (the dense pool is artifact-only), and the documents
+    * table touched only by the 8-row pushed-filter query derivation. */
+  private[ops] def deployedPools(spark: SparkSession, dir: String,
+      nQueries: Long, prefixTokens: Int, poolK: Int,
+      salts: Int): (DataFrame, DataFrame) = {
     val queryTerms = Tables.documents(spark, dir).where(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(TextAnalysis.tokens(col("text")), 1, prefixTokens)))
@@ -171,7 +228,7 @@ object Hybrid {
         Retrieval.persistedPostingsDir(spark, dir), queryTerms, poolK, salts,
         excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-    annPoolGate(spark, dir, lex, nQueries, poolK, topK, rrfK, recallBound)
+    (lex, lshDensePool(spark, dir, nQueries, poolK))
   }
 
   /** RRF fusion of two (query_id, doc_id, rank_*) pools. Exposed at

@@ -102,4 +102,57 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(deployed.nonEmpty && deployed.head.contains("true"),
       s"the deployed hybrid fell under the recall bound: $deployed")
   }
+
+  test("q169's deployed half is structurally corpus-free: no embeddings scan, documents only as the pushed query batch") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val (lex, ann) = Hybrid.deployedPools(spark, sf,
+      nQueries = 8L, prefixTokens = 8, poolK = 20, salts = 32)
+    val fused = Hybrid.fuse(lex, ann, topK = 10, rrfK = 60)
+    fused.collect()
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+      val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self ++ kids.flatMap(scansOf)
+    }
+    val scans = scansOf(fused.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    // the heavy corpus vector table is UNREACHABLE: the dense pool comes
+    // from the LSH artifact alone (and the lexical corpus relation is a
+    // thrown thunk inside rankedFromIndex — it could not even analyze)
+    assert(!scans.exists(_.relation.location.rootPaths
+        .exists(_.toString.contains("embeddings.parquet"))),
+      "the deployed fusion scanned the corpus embeddings table")
+    // the ONLY documents touch is the 8-row query-batch derivation, and
+    // its doc_id bound reaches the parquet scan as a pushed filter
+    val docScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("documents.parquet")))
+    assert(docScans.nonEmpty, "the stand-in query batch vanished")
+    assert(docScans.forall(_.metadata.get("PushedFilters")
+        .exists(_.contains("doc_id"))),
+      "the query-batch doc_id bound was not pushed to the documents scan")
+    // and both artifacts actually serve the pools
+    for (store <- Seq("/postings", "/buckets"))
+      assert(scans.exists(_.relation.location.rootPaths
+          .exists(_.toString.contains(store))),
+        s"no $store artifact scan in the deployed plan")
+  }
+
+  test("q170: the IVFADC dense pool clears the same gate — pool-agnosticism on a second family") {
+    val r = Hybrid.rrfPqPoolRecall(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "hybrid_pq_pool")
+    val (nExact, nHit) = (row.getLong(1), row.getLong(2))
+    // the exact-pool reference is SHARED with q167 by construction:
+    // same 8 queries x topK 10
+    assert(nExact == 80L, s"8 queries x topK 10 fused reference rows, got $nExact")
+    assert(nHit <= nExact)
+    assert(math.abs(row.getDouble(3) - math.round(nHit * 10000.0 / nExact) / 10000.0) < 1e-12)
+    assert(row.getBoolean(4), s"fused recall ${row.getDouble(3)} fell under the 0.7 bound")
+  }
 }
