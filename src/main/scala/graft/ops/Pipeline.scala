@@ -96,10 +96,21 @@ object Pipeline {
     val expectedVectors =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/lsh/meta"))) 0L
       else Similarity.unitEmbeddings(spark, corpusDir).count()
-    LshIndex.appendLshDelta(
-      Similarity.unitEmbeddings(spark, corpusDir)
-        .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+    val keptVecs = Similarity.unitEmbeddings(spark, corpusDir)
+      .join(kept.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    LshIndex.appendLshDelta(keptVecs,
       s"$workDir/lsh", expectedCorpusVectors = expectedVectors)
+    // the TRAINED compressed family rides the same delta: day 1
+    // bootstraps by TRAINING the coarse/sub/PQ codebooks on its batch
+    // and indexing it (the q141 base-split shape — production PQ trains
+    // once and freezes), every later day encodes under the frozen books
+    // via the replay-guarded delta merge. This is the codebook-drift
+    // wrinkle LSH doesn't have, proven composed by the pipeline rather
+    // than only in the q162 gate.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/pq/pqbook")))
+      Similarity.appendPqDelta(keptVecs, s"$workDir/pq")
+    else
+      Similarity.savePqIndexOf(keptVecs, s"$workDir/pq")
     val repaired = Sketches.appendDailyDeltaVerified(
       Tables.events(spark, corpusDir), s"$workDir/rollup")
     kept.unpersist(blocking = false)
@@ -114,7 +125,9 @@ object Pipeline {
       repairedDays: Seq[String],
       servedBm25: Long,
       servedImages: Long,
-      servedLsh: Long)
+      servedLsh: Long,
+      servedPq: Long,
+      lshRegeometry: Option[(Int, Int)])
 
   /** The MAINTENANCE half of the nightly job — [[runDaily]] only ever
     * appends; a production pipeline also runs retention deletes and
@@ -141,15 +154,25 @@ object Pipeline {
     ImageIndex.tombstoneImages(retired, s"$workDir/images")
     LshIndex.tombstoneVectors(retired.select(col("doc_id").as("vec_id")),
       s"$workDir/lsh")
+    Similarity.tombstoneVectors(retired.select(col("doc_id").as("vec_id")),
+      s"$workDir/pq")
     Retrieval.compactPostings(spark, s"$workDir/bm25")
     ImageIndex.compactImageHashIndex(spark, s"$workDir/images")
     LshIndex.compactLshIndex(spark, s"$workDir/lsh")
+    Similarity.compactPqIndex(spark, s"$workDir/pq")
+    // geometry drift: rebuild the LSH artifact when the live corpus has
+    // outgrown (or shrunk off) its frozen adaptive plateau — a no-op
+    // on-plateau, so idempotence composes (a second run re-measures the
+    // same live count and does nothing)
+    val regeom = LshIndex.maintainGeometry(spark, s"$workDir/lsh")
     val repaired = Sketches.repairDays(spark, s"$workDir/rollup",
       Tables.events(spark, corpusDir))
     retired.unpersist(blocking = false)
     MaintenanceReport(nRetired, repaired,
       Retrieval.bm25TopKFromIndex(spark, s"$workDir/bm25").count(),
       ImageIndex.imageDupsFromIndex(spark, s"$workDir/images").count(),
-      LshIndex.lshTopKFromIndex(spark, s"$workDir/lsh").count())
+      LshIndex.lshTopKFromIndex(spark, s"$workDir/lsh").count(),
+      Similarity.pqTopKFromIndex(spark, s"$workDir/pq").count(),
+      regeom)
   }
 }

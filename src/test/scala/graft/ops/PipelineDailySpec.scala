@@ -39,6 +39,8 @@ class PipelineDailySpec extends AnyFunSuite {
         spark.read.parquet(s"$work/images/hashes").count(),
         spark.read.parquet(s"$work/lsh/vectors").count(),
         spark.read.parquet(s"$work/lsh/buckets").count(),
+        spark.read.parquet(s"$work/pq/codes").count(),
+        spark.read.parquet(s"$work/pq/vectors").count(),
         spark.read.parquet(s"$work/rollup/daily")
           .select(date_format(col("day"), "yyyy-MM-dd"), col("event_type"),
             col("n_events"), hll_sketch_estimate(col("users_hll")))
@@ -78,12 +80,26 @@ class PipelineDailySpec extends AnyFunSuite {
       val afterDay1 = spark.read.parquet(s"$work/bm25/dl").count()
       // day 2: a wider split — the extra docs are day 2's fresh batch,
       // day 1's docs replay straight into the guard
+      val pqAfterDay1 = spark.read.parquet(s"$work/pq/vectors").count()
+      val booksDay1 = spark.read.parquet(s"$work/pq/pqbook")
+        .orderBy("j", "code").collect().map(_.toString).toSeq
       Pipeline.runDaily(spark, dir, work, batchPct = 60)
       val afterDay2 = spark.read.parquet(s"$work/bm25/dl").count()
       assert(afterDay2 > afterDay1, "day 2's fresh docs never landed")
       val dl = spark.read.parquet(s"$work/bm25/dl")
       assert(dl.count() == dl.select("doc_id").distinct().count(),
         "a replayed doc double-indexed across days")
+      // the trained family: day 2 encodes its fresh vectors UNDER DAY
+      // 1'S FROZEN BOOKS (no retrain — the codebook-drift contract),
+      // and the replayed day-1 vectors hit the guard
+      assert(spark.read.parquet(s"$work/pq/vectors").count() > pqAfterDay1,
+        "day 2's fresh vectors never reached the compressed artifact")
+      assert(spark.read.parquet(s"$work/pq/pqbook")
+          .orderBy("j", "code").collect().map(_.toString).toSeq == booksDay1,
+        "a later day RETRAINED the frozen PQ books")
+      val pqv = spark.read.parquet(s"$work/pq/vectors")
+      assert(pqv.count() == pqv.select("vec_id").distinct().count(),
+        "a replayed vector double-encoded across days")
     } finally rm(new java.io.File(work))
   }
 
@@ -104,9 +120,21 @@ class PipelineDailySpec extends AnyFunSuite {
           .collect().map(_.toString).toSeq != beforeBm25,
         "maintenance retired nothing the artifacts held")
       // the tombstones committed: compaction deleted every set
-      for (a <- Seq("bm25", "images", "lsh"))
+      for (a <- Seq("bm25", "images", "lsh", "pq"))
         assert(!new java.io.File(s"$work/$a/tombstones").exists,
           s"$a compaction never committed")
+      // the TRAINED family's retire actually reached the compressed
+      // stores (codes + refine vectors both shrank past the expunge)
+      assert(first.servedPq > 0, "the compressed artifact served nothing")
+      assert(spark.read.parquet(s"$work/pq/vectors")
+          .join(spark.read.parquet(s"$work/pq/codes").select("vec_id"),
+            Seq("vec_id"), "left_anti").count() == 0,
+        "pq refine store and codes store disagree after compaction")
+      // geometry stayed on its plateau at gate scale — the regeom step
+      // must be a measured NO-OP here, or maintenance would lose its
+      // run-twice idempotence for free
+      assert(first.lshRegeometry.isEmpty,
+        s"an on-plateau artifact was rebuilt: ${first.lshRegeometry}")
       // idempotence INCLUDING the maintenance pass: same report, same
       // served relations, artifact by artifact
       def served() = (
@@ -115,6 +143,8 @@ class PipelineDailySpec extends AnyFunSuite {
         ImageIndex.imageDupsFromIndex(spark, s"$work/images")
           .collect().map(_.toString).toSeq,
         LshIndex.lshTopKFromIndex(spark, s"$work/lsh")
+          .collect().map(_.toString).toSeq,
+        Similarity.pqTopKFromIndex(spark, s"$work/pq")
           .collect().map(_.toString).toSeq)
       val servedFirst = served()
       val second = Pipeline.runMaintenance(spark, dir, work)
