@@ -67,7 +67,12 @@ private[graft] object AppendCommit {
     val o = fs.create(tmp, true)
     try o.write(sb.toString.getBytes("UTF-8")) finally o.close()
     fs.delete(markerOf(indexDir), false) // stale markers were recovered upstream
-    fs.rename(tmp, markerOf(indexDir))
+    // a silently failed rename would run the whole append UNPROTECTED
+    // (no marker → a crash leaves partial rows the old duplicate-row
+    // way); the caller must not start writing stores without a durable
+    // marker, so a refused rename is an error, not a degraded mode
+    require(fs.rename(tmp, markerOf(indexDir)),
+      s"could not install append marker under $indexDir; aborting before any store write")
   }
 
   /** The append's commit point: all stores written. */
@@ -75,11 +80,14 @@ private[graft] object AppendCommit {
     fs.delete(markerOf(indexDir), false)
 
   /** Roll back an uncommitted append, if any. Idempotent; two
-    * fs.exists when no crash happened. */
-  def recover(fs: FileSystem, indexDir: String): Unit = {
+    * fs.exists when no crash happened. Returns whether a rollback ran —
+    * a caller holding RESIDENT relations over the stores (the PQ warm
+    * cache) must drop them on true: their captured file listings can
+    * include the partial append's now-deleted files. */
+  def recover(fs: FileSystem, indexDir: String): Boolean = {
     fs.delete(tmpOf(indexDir), false) // a crash inside begin()
     val marker = markerOf(indexDir)
-    if (!fs.exists(marker)) return
+    if (!fs.exists(marker)) return false
     val in = fs.open(marker)
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
@@ -105,6 +113,7 @@ private[graft] object AppendCommit {
       }
     }
     fs.delete(marker, false)
+    true
   }
 
   /** Drop directories the file rollback emptied (an empty partition dir

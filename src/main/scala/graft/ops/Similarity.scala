@@ -1334,12 +1334,19 @@ object Similarity {
     * layout artifact, loaded once per (session, indexDir). */
   private def loadedPqIndex(spark: SparkSession, indexDir: String)
       : (graft.functions.PqBook, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // restore anything a crashed compaction left aside before loading
+    // restore anything a crashed compaction left aside before loading.
+    // If the append rollback actually deleted files, RESIDENT relations
+    // for this artifact hold listings that may include them (an
+    // in-process crashed append leaves the warm cache alive — only a
+    // JVM death clears it for free): drop them so the load below
+    // re-lists, or the serve dies on FILE_NOT_EXIST / reads junk
+    // (AppendCrashWindowsSpec pins the window).
     val rfs = new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
     SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
-    AppendCommit.recover(rfs, indexDir)
+    if (AppendCommit.recover(rfs, indexDir))
+      pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
     val book = pqLoadedBookCache.computeIfAbsent((spark, indexDir),
       _ => readPqBook(spark, indexDir))
     def rel(part: String)(load: => DataFrame): DataFrame =

@@ -355,6 +355,13 @@ object Sketches {
     }
   }
 
+  /** An artifact root can exist with zero day partitions (the only day
+    * retracted); both guard reads must treat that as empty. */
+  private def hasDayPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      dailyPath: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dailyPath) &&
+      fs.listStatus(dailyPath).exists(_.getPath.getName.startsWith("day="))
+
   /** Integrity check — the guard the day-granular replay economics
     * can't give for free: a PARTIAL-day append slips through
     * [[appendDailyDelta]]'s day-level anti-join (the day exists, so a
@@ -365,13 +372,6 @@ object Sketches {
     * days present in the artifact whose stored Σn_events disagrees
     * with the batch's recount. Cost: one column-pruned artifact scan +
     * an aggregate over the batch — never raw history. */
-  /** An artifact root can exist with zero day partitions (the only day
-    * retracted); both guard reads must treat that as empty. */
-  private def hasDayPartitions(fs: org.apache.hadoop.fs.FileSystem,
-      dailyPath: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(dailyPath) &&
-      fs.listStatus(dailyPath).exists(_.getPath.getName.startsWith("day="))
-
   def verifyDays(spark: SparkSession, indexDir: String,
       recountEvents: DataFrame): Seq[String] = {
     val dailyPath = new org.apache.hadoop.fs.Path(s"$indexDir/daily")

@@ -125,19 +125,28 @@ class ImageIndexSpec extends AnyFunSuite {
         .agg(min(col("doc_id"))).as[Long].head()
       ImageIndex.tombstoneImages(Seq(victim).toDF("doc_id"), out)
       val withTombstones = rows(ImageIndex.imageDupsFromIndex(spark, out))
-      val mtimes = new java.io.File(s"$out/bands").listFiles()
-        .filter(_.getName.startsWith("band_bucket="))
-        .map(f => f.getName -> f.lastModified()).toMap
+      // identity of a bucket's CONTENTS, not the dir mtime: a rewrite
+      // landing within the filesystem's mtime granularity would count
+      // as untouched under an mtime pin (ADVICE r12, the LshIndexSpec
+      // fix ported) — file names are job-unique, so an untouched bucket
+      // keeps its exact (name, length) file set
+      def contents(): Map[String, Set[(String, Long)]] =
+        new java.io.File(s"$out/bands").listFiles()
+          .filter(_.getName.startsWith("band_bucket="))
+          .map(d => d.getName -> d.listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSet).toMap
+      val before = contents()
       ImageIndex.compactImageHashIndex(spark, out)
       assert(!new java.io.File(s"$out/tombstones").exists(), "compaction never committed")
       assert(rows(ImageIndex.imageDupsFromIndex(spark, out)) == withTombstones,
         "compaction changed the served answers")
-      val after = new java.io.File(s"$out/bands").listFiles()
-        .filter(_.getName.startsWith("band_bucket="))
-        .map(f => f.getName -> f.lastModified()).toMap
-      val untouched = after.keySet.count(k => mtimes.get(k).contains(after(k)))
+      val after = contents()
+      val untouched = after.keySet.count(k => before.get(k).contains(after(k)))
       assert(untouched > 0,
         s"a one-doc delete should leave some of the ${after.size} band buckets untouched")
+      assert(untouched < after.size,
+        "the delete's own band buckets must have been rewritten")
     } finally rm(new java.io.File(out))
   }
 
