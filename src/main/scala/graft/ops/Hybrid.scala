@@ -114,12 +114,22 @@ object Hybrid {
       nQueries: Long = 8L, prefixTokens: Int = 8,
       poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
       salts: Int = 32, recallBound: Double = 0.7): DataFrame = {
-    val lex = Retrieval.rankedBatch(Tables.documents(spark, dir), None,
-        col("doc_id") < nQueries, prefixTokens, poolK, salts)
-      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
-    annPoolGate(spark, dir, lex, lshDensePool(spark, dir, nQueries, poolK),
+    annPoolGate(spark, dir, liveLexKey(dir, nQueries, prefixTokens, poolK, salts),
+      liveLexPool(spark, dir, nQueries, prefixTokens, poolK, salts),
+      lshDensePool(spark, dir, nQueries, poolK),
       "hybrid_lsh_pool", nQueries, poolK, topK, rrfK, recallBound)
   }
+
+  private def liveLexKey(dir: String, nQueries: Long, prefixTokens: Int,
+      poolK: Int, salts: Int): String =
+    s"live:$dir:$nQueries:$prefixTokens:$poolK:$salts"
+
+  /** The exact corpus-side lexical pool the q167/q170 gates share. */
+  private def liveLexPool(spark: SparkSession, dir: String, nQueries: Long,
+      prefixTokens: Int, poolK: Int, salts: Int): DataFrame =
+    Retrieval.rankedBatch(Tables.documents(spark, dir), None,
+        col("doc_id") < nQueries, prefixTokens, poolK, salts)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
 
   /** q170: the SECOND ANN family under the fused-recall gate — the
     * dense pool comes from the persisted IVFADC+rerank artifact
@@ -135,15 +145,13 @@ object Hybrid {
       nQueries: Long = 8L, prefixTokens: Int = 8,
       poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
       salts: Int = 32, recallBound: Double = 0.7, rerank: Int = 64): DataFrame = {
-    val lex = Retrieval.rankedBatch(Tables.documents(spark, dir), None,
-        col("doc_id") < nQueries, prefixTokens, poolK, salts)
-      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
     val pqPool = Similarity.pqTopKPersisted(spark, dir,
         nQueries = nQueries.toInt, topK = poolK, rerank = rerank)
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rank_dense"))
-    annPoolGate(spark, dir, lex, pqPool, "hybrid_pq_pool",
-      nQueries, poolK, topK, rrfK, recallBound)
+    annPoolGate(spark, dir, liveLexKey(dir, nQueries, prefixTokens, poolK, salts),
+      liveLexPool(spark, dir, nQueries, prefixTokens, poolK, salts),
+      pqPool, "hybrid_pq_pool", nQueries, poolK, topK, rrfK, recallBound)
   }
 
   /** The multi-probe LSH dense pool projected to the gate's column
@@ -155,6 +163,19 @@ object Hybrid {
       .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("rank_dense"))
 
+  /** Session-scoped lexical-pool stages for the recall gates: each pool
+    * is BOUNDED (|queries| × poolK rows) but corpus-priced to compute
+    * (the BM25 ranking scans the corpus), identical across the gates
+    * that share its provenance (q167 and q170 fuse the same live pool)
+    * and across repeat invocations — so it is a session stage with
+    * [[releaseStages]] as the retirement path, not a raw `.cache()`
+    * pinning a CacheManager entry with no release hook (ADVICE r13). */
+  private val lexPoolCache = new StageCache[(SparkSession, String)]
+
+  /** Drop this session's resident lexical-pool stages. */
+  def releaseStages(spark: SparkSession): Int =
+    lexPoolCache.release(_._1 == spark)
+
   /** The shared q167/q169/q170 verdict: fuse the given lexical pool
     * with the given artifact-served ANN dense pool AND with the exact
     * dense pool, and report fused recall@topK with the bound flag. ONE
@@ -162,34 +183,33 @@ object Hybrid {
     * so the verdict shape (rounding, bound, column names) must not be
     * able to drift between them; only the ANN pool's provenance and the
     * method label vary (RRF is pool-agnostic, which is the point).
-    * The verdict is ONE row by construction, so it evaluates EAGERLY:
-    * the lexical pool feeds both fusions and is cached for the two
-    * passes, then released as soon as the row is computed — no
-    * CacheManager entry outlives the gate (the probeVectors discipline;
-    * a lazily-returned plan would pin the cache with no release path). */
-  private def annPoolGate(spark: SparkSession, dir: String, lexPool: DataFrame,
-      annPool: DataFrame, method: String,
+    * The verdict is ONE row by construction, so it evaluates EAGERLY
+    * over the resident lexical stage and returns the computed row. */
+  private def annPoolGate(spark: SparkSession, dir: String, lexKey: String,
+      lexPool: => DataFrame, annPool: DataFrame, method: String,
       nQueries: Long, poolK: Int, topK: Int, rrfK: Int,
       recallBound: Double): DataFrame = {
-    val lex = lexPool.cache()
-    try {
-      val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
-        .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
-          col("rank").as("rank_dense"))
-      val exactFused = fuse(lex, denExact, topK, rrfK).select("query_id", "doc_id")
-      val annFused = fuse(lex, annPool, topK, rrfK)
-        .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
-      val r = exactFused.join(annFused, Seq("query_id", "doc_id"), "left")
-        .agg(count(lit(1)).as("n_exact"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        .select(col("n_exact"), col("n_hit"),
-          round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"),
-          (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
-        .collect()(0)
-      import spark.implicits._
-      Seq((method, r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
-        .toDF("method", "n_exact", "n_hit", "recall", "recall_ok")
-    } finally lex.unpersist(blocking = false)
+    val lex = lexPoolCache.getOrBuild((spark, lexKey)) {
+      val built = lexPool.cache()
+      built.count()
+      built
+    }
+    val denExact = Similarity.bruteForceTopK(spark, dir, nQueries.toInt, poolK)
+      .select(col("q_id").as("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("rank_dense"))
+    val exactFused = fuse(lex, denExact, topK, rrfK).select("query_id", "doc_id")
+    val annFused = fuse(lex, annPool, topK, rrfK)
+      .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+    val r = exactFused.join(annFused, Seq("query_id", "doc_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_exact"), 4).as("recall"),
+        (col("n_hit") * 1.0 / col("n_exact") >= recallBound).as("recall_ok"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((method, r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toDF("method", "n_exact", "n_hit", "recall", "recall_ok")
   }
 
   /** q169: the FULLY DEPLOYED hybrid — BOTH pools served from persisted
@@ -206,9 +226,11 @@ object Hybrid {
       nQueries: Long = 8L, prefixTokens: Int = 8,
       poolK: Int = 20, topK: Int = 10, rrfK: Int = 60,
       salts: Int = 32, recallBound: Double = 0.7): DataFrame = {
-    val (lex, ann) = deployedPools(spark, dir, nQueries, prefixTokens, poolK, salts)
-    annPoolGate(spark, dir, lex, ann,
-      "hybrid_lsh_pool", nQueries, poolK, topK, rrfK, recallBound)
+    lazy val pools = deployedPools(spark, dir, nQueries, prefixTokens, poolK, salts)
+    annPoolGate(spark, dir,
+      s"deployed:$dir:$nQueries:$prefixTokens:$poolK:$salts",
+      pools._1, pools._2, "hybrid_lsh_pool",
+      nQueries, poolK, topK, rrfK, recallBound)
   }
 
   /** The two artifact-served pools of the deployed hybrid (q169's

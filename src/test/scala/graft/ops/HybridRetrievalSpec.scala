@@ -106,6 +106,11 @@ class HybridRetrievalSpec extends AnyFunSuite {
   test("q169's deployed half is structurally corpus-free: no embeddings scan, documents only as the pushed query batch") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // cold plan on purpose: a resident lexical-pool stage from an earlier
+    // gate run would substitute an InMemoryRelation for the query-batch
+    // scan (CacheManager matches by plan), hiding the very scans this
+    // test pins
+    Hybrid.releaseStages(spark)
     val (lex, ann) = Hybrid.deployedPools(spark, sf,
       nQueries = 8L, prefixTokens = 8, poolK = 20, salts = 32)
     val fused = Hybrid.fuse(lex, ann, topK = 10, rrfK = 60)
