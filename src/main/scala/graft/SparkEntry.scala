@@ -427,6 +427,12 @@ object SparkEntry {
     // composition ≡ a fresh rebuild of the survivors EXACTLY (no
     // frozen-codebook caveat), gated under q38's oracle over survivors
     "q165_ann_lsh_composed" -> ((s, d) => LshIndex.lshTopKComposed(s, d)),
+    // q171: the geometry-drift maintenance rebuild under q38's oracle —
+    // an artifact frozen off the adaptive plateau (bits+4) is measured
+    // and rebuilt by maintainGeometry; the serve answers exactly the
+    // adaptive build's relation (rebuild ≡ fresh build, no trained
+    // state), so the maintenance path sits inside the hash gate
+    "q171_ann_lsh_regeom" -> ((s, d) => LshIndex.lshTopKRegeometried(s, d)),
     // q166: q163's fused relation served entirely from the persisted
     // BM25 + LSH artifacts — the RAG restart shape (a redeployed
     // service holds only its indexes): lexical pool from the
@@ -2301,6 +2307,10 @@ object SparkEntry {
     // artifact-vs-session-stage equivalence IS the gate, so the oracle
     // is q38's verbatim
     "q164_ann_lsh_persisted" -> Q38Sql,
+    // q171 = q38's relation after the drift-rebuild: maintainGeometry
+    // lands the artifact back on the adaptive plateau, whose serve is
+    // the q38/q164 relation exactly — shared oracle, the q164 discipline
+    "q171_ann_lsh_regeom" -> Q38Sql,
     // q165: the composed LSH lifecycle ≡ fresh rebuild of the
     // survivors (no trained state to freeze) — q38's chain with the
     // bucket relation (queries AND corpus) restricted to the

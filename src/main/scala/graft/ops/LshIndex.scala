@@ -520,6 +520,25 @@ object LshIndex {
   private[ops] def persistedDir(spark: SparkSession, dir: String): String =
     persistedIndex.getOrCreate(spark, dir)(saveLshIndex(spark, dir, _))
 
+  /** q171: the geometry-drift maintenance path under q38's oracle — an
+    * artifact deliberately frozen OFF the adaptive plateau (bits+4, the
+    * "years past the estimate" shape) is measured and rebuilt by
+    * [[maintainGeometry]] back onto it; the serve afterward must be
+    * EXACTLY the adaptive build's relation (rebuild ≡ fresh build, the
+    * family's no-trained-state property), so the maintenance rebuild is
+    * answer-pinned in the hash gate, not just spec-asserted. */
+  def lshTopKRegeometried(spark: SparkSession, dir: String,
+      nQueries: Int = 200, k: Int = 3): DataFrame = {
+    val indexDir = persistedIndex.getOrCreate(spark, s"$dir#regeom") { tmp =>
+      val vecs = Similarity.unitEmbeddings(spark, dir)
+      val target = Similarity.adaptiveLshConfig(vecs.count())
+      saveLshIndexOf(vecs, tmp, bits = target._1 + 4, nTables = target._2)
+      require(maintainGeometry(spark, tmp).contains(target),
+        "the drifted artifact must rebuild onto the adaptive plateau")
+    }
+    lshTopKFromIndex(spark, indexDir, nQueries, k)
+  }
+
   /** q165: the FULL lifecycle composed in one relation — base build
     * (70 %) → delta append (30 %) → tombstone a 10 % delete set spanning
     * both → re-append half the deleted vectors (resurrection) → compact
