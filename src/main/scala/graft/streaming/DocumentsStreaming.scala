@@ -482,6 +482,54 @@ object DocumentsStreaming {
       }
       .start()
 
+  /** The image-modality twin of [[embeddingIngestAdmit]]: each
+    * micro-batch probes the persisted perceptual-hash artifact
+    * ([[graft.ops.ImageIndex.probeImages]] — decode once, band keys
+    * under the artifact's layout, band-bucket partition filter pushed,
+    * hamming-verified), lands the flags idempotently, and admits the
+    * surviving docs through the replay-guarded image-hash delta append
+    * — the same flags-first / survivors-from-durable-flags ordering
+    * (see [[admitBatch]]'s contract) with the same bootstrap
+    * composition (first trigger = base build). */
+  def imageIngestAdmit(docs: DataFrame, indexDir: String, flagsDir: String,
+      checkpointDir: String, maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitImageBatch(batch, batchId, indexDir, flagsDir, maxHamming)
+      }
+      .start()
+
+  /** One trigger of [[imageIngestAdmit]], exposed for the replay spec. */
+  private[graft] def admitImageBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, flagsDir: String, maxHamming: Int): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val docs = batch.select(col("doc_id"), col("text"))
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/hashes"))
+    landBatchIdempotent(spark, flagsDir, batchId) {
+      if (hasIndex)
+        graft.ops.ImageIndex.probeImages(docs, indexDir, maxHamming = maxHamming)
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Long, Long)].toDF("probe_id", "doc_id", "hamming")
+      }
+    }
+    val part = new org.apache.hadoop.fs.Path(s"$flagsDir/batch_id=$batchId")
+    val flagsFs = part.getFileSystem(spark.sessionState.newHadoopConf())
+    val survivors =
+      if (flagsFs.exists(part))
+        docs.join(spark.read.parquet(part.toString)
+            .select(col("probe_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else docs
+    graft.ops.ImageIndex.appendImageHashDelta(survivors, indexDir)
+  }
+
   /** One trigger of [[embeddingIngestAdmit]], exposed so the replay
     * spec can redeliver a batch id directly (the at-least-once window
     * no in-process stream run can force deterministically). */

@@ -141,4 +141,68 @@ class ImageDupStreamSpec extends AnyFunSuite {
     // identical decoded pixels collide on ALL 4 perceptual bands
     assert(spark.table("imagedup_state").where(col("doc_id") === 11L).count() == 4)
   }
+
+  test("gate-then-admit (image): N triggers equal base + one batch append; redelivery is a no-op") {
+    val work = Files.createTempDirectory("graft-img-admit")
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.ops.Tables.documents(spark, sf).select("doc_id", "text")
+    val arrivalRule = pmod(col("doc_id"), lit(10)) === 0
+    val idx = work.resolve("images").toString
+    // bootstrap append == base build (the spec-pinned contract)
+    graft.ops.ImageIndex.appendImageHashDelta(docs.where(!arrivalRule), idx)
+
+    val inDir = work.resolve("in").toString
+    val arrivals = docs.where(arrivalRule)
+    arrivals.where(col("doc_id") < 1000).coalesce(1).write.parquet(inDir)
+    arrivals.where(col("doc_id") >= 1000).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val flagsDir = work.resolve("flags").toString
+    val q = DocumentsStreaming.imageIngestAdmit(stream, idx, flagsDir,
+      work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    def store(d: String, s: String, cols: Seq[String]): Seq[String] =
+      spark.read.parquet(s"$d/$s").select(cols.map(col): _*)
+        .collect().map(_.toString).toSeq.sorted
+    def state(d: String): Seq[Seq[String]] = Seq(
+      store(d, "hashes", Seq("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")),
+      store(d, "bands", Seq("doc_id", "family", "band", "band_key", "band_bucket")))
+    val streamedState = state(idx)
+    val streamedFlags = spark.read.parquet(flagsDir)
+      .select("probe_id", "doc_id", "hamming")
+      .collect().map(_.toString).toSeq.sorted
+
+    // twin: base + ONE append of the survivors (arrivals minus all
+    // flagged probe_ids — each arrival lives in exactly one batch)
+    val twin = work.resolve("twin").toString
+    graft.ops.ImageIndex.appendImageHashDelta(docs.where(!arrivalRule), twin)
+    val flagged = spark.read.parquet(flagsDir)
+      .select(col("probe_id").as("doc_id")).distinct()
+    graft.ops.ImageIndex.appendImageHashDelta(
+      arrivals.join(flagged, Seq("doc_id"), "left_anti"), twin)
+    assert(streamedState == state(twin),
+      "the stream-maintained image artifact diverged from the one-batch twin")
+    assert(spark.read.parquet(s"$idx/hashes").count() >
+      docs.where(!arrivalRule).count(),
+      "the stream admitted nothing — the image admit loop never ran")
+
+    // full redelivery from a fresh checkpoint: artifact and flags frozen
+    val q2 = DocumentsStreaming.imageIngestAdmit(stream, idx, flagsDir,
+      work.resolve("ckpt2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state(idx) == streamedState, "a redelivered stream mutated the artifact")
+    assert(spark.read.parquet(flagsDir).select("probe_id", "doc_id", "hamming")
+        .collect().map(_.toString).toSeq.sorted == streamedFlags,
+      "a redelivered stream duplicated or changed flag rows")
+
+    // single-trigger direct redelivery
+    DocumentsStreaming.admitImageBatch(
+      arrivals.where(col("doc_id") < 1000), 0L, idx, flagsDir, 3)
+    assert(state(idx) == streamedState,
+      "a directly redelivered trigger mutated the artifact")
+  }
 }
