@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted exact-dedup fingerprint artifact — the text-modality
+  * membership store the streaming curation loop probes: "has the
+  * corpus already admitted a doc with this normalized fingerprint?"
+  * (q30/q31's exact rung, [[Pipeline.curatedDelta]]'s vs-corpus kill)
+  * answered WITHOUT scanning corpus text — the store holds one narrow
+  * (doc_id, fp) row per admitted doc.
+  *
+  * Layout (the bucket-pruned probe discipline of
+  * [[LshIndex]]/[[ImageIndex]]/[[Retrieval]]): rows land partitioned by
+  * `fp_bucket = pmod(xxhash64(fp), B)`, and a probe batch collects its
+  * own fp-bucket vocabulary locally (≤ B longs) and pushes a STATIC
+  * partition filter — probe cost ∝ the batch's bucket vocabulary,
+  * never the corpus. `B` is frozen in a meta store at build time
+  * (mixing two moduli in one store silently defeats the prune — the
+  * [[LshIndex.readMeta]] argument).
+  *
+  * Lifecycle parity with the other doc-keyed families: base build →
+  * replay-guarded delta append (bootstrap-safe) → tombstone →
+  * touched-partition compaction. No derived second store, so appends
+  * are single-store and need no [[AppendCommit]] marker.
+  */
+object FingerprintIndex {
+
+  /** Partition count of the fingerprint store. */
+  val DefaultFpBuckets = 64
+
+  private def hadoopFs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def fsPath(p: String) = new org.apache.hadoop.fs.Path(p)
+
+  private def recoverStores(spark: SparkSession, indexDir: String): Unit = {
+    val fs = hadoopFs(spark, indexDir)
+    SafeSwap.recover(fs, fsPath(s"$indexDir/fingerprints"))
+  }
+
+  private def readMeta(spark: SparkSession, indexDir: String): Int =
+    spark.read.parquet(s"$indexDir/meta").head().getAs[Int]("fp_buckets")
+
+  private def fpRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  private def writeFps(rows: DataFrame, fpBuckets: Int, indexDir: String,
+      mode: String): Unit =
+    rows.withColumn("fp_bucket", pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)))
+      .write.mode(mode).partitionBy("fp_bucket").parquet(s"$indexDir/fingerprints")
+
+  /** Base build from a (doc_id, text) relation. */
+  def saveFingerprintIndexOf(docs: DataFrame, outDir: String,
+      fpBuckets: Int = DefaultFpBuckets): Unit = {
+    require(fpBuckets > 0, "bucket count must be positive")
+    val spark = docs.sparkSession
+    writeFps(fpRows(docs), fpBuckets, outDir, "overwrite")
+    import spark.implicits._
+    Seq(fpBuckets).toDF("fp_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Replay-guarded delta append: doc_ids the store already holds
+    * anti-join out (a retried ingest is a no-op); a first delta into an
+    * empty dir IS the base build. Appended rows land as dynamic
+    * partition appends touching only the delta's fp buckets. */
+  def appendFingerprintDelta(deltaDocs: DataFrame, indexDir: String,
+      fpBuckets: Int = DefaultFpBuckets): Unit = {
+    val spark = deltaDocs.sparkSession
+    val fs = hadoopFs(spark, indexDir)
+    recoverStores(spark, indexDir)
+    if (!fs.exists(fsPath(s"$indexDir/meta"))) {
+      saveFingerprintIndexOf(deltaDocs, indexDir, fpBuckets)
+      return
+    }
+    val frozen = readMeta(spark, indexDir)
+    val fresh = fpRows(deltaDocs).join(
+      spark.read.parquet(s"$indexDir/fingerprints").select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    writeFps(fresh, frozen, indexDir, "append")
+  }
+
+  /** Which held docs does each probe doc exactly duplicate (normalized
+    * fingerprint equality)? Output: (probe_id, doc_id) — `doc_id` the
+    * held original. The probe batch's fp rows broadcast; the store scan
+    * prunes to the batch's fp-bucket partitions; tombstoned docs never
+    * flag; a replayed doc_id does not flag itself. */
+  def probeFingerprints(probeDocs: DataFrame, indexDir: String): DataFrame = {
+    val spark = probeDocs.sparkSession
+    recoverStores(spark, indexDir)
+    val fpBuckets = readMeta(spark, indexDir)
+    val probes = fpRows(probeDocs).select(col("doc_id").as("probe_id"), col("fp"))
+    val probeBuckets = probes
+      .select(pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: ≤ fpBuckets values
+    val pruned = spark.read.parquet(s"$indexDir/fingerprints")
+      .where(col("fp_bucket").isin(probeBuckets: _*))
+      .select(col("doc_id"), col("fp"))
+    val held = tombstonesOf(spark, indexDir) match {
+      case Some(dead) => pruned.join(dead, Seq("doc_id"), "left_anti")
+      case None => pruned
+    }
+    broadcast(probes).join(held, Seq("fp"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id"))
+      .distinct()
+      .orderBy("probe_id", "doc_id")
+  }
+
+  /** Retire docs — tombstones, not rewrites; idempotent. */
+  def tombstoneDocs(deletedIds: DataFrame, indexDir: String): Unit =
+    deletedIds.select(col("doc_id").cast("long").as("doc_id"))
+      .write.mode("append").parquet(s"$indexDir/tombstones")
+
+  private def tombstonesOf(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val p = fsPath(s"$indexDir/tombstones")
+    if (hadoopFs(spark, indexDir).exists(p))
+      Some(spark.read.parquet(s"$indexDir/tombstones").select("doc_id").distinct())
+    else None
+  }
+
+  /** Expunge the tombstones: only the fp_bucket partitions holding a
+    * dead doc's row rewrite (named by joining the dead set against the
+    * store — cost ∝ |dead| + touched partitions), tombstones deleted
+    * LAST (the commit point); crash-safe via [[SafeSwap]]. */
+  def compactFingerprintIndex(spark: SparkSession, indexDir: String): Unit = {
+    val fs = hadoopFs(spark, indexDir)
+    recoverStores(spark, indexDir)
+    tombstonesOf(spark, indexDir).foreach { dead =>
+      val store = spark.read.parquet(s"$indexDir/fingerprints")
+      val touched = store.join(dead, Seq("doc_id"))
+        .select(col("fp_bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)) // bounded: ≤ fpBuckets values
+      if (touched.nonEmpty) {
+        val tmp = s"$indexDir/fingerprints_compact_tmp"
+        store.where(col("fp_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
+          .join(dead, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("fp_bucket").parquet(tmp)
+        SafeSwap.swapPartitions(fs, fsPath(s"$indexDir/fingerprints"), fsPath(tmp),
+          touched.toIndexedSeq.map(b => s"fp_bucket=$b"))
+      }
+      fs.delete(fsPath(s"$indexDir/tombstones"), true)
+    }
+  }
+}

@@ -502,6 +502,79 @@ object DocumentsStreaming {
       }
       .start()
 
+  /** The TEXT-modality admit loop — the streaming half of
+    * [[graft.ops.Pipeline.curatedDelta]]: each micro-batch quality-gates
+    * its docs (the q23 score), probes the persisted fingerprint
+    * artifact for exact-normalized duplicates of anything ADMITTED
+    * before it ([[graft.ops.FingerprintIndex.probeFingerprints]] —
+    * fp-bucket partition filter pushed, so probe cost ∝ the batch's
+    * bucket vocabulary), lands the flags idempotently, keeps one doc
+    * per fingerprint within the trigger (min doc_id — the batch
+    * tiebreak), and admits the keepers into BOTH the BM25 postings
+    * artifact and the fingerprint store through their replay-guarded
+    * delta appends.
+    *
+    * Arrival-order semantics, stated on purpose: ACROSS triggers the
+    * earlier arrival wins (its fingerprint is in the store when the
+    * later duplicate probes — the stateful gates' orig_id rule), while
+    * WITHIN a trigger the min doc_id wins (the batch rule). A nightly
+    * batch re-curation may therefore keep a different twin of the same
+    * fingerprint than the stream did; membership by fingerprint is
+    * identical.
+    *
+    * Same replay contract as [[admitBatch]]: flags commit first under
+    * the per-batch marker, survivors derive from the DURABLE flags,
+    * and both appends self-guard — at-least-once redelivery changes
+    * nothing. */
+  def documentIngestAdmit(docs: DataFrame, postingsDir: String, fpDir: String,
+      flagsDir: String, checkpointDir: String, minQuality: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitDocBatch(batch, batchId, postingsDir, fpDir, flagsDir, minQuality)
+      }
+      .start()
+
+  /** One trigger of [[documentIngestAdmit]], exposed for the replay
+    * spec. */
+  private[graft] def admitDocBatch(batch: DataFrame, batchId: Long,
+      postingsDir: String, fpDir: String, flagsDir: String,
+      minQuality: Double): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val quality = batch.where(TextAnalysis.qualityScore >= minQuality)
+      .select(col("doc_id"), col("text"))
+    val fs = new org.apache.hadoop.fs.Path(fpDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hasIndex = fs.exists(new org.apache.hadoop.fs.Path(s"$fpDir/meta"))
+    landBatchIdempotent(spark, flagsDir, batchId) {
+      if (hasIndex) graft.ops.FingerprintIndex.probeFingerprints(quality, fpDir)
+      else {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("probe_id", "doc_id")
+      }
+    }
+    val part = new org.apache.hadoop.fs.Path(s"$flagsDir/batch_id=$batchId")
+    val flagsFs = part.getFileSystem(spark.sessionState.newHadoopConf())
+    val fresh =
+      if (flagsFs.exists(part))
+        quality.join(spark.read.parquet(part.toString)
+            .select(col("probe_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+      else quality
+    // within-trigger keeper: one doc per fingerprint, min doc_id
+    val withFp = fresh.withColumn("fp",
+      TextAnalysis.fingerprint(col("text")))
+    val keepers = withFp.join(
+        withFp.groupBy("fp").agg(min("doc_id").as("doc_id")),
+        Seq("doc_id", "fp"), "left_semi")
+      .select("doc_id", "text")
+    graft.ops.Retrieval.appendPostingsDelta(keepers, postingsDir)
+    graft.ops.FingerprintIndex.appendFingerprintDelta(keepers, fpDir)
+  }
+
   /** One trigger of [[imageIngestAdmit]], exposed for the replay spec. */
   private[graft] def admitImageBatch(batch: DataFrame, batchId: Long,
       indexDir: String, flagsDir: String, maxHamming: Int): Unit = {

@@ -142,6 +142,82 @@ class DocumentsStreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("gate-then-admit (text): curation admits into BM25 + fingerprint artifacts; redelivery is a no-op") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-doc-admit")
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars")
+    val arrivalRule = pmod(col("doc_id"), lit(10)) === 0
+    val base = docs.where(!arrivalRule).select("doc_id", "text")
+    val postingsDir = work.resolve("bm25").toString
+    val fpDir = work.resolve("fp").toString
+    graft.ops.Retrieval.savePostingsIndexOf(base, postingsDir)
+    graft.ops.FingerprintIndex.saveFingerprintIndexOf(base, fpDir)
+
+    // arrivals: the 10% split, PLUS an exact copy of a quality-passing
+    // HELD doc (must flag, never admit), PLUS a within-trigger twin
+    // pair sharing one novel fingerprint (min doc_id must win)
+    val heldSrc = docs.where(!arrivalRule)
+      .where(TextAnalysis.qualityScore >= 0.5)
+      .select("text").as[String].head()
+    val novel = "the quick brown fox jumps over the lazy dog " * 8
+    val planted = Seq(
+      (1000001L, heldSrc, heldSrc.length.toLong),
+      (1000002L, novel, novel.length.toLong),
+      (1000003L, novel, novel.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val arrivals = docs.where(arrivalRule)
+    val inDir = work.resolve("in").toString
+    arrivals.where(col("doc_id") < 1000).unionByName(planted)
+      .coalesce(1).write.parquet(inDir)
+    arrivals.where(col("doc_id") >= 1000).coalesce(1)
+      .write.mode("append").parquet(inDir)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val flagsDir = work.resolve("flags").toString
+    val q = DocumentsStreaming.documentIngestAdmit(stream, postingsDir, fpDir,
+      flagsDir, work.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    // the held-copy flagged; the twin pair resolved to its min doc_id
+    val flaggedIds = spark.read.parquet(flagsDir)
+      .select("probe_id").as[Long].collect().toSet
+    assert(flaggedIds.contains(1000001L),
+      s"an exact copy of a held doc was not flagged: $flaggedIds")
+    val admitted = spark.read.parquet(s"$fpDir/fingerprints")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!admitted.contains(1000001L), "a held-corpus duplicate was admitted")
+    assert(admitted.contains(1000002L) && !admitted.contains(1000003L),
+      "the within-trigger twin pair must keep exactly the min doc_id")
+
+    // both artifacts hold exactly the same admitted doc set, and it is
+    // the expected one: quality-passing arrivals, minus held-fp dups,
+    // one keeper per fingerprint
+    val dlIds = spark.read.parquet(s"$postingsDir/dl")
+      .select("doc_id").as[Long].collect().toSet
+    assert(dlIds == admitted ++ base.select("doc_id").as[Long].collect().toSet,
+      "postings and fingerprint artifacts disagree on membership")
+    assert(graft.ops.Retrieval.bm25TopKFromIndex(spark, postingsDir).count() > 0)
+
+    // full redelivery from a fresh checkpoint + direct single-trigger
+    // redelivery: both artifacts frozen
+    def state(): (Long, Long, Long) = (
+      spark.read.parquet(s"$fpDir/fingerprints").count(),
+      spark.read.parquet(s"$postingsDir/dl").count(),
+      spark.read.parquet(s"$postingsDir/postings").count())
+    val s1 = state()
+    val q2 = DocumentsStreaming.documentIngestAdmit(stream, postingsDir, fpDir,
+      flagsDir, work.resolve("ckpt2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == s1, "a redelivered stream mutated the artifacts")
+    DocumentsStreaming.admitDocBatch(
+      arrivals.where(col("doc_id") < 1000).unionByName(planted),
+      0L, postingsDir, fpDir, flagsDir, 0.5)
+    assert(state() == s1, "a directly redelivered trigger mutated the artifacts")
+  }
+
   test("watermarked fingerprint dedup drops cross-batch duplicates with bounded state") {
     val dir = mkStreamDir(2) // same corpus twice, two micro-batches
     val stream = DocumentsStreaming.readDocuments(spark, dir, maxFilesPerTrigger = 1)
