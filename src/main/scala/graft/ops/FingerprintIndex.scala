@@ -128,6 +128,12 @@ object FingerprintIndex {
   def compactFingerprintIndex(spark: SparkSession, indexDir: String): Unit = {
     val fs = hadoopFs(spark, indexDir)
     recoverStores(spark, indexDir)
+    if (!fs.exists(fsPath(s"$indexDir/fingerprints"))) {
+      // tombstones against a store that was never built: nothing holds
+      // the ids, so the retire is already in effect
+      fs.delete(fsPath(s"$indexDir/tombstones"), true)
+      return
+    }
     tombstonesOf(spark, indexDir).foreach { dead =>
       val store = spark.read.parquet(s"$indexDir/fingerprints")
       val touched = store.join(dead, Seq("doc_id"))

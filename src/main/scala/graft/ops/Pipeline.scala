@@ -56,6 +56,25 @@ object Pipeline {
     fresh.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
   }
 
+  /** [[curatedDelta]] with the held fingerprints read from the
+    * persisted [[FingerprintIndex]] artifact instead of re-scanning
+    * held-corpus TEXT — the steady-state shape: after the bootstrap
+    * run seeds the store, the nightly's vs-corpus kill costs one
+    * bucket-pruned probe of narrow (doc_id, fp) rows, never a corpus
+    * text pass. Same kill set by construction (the artifact holds
+    * exactly the held corpus's fingerprints) and the same within-batch
+    * min-doc_id keeper. */
+  private[ops] def curatedDeltaFromIndex(incoming: DataFrame,
+      fpDir: String): DataFrame = {
+    val quality = incoming.where(TextAnalysis.qualityScore >= 0.5)
+    val flagged = FingerprintIndex.probeFingerprints(quality, fpDir)
+      .select(col("probe_id").as("doc_id")).distinct()
+    val fresh = quality.join(flagged, Seq("doc_id"), "left_anti")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keepIds = fresh.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    fresh.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
+  }
+
   /** Run one day: convert any landed raw files, curate the incoming doc
     * batch (q96's deterministic `batchPct` split stands in for "today's
     * crawl"), append the kept docs to the BM25 and image-hash
@@ -74,14 +93,25 @@ object Pipeline {
           deleteOriginal = false)).converted
     }.getOrElse(0)
     // 2. CURATE: today's batch, quality-gated and deduped vs the held
-    //    corpus and within itself
+    //    corpus and within itself. The held-fingerprint side comes from
+    //    the persisted FingerprintIndex artifact: the bootstrap run
+    //    seeds it with ONE pass over the existing corpus's text; every
+    //    later night probes narrow (doc_id, fp) rows bucket-pruned to
+    //    the batch — the nightly stops scanning held-corpus text.
     val docs = Tables.documents(spark, corpusDir).select(col("doc_id"), col("text"),
       (pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct).as("incoming"))
     val incoming = docs.where(col("incoming")).select("doc_id", "text")
-    val kept = curatedDelta(incoming,
-      docs.where(!col("incoming")).select("doc_id", "text")).cache()
+    val fs0 = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs0.exists(new org.apache.hadoop.fs.Path(s"$workDir/fp/meta")))
+      FingerprintIndex.saveFingerprintIndexOf(
+        docs.where(!col("incoming")).select("doc_id", "text"), s"$workDir/fp")
+    val kept = curatedDeltaFromIndex(incoming, s"$workDir/fp").cache()
     val nKept = kept.count()
-    // 3. INDEX: replay-guarded appends (first run bootstraps)
+    // 3. INDEX: replay-guarded appends (first run bootstraps); the kept
+    //    docs' fingerprints join the membership artifact so tomorrow's
+    //    curation sees them as held
+    FingerprintIndex.appendFingerprintDelta(kept, s"$workDir/fp")
     Retrieval.appendPostingsDelta(kept, s"$workDir/bm25")
     ImageIndex.appendImageHashDelta(kept, s"$workDir/images")
     // the kept docs' embeddings feed the vector index (doc_id ≡ vec_id
@@ -156,10 +186,14 @@ object Pipeline {
       s"$workDir/lsh")
     Similarity.tombstoneVectors(retired.select(col("doc_id").as("vec_id")),
       s"$workDir/pq")
+    // the fingerprint membership store retires too: a takedown's
+    // fingerprint must not block a legitimate future re-ingest
+    FingerprintIndex.tombstoneDocs(retired, s"$workDir/fp")
     Retrieval.compactPostings(spark, s"$workDir/bm25")
     ImageIndex.compactImageHashIndex(spark, s"$workDir/images")
     LshIndex.compactLshIndex(spark, s"$workDir/lsh")
     Similarity.compactPqIndex(spark, s"$workDir/pq")
+    FingerprintIndex.compactFingerprintIndex(spark, s"$workDir/fp")
     // geometry drift: rebuild the LSH artifact when the live corpus has
     // outgrown (or shrunk off) its frozen adaptive plateau — a no-op
     // on-plateau, so idempotence composes (a second run re-measures the

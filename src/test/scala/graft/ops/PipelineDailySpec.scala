@@ -41,6 +41,7 @@ class PipelineDailySpec extends AnyFunSuite {
         spark.read.parquet(s"$work/lsh/buckets").count(),
         spark.read.parquet(s"$work/pq/codes").count(),
         spark.read.parquet(s"$work/pq/vectors").count(),
+        spark.read.parquet(s"$work/fp/fingerprints").count(),
         spark.read.parquet(s"$work/rollup/daily")
           .select(date_format(col("day"), "yyyy-MM-dd"), col("event_type"),
             col("n_events"), hll_sketch_estimate(col("users_hll")))
@@ -120,7 +121,7 @@ class PipelineDailySpec extends AnyFunSuite {
           .collect().map(_.toString).toSeq != beforeBm25,
         "maintenance retired nothing the artifacts held")
       // the tombstones committed: compaction deleted every set
-      for (a <- Seq("bm25", "images", "lsh", "pq"))
+      for (a <- Seq("bm25", "images", "lsh", "pq", "fp"))
         assert(!new java.io.File(s"$work/$a/tombstones").exists,
           s"$a compaction never committed")
       // the TRAINED family's retire actually reached the compressed
