@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Hybrid, ImageIndex, LshIndex, Multimodal, Packing, Relational, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Hybrid, ImageIndex, LshIndex, Multimodal, Packing, Pipeline, Relational, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -433,6 +433,12 @@ object SparkEntry {
     // adaptive build's relation (rebuild ≡ fresh build, no trained
     // state), so the maintenance path sits inside the hash gate
     "q171_ann_lsh_regeom" -> ((s, d) => LshIndex.lshTopKRegeometried(s, d)),
+    // q172: the artifact-backed curation rule — the held side's
+    // fingerprints probe a persisted FingerprintIndex store
+    // (bucket-pruned, the steady-state nightly shape that never
+    // re-scans held text) and must keep EXACTLY the docs the direct
+    // batch rule (quality gate -> vs-corpus fp kill -> min keeper) keeps
+    "q172_curated_batch_from_index" -> ((s, d) => Pipeline.curatedBatchFromIndex(s, d)),
     // q166: q163's fused relation served entirely from the persisted
     // BM25 + LSH artifacts — the RAG restart shape (a redeployed
     // service holds only its indexes): lexical pool from the
@@ -2311,6 +2317,29 @@ object SparkEntry {
     // lands the artifact back on the adaptive plateau, whose serve is
     // the q38/q164 relation exactly — shared oracle, the q164 discipline
     "q171_ann_lsh_regeom" -> Q38Sql,
+    // q172: the direct batch curation rule (q72's quality CTE + q31's
+    // normalized fingerprint, vs-corpus anti-join on the q96 split,
+    // min-doc_id keeper) — the artifact-backed path must keep exactly
+    // this set
+    "q172_curated_batch_from_index" ->
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE (doc_id * 2654435761) % 100 < 30
+        |    AND round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |      + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|of|to|and|is|in)\b')) * 10.0 /
+        |          greatest(len(regexp_extract_all(text, '\S+')), 1), 1.0)
+        |      + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |          greatest(length(text), 1)), 4) >= 0.5),
+        |held AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE (doc_id * 2654435761) % 100 >= 30),
+        |qf AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM q),
+        |fresh AS (SELECT qf.doc_id, qf.fp FROM qf ANTI JOIN held USING (fp))
+        |SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
     // q165: the composed LSH lifecycle ≡ fresh rebuild of the
     // survivors (no trained state to freeze) — q38's chain with the
     // bucket relation (queries AND corpus) restricted to the

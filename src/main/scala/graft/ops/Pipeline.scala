@@ -32,6 +32,34 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  private val persistedFp = new TempArtifacts("graft-fp-index")
+
+  /** q172: the artifact-backed curation rule under a hash oracle — the
+    * q96 deterministic split plays "today's batch", the held side's
+    * fingerprints are SEEDED INTO a persisted [[FingerprintIndex]]
+    * store (one-shot per session, the q127 memoization discipline), and
+    * the kept set is computed by [[curatedDeltaFromIndex]]: quality
+    * gate → bucket-pruned vs-artifact fingerprint kill → min-doc_id
+    * keeper. The oracle mirrors [[curatedDelta]]'s direct batch rule —
+    * the two curation paths answering identically IS the gate. */
+  def curatedBatchFromIndex(spark: SparkSession, dir: String,
+      batchPct: Int = 30): DataFrame = {
+    val fpDir = persistedFp.getOrCreate(spark, s"$dir#$batchPct") { tmp =>
+      FingerprintIndex.saveFingerprintIndexOf(
+        Tables.documents(spark, dir)
+          .where(pmod(col("doc_id") * lit(2654435761L), lit(100)) >= batchPct)
+          .select("doc_id", "text"), tmp)
+    }
+    val incoming = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct)
+      .select("doc_id", "text")
+    curatedDeltaFromIndex(incoming, fpDir)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Release this session's memoized fingerprint artifacts. */
+  def releaseStages(spark: SparkSession): Int = persistedFp.release(spark)
+
   /** One run's accounting — what the nightly job logs. */
   final case class DailyReport(
       converted: Int,
