@@ -131,5 +131,6 @@ object StageRegistry {
     Dedup.releaseStages(spark) + Similarity.releaseStages(spark) +
       TextAnalysis.releaseStages(spark) + Retrieval.releaseStages(spark) +
       Sketches.releaseSession(spark) + ImageIndex.releaseStages(spark) +
-      LshIndex.releaseStages(spark) + Hybrid.releaseStages(spark)
+      LshIndex.releaseStages(spark) + Hybrid.releaseStages(spark) +
+      Pipeline.releaseStages(spark)
 }
