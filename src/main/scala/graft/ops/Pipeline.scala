@@ -13,10 +13,15 @@ import org.apache.spark.sql.functions._
   * Where idempotence comes from — nothing here re-implements it; each
   * stage's own guard composes:
   *   - converted parquet: deterministic rewrite of the same inputs;
-  *   - postings / image-hash / LSH-vector appends: per-id replay guards
-  *     ([[Retrieval.appendPostingsDelta]] / [[ImageIndex
-  *     .appendImageHashDelta]] / [[LshIndex.appendLshDelta]] anti-join
-  *     already-held ids — a replayed batch appends zero rows);
+  *   - postings / image-hash / LSH-vector / PQ-code / fingerprint
+  *     appends: per-id replay guards ([[Retrieval.appendPostingsDelta]]
+  *     / [[ImageIndex.appendImageHashDelta]] /
+  *     [[LshIndex.appendLshDelta]] / [[Similarity.appendPqDelta]] /
+  *     [[FingerprintIndex.appendFingerprintDelta]] anti-join
+  *     already-held ids — a replayed batch appends zero rows); the
+  *     curation stage itself replays clean too
+  *     ([[FingerprintIndex.probeFingerprints]] never self-flags, so a
+  *     replayed batch re-derives the identical kept set);
   *   - sketch rollup: the day-granular guard plus the integrity repair
   *     ([[Sketches.appendDailyDeltaVerified]] — a replayed full day is
   *     a no-op, a detected partial day re-rolls for one-day cost);
