@@ -84,9 +84,14 @@ object FingerprintIndex {
 
   /** Which held docs does each probe doc exactly duplicate (normalized
     * fingerprint equality)? Output: (probe_id, doc_id) — `doc_id` the
-    * held original. The probe batch's fp rows broadcast; the store scan
-    * prunes to the batch's fp-bucket partitions; tombstoned docs never
-    * flag; a replayed doc_id does not flag itself. */
+    * held original. The store scan prunes to the batch's fp-bucket
+    * partitions; tombstoned docs never flag; a replayed doc_id does not
+    * flag itself. NO forced broadcast of the probe side: callers range
+    * from streaming micro-batches (tiny — AQE broadcasts them on its
+    * own) to [[Pipeline.curatedDeltaFromIndex]] handing in 30–60 % of
+    * the corpus, where a forced broadcast risks driver/executor OOM at
+    * real scale; the bucket prune on the store side bounds the join
+    * either way, so the hint is all risk and no win. */
   def probeFingerprints(probeDocs: DataFrame, indexDir: String): DataFrame = {
     val spark = probeDocs.sparkSession
     recoverStores(spark, indexDir)
@@ -102,7 +107,7 @@ object FingerprintIndex {
       case Some(dead) => pruned.join(dead, Seq("doc_id"), "left_anti")
       case None => pruned
     }
-    broadcast(probes).join(held, Seq("fp"))
+    probes.join(held, Seq("fp"))
       .where(col("doc_id") =!= col("probe_id"))
       .select(col("probe_id"), col("doc_id"))
       .distinct()

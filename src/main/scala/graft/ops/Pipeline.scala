@@ -170,7 +170,18 @@ object Pipeline {
     // via the replay-guarded delta merge. This is the codebook-drift
     // wrinkle LSH doesn't have, proven composed by the pipeline rather
     // than only in the q162 gate.
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/pq/pqbook")))
+    //
+    // The bootstrap guard keys on `vectors` — the LAST store
+    // savePqIndexOf writes (coarse, subcents, pqbook, codes, vectors),
+    // hence a true commit point, the same derived-first/guard-last
+    // discipline every append follows. Guarding on an earlier store
+    // (pqbook) opens a crash window: codes committed, vectors absent →
+    // the retried day takes the append path, whose replay guard IS the
+    // vectors store (missing ⇒ whole delta "fresh") and re-appends
+    // every day-1 code row, which then double-serves in the ADC
+    // shortlist. On the vectors guard a mid-build crash simply
+    // re-runs the overwrite-mode base build, which converges.
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/pq/vectors")))
       Similarity.appendPqDelta(keptVecs, s"$workDir/pq")
     else
       Similarity.savePqIndexOf(keptVecs, s"$workDir/pq")

@@ -430,7 +430,13 @@ object DocumentsStreaming {
     * batches are atomic to any observer. Returns whether this call
     * landed the batch (false = already committed; `rows` not even
     * evaluated — on redelivery the computation could see state the
-    * first delivery's downstream writes changed). */
+    * first delivery's downstream writes changed).
+    *
+    * UPGRADE NOTE: a flags dir written by the pre-marker code has
+    * committed partitions with no markers — run
+    * [[backfillBatchMarkers]] once before restarting its stream, or a
+    * redelivery will rewrite historical flags against today's
+    * artifact. */
   private[graft] def landBatchIdempotent(spark: SparkSession, outDir: String,
       batchId: Long)(rows: => DataFrame): Boolean = {
     val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batch_commits/$batchId")
@@ -442,6 +448,41 @@ object DocumentsStreaming {
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     true
+  }
+
+  /** One-shot upgrade of a PRE-MARKER flags directory to the
+    * [[landBatchIdempotent]] layout — run once per flags dir on library
+    * upgrade, BEFORE restarting its stream. The old replay guard keyed
+    * on the bare `batch_id=N` directory, so under the old code an
+    * existing partition WAS the committed state; after upgrade the
+    * marker guard would read those same partitions as "never
+    * committed", and the first checkpoint redelivery would delete a
+    * complete historical partition and re-probe it against an artifact
+    * that may have drifted since — silently rewriting historical flags
+    * (the exact redelivery hazard the markers exist to close). This
+    * stamps every existing batch partition with a commit marker,
+    * preserving the old guard's semantics verbatim (old-code partial
+    * partitions were frozen-as-committed then, and stay so — no worse
+    * than before the upgrade, and every post-upgrade batch gets the
+    * stronger marker atomicity). Idempotent; a no-op on current-layout
+    * or absent dirs. Returns how many markers were backfilled. */
+  def backfillBatchMarkers(spark: SparkSession, outDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    var n = 0
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .foreach { s =>
+        val id = s.getPath.getName.stripPrefix("batch_id=")
+        val marker = new org.apache.hadoop.fs.Path(s"$outDir/_batch_commits/$id")
+        if (!fs.exists(marker)) {
+          fs.mkdirs(marker.getParent)
+          fs.create(marker, true).close()
+          n += 1
+        }
+      }
+    n
   }
 
   /** GATE-THEN-ADMIT streaming ingest — the production loop the

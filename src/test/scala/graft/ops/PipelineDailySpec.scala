@@ -104,6 +104,33 @@ class PipelineDailySpec extends AnyFunSuite {
     } finally rm(new java.io.File(work))
   }
 
+  test("a crash between the day-1 PQ codes and vectors writes converges on retry") {
+    val work = tmpDir("graft-daily-pqcrash")
+    try {
+      Pipeline.runDaily(spark, dir, work)
+      val codesBefore = spark.read.parquet(s"$work/pq/codes")
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      // plant the window: savePqIndexOf writes vectors LAST
+      // (coarse, subcents, pqbook, codes, vectors), so a crash there
+      // leaves pqbook+codes committed with the refine store absent
+      rm(new java.io.File(s"$work/pq/vectors"))
+      Pipeline.runDaily(spark, dir, work)
+      // the retried day must re-run the BASE BUILD (the guard keys on
+      // vectors, the last-written store) — the append path's replay
+      // guard IS the missing vectors store and would re-append every
+      // day-1 code row, double-serving them in the ADC shortlist
+      val codes = spark.read.parquet(s"$work/pq/codes")
+      assert(codes.count() == codes.select("vec_id").distinct().count(),
+        "the retried day double-appended day-1 code rows")
+      assert(codes.orderBy("vec_id").collect().map(_.toString).toSeq == codesBefore,
+        "the deterministic retrain diverged from the first build")
+      val pqv = spark.read.parquet(s"$work/pq/vectors").select("vec_id")
+      assert(pqv.join(codes.select("vec_id"), Seq("vec_id"), "left_anti").count() == 0 &&
+          codes.select("vec_id").join(pqv, Seq("vec_id"), "left_anti").count() == 0,
+        "refine store and codes store disagree after the recovered build")
+    } finally rm(new java.io.File(work))
+  }
+
   test("maintenance retires, compacts and serves; a second run changes nothing") {
     val work = tmpDir("graft-daily-maint")
     try {

@@ -140,6 +140,35 @@ class EmbeddingDupStreamSpec extends AnyFunSuite {
     assert(!land(6L, Seq((9L, 9L, 0.9))))
   }
 
+  test("backfillBatchMarkers: pre-upgrade partitions stamp committed; redelivery freezes them") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-backfill").resolve("flags").toString
+    // a PRE-MARKER flags dir: two partitions the old bare-directory
+    // guard had committed, no _batch_commits anywhere
+    Seq((1L, 2L, 0.9)).toDF("probe_id", "vec_id", "cos_sim")
+      .withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id").parquet(out)
+    Seq((3L, 4L, 0.8)).toDF("probe_id", "vec_id", "cos_sim")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(out)
+    assert(DocumentsStreaming.backfillBatchMarkers(spark, out) == 2)
+    assert(DocumentsStreaming.backfillBatchMarkers(spark, out) == 0,
+      "the migration must be idempotent")
+    // the upgraded guard now reads the historical batch as committed: a
+    // checkpoint redelivery must neither delete nor re-probe it (the
+    // re-probe would run against an artifact that drifted since)
+    var evaluated = false
+    val landed = DocumentsStreaming.landBatchIdempotent(spark, out, 0L) {
+      evaluated = true
+      Seq((7L, 8L, 0.1)).toDF("probe_id", "vec_id", "cos_sim")
+    }
+    assert(!landed && !evaluated,
+      "a migrated historical batch was re-landed (or re-probed)")
+    assert(spark.read.parquet(out).where(col("batch_id") === 0L)
+        .select("probe_id").as[Long].collect().toSeq == Seq(1L),
+      "the historical flags were rewritten")
+  }
+
   test("gate-then-admit: N triggers equal base + one batch append of the survivors; redelivery is a no-op") {
     val work = Files.createTempDirectory("graft-emb-admit")
     val sf = "/root/testdata/sf0.001"
