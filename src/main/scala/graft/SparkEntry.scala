@@ -433,6 +433,14 @@ object SparkEntry {
     // adaptive build's relation (rebuild ≡ fresh build, no trained
     // state), so the maintenance path sits inside the hash gate
     "q171_ann_lsh_regeom" -> ((s, d) => LshIndex.lshTopKRegeometried(s, d)),
+    // q173: the TRAINED family's drift maintenance under q138's oracle
+    // — the q171 contract for codebooks: an artifact whose books were
+    // trained on the day-1 bootstrap batch (64 vectors) then grown to
+    // the full corpus under them is measured (growth + explained-energy
+    // probes) and RETRAINED-AND-RE-ENCODED by maintainPqCodebooks; the
+    // deterministic rebuild ≡ the fresh full-corpus build, so the serve
+    // is hash-pinned, and a second maintenance call must hold still
+    "q173_ann_ivfpq_retrained" -> ((s, d) => Similarity.pqTopKRetrained(s, d)),
     // q172: the artifact-backed curation rule — the held side's
     // fingerprints probe a persisted FingerprintIndex store
     // (bucket-pruned, the steady-state nightly shape that never
@@ -2455,6 +2463,11 @@ object SparkEntry {
     // q139 = q138 served from the persisted compressed artifact:
     // identical answers by design, so the oracle IS q138's
     "q139_ann_ivfpq_persisted" -> Q138Sql,
+    // q173 = q138's relation after the codebook-drift rebuild:
+    // maintainPqCodebooks retrains onto the live corpus, and the
+    // deterministic full base build over it IS the fresh build the
+    // q138 oracle describes — maintenance answer-pinned, like q171
+    "q173_ann_ivfpq_retrained" -> Q138Sql,
     // q140: brute-force exact CTEs (q62's) + ONE index + PQ build, two
     // EXACT probe chains (c/d — the quantization references) and two
     // ADC chains (a/b) at the same budgets; quant_recall (ADC vs the

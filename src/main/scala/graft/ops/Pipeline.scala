@@ -201,7 +201,8 @@ object Pipeline {
       servedImages: Long,
       servedLsh: Long,
       servedPq: Long,
-      lshRegeometry: Option[(Int, Int)])
+      lshRegeometry: Option[(Int, Int)],
+      pqRetrain: Option[(Long, Long)])
 
   /** The MAINTENANCE half of the nightly job — [[runDaily]] only ever
     * appends; a production pipeline also runs retention deletes and
@@ -243,6 +244,12 @@ object Pipeline {
     // on-plateau, so idempotence composes (a second run re-measures the
     // same live count and does nothing)
     val regeom = LshIndex.maintainGeometry(spark, s"$workDir/lsh")
+    // codebook drift: the TRAINED family's analog of the geometry
+    // rebuild — retrain-and-re-encode when the live corpus has outgrown
+    // (or drifted off) the sample the frozen books were trained on. A
+    // no-op on an undrifted artifact, so idempotence composes the same
+    // way (a second run re-measures the frozen baseline and holds).
+    val pqRetrain = Similarity.maintainPqCodebooks(spark, s"$workDir/pq")
     val repaired = Sketches.repairDays(spark, s"$workDir/rollup",
       Tables.events(spark, corpusDir))
     retired.unpersist(blocking = false)
@@ -251,6 +258,7 @@ object Pipeline {
       ImageIndex.imageDupsFromIndex(spark, s"$workDir/images").count(),
       LshIndex.lshTopKFromIndex(spark, s"$workDir/lsh").count(),
       Similarity.pqTopKFromIndex(spark, s"$workDir/pq").count(),
-      regeom)
+      regeom,
+      pqRetrain)
   }
 }

@@ -1166,10 +1166,50 @@ object Similarity {
     coarseCents.write.mode("overwrite").parquet(s"$outDir/coarse")
     subCents.write.mode("overwrite").parquet(s"$outDir/subcents")
     writePqBook(spark, book, outDir)
-    pqCodesStage(spark, dir, nCoarse, nSub, m, k)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
+    val codes = pqCodesStage(spark, dir, nCoarse, nSub, m, k)
+    codes.write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
+    writePqMeta(spark, outDir, nCoarse, nSub, m, k,
+      codes.count(), meanExplainedMicros(codes))
     assigned.select(col("vec_id"), col("u"))
       .write.mode("overwrite").parquet(s"$outDir/vectors")
+  }
+
+  /** The artifact's frozen-training provenance: the structural config,
+    * how many vectors the books were TRAINED on, and the mean explained
+    * energy (micro-scaled mean of proj² over the indexed rows — the
+    * geometry-fit measure the drift probe re-measures) at train time.
+    * Written BEFORE the refine store on purpose: `vectors` stays the
+    * last-written store, so the pipeline's bootstrap guard (vectors
+    * present ⇒ build complete) also implies meta is present. */
+  private def writePqMeta(spark: SparkSession, outDir: String,
+      nCoarse: Int, nSub: Int, m: Int, k: Int,
+      nTrained: Long, explainedMicros: Double): Unit = {
+    import spark.implicits._
+    Seq((nCoarse, nSub, m, k, nTrained, explainedMicros))
+      .toDF("n_coarse", "n_sub", "m", "k", "n_trained", "explained_micros")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Mean EXPLAINED energy of a codes relation in micros: the per-row
+    * proj² — the share of each unit vector's energy the frozen
+    * coarse/sub geometry accounts for (1 − proj² = |r|² is what PQ must
+    * compress, so when explained energy decays, quantization error and
+    * with it ADC recall degrade). Explained, not residual, on purpose:
+    * residual energy is bounded by 1 and already near it for weakly
+    * clustered corpora, so a multiplicative threshold on it can NEVER
+    * trip — the meaningful, scale-free signal is the explained share
+    * collapsing. Summed via the house integer-micros discipline so the
+    * aggregate is order-free: re-measuring unchanged rows reproduces
+    * the frozen value BIT-EXACTLY, which is what makes the drift
+    * trigger idempotent (a rebuilt artifact measures its own frozen
+    * value and does nothing). One narrow-column aggregate — the
+    * bounded-probe shape of [[graft.ops.LshIndex.maintainGeometry]]. */
+  private def meanExplainedMicros(codes: DataFrame): Double = {
+    val r = codes.agg(
+      sum(round(col("proj") * col("proj") * 1e6).cast("long")).as("s"),
+      count(lit(1)).as("n")).head()
+    if (r.isNullAt(0) || r.getLong(1) == 0L) 0.0
+    else r.getLong(0).toDouble / r.getLong(1)
   }
 
   /** The PQ book as its (j, code, cv) artifact relation — one row per
@@ -1231,6 +1271,8 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), col("sub_id"), col("proj"),
         graft.functions.CodebookFunctions.pqEncode(col("r"), book).as("codes"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
+    writePqMeta(spark, outDir, nCoarse, nSub, m, k,
+      resid.count(), meanExplainedMicros(resid))
     assigned.select(col("vec_id"), col("u"))
       .write.mode("overwrite").parquet(s"$outDir/vectors")
     Seq(cents, a1, subCents, assigned, resid).foreach(_.unpersist(blocking = false))
@@ -1257,9 +1299,7 @@ object Similarity {
     val spark = deltaVecs.sparkSession
     val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
     val vfs = vecPath.getFileSystem(spark.sessionState.newHadoopConf())
-    SafeSwap.recover(vfs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
-    SafeSwap.recover(vfs, vecPath)
-    AppendCommit.recover(vfs, indexDir)
+    recoverPq(spark, indexDir)
     // RESURRECTION: a delta vec_id in the tombstone set is being
     // deliberately re-ingested — expunge its dead code/refine rows and
     // withdraw its tombstones before the replay guard runs (re-encoding
@@ -1334,19 +1374,14 @@ object Similarity {
     * layout artifact, loaded once per (session, indexDir). */
   private def loadedPqIndex(spark: SparkSession, indexDir: String)
       : (graft.functions.PqBook, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    // restore anything a crashed compaction left aside before loading.
-    // If the append rollback actually deleted files, RESIDENT relations
-    // for this artifact hold listings that may include them (an
-    // in-process crashed append leaves the warm cache alive — only a
-    // JVM death clears it for free): drop them so the load below
-    // re-lists, or the serve dies on FILE_NOT_EXIST / reads junk
-    // (AppendCrashWindowsSpec pins the window).
-    val rfs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
-    SafeSwap.recover(rfs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
-    if (AppendCommit.recover(rfs, indexDir))
-      pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
+    // restore anything a crashed compaction, append, or retrain left
+    // aside before loading. If the recovery actually replaced files,
+    // RESIDENT relations for this artifact hold listings that may
+    // include them (an in-process crash leaves the warm cache alive —
+    // only a JVM death clears it for free): recoverPq drops them so the
+    // load below re-lists, or the serve dies on FILE_NOT_EXIST / reads
+    // junk (AppendCrashWindowsSpec pins the window).
+    recoverPq(spark, indexDir)
     val book = pqLoadedBookCache.computeIfAbsent((spark, indexDir),
       _ => readPqBook(spark, indexDir))
     def rel(part: String)(load: => DataFrame): DataFrame =
@@ -1506,13 +1541,164 @@ object Similarity {
   def compactPqIndex(spark: SparkSession, indexDir: String): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new org.apache.hadoop.fs.Path(indexDir).getFileSystem(conf)
-    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
-    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
-    AppendCommit.recover(fs, indexDir)
+    recoverPq(spark, indexDir)
     vecTombstonesOf(spark, indexDir).foreach { dead =>
       expungePq(spark, indexDir, dead)
       fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
     }
+  }
+
+  private def pqRetrainMarker(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/_retrain_pending")
+  private def pqRetrainSnapshot(indexDir: String) = s"$indexDir/retrain_snapshot"
+
+  /** Entry-point recovery for the compressed artifact, shared by every
+    * PQ entry (append / compact / serve / maintain): complete a crashed
+    * codebook retrain from its durable snapshot FIRST (a committed
+    * rebuild supersedes every store — it overwrites all of them; with
+    * no marker, a leftover snapshot is a crash BEFORE the commit point
+    * and the old artifact is intact, so the snapshot drops), then
+    * restore crashed-swap leftovers and roll back any uncommitted
+    * append. Holders of resident relations are released whenever files
+    * may have been replaced (the AppendCrashWindowsSpec staleness
+    * class). */
+  private def recoverPq(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(pqRetrainMarker(indexDir))) rebuildPqFromSnapshot(spark, indexDir)
+    else fs.delete(new org.apache.hadoop.fs.Path(pqRetrainSnapshot(indexDir)), true)
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/codes"))
+    SafeSwap.recover(fs, new org.apache.hadoop.fs.Path(s"$indexDir/vectors"))
+    if (AppendCommit.recover(fs, indexDir))
+      pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
+    ()
+  }
+
+  /** The committed half of a codebook retrain: re-run the full trained
+    * base build over the durable live-vector snapshot under the
+    * artifact's FROZEN structural config (read from meta — present for
+    * every artifact a retrain can reach, because [[maintainPqCodebooks]]
+    * backfills meta before it ever rebuilds), drop the already-applied
+    * tombstones, clear marker + snapshot, and invalidate this
+    * artifact's resident book + relations (every store, including the
+    * trained book itself, just changed). Idempotent from ANY crash
+    * point: every write is an overwrite of a derived store and the
+    * snapshot is the single source of truth, so [[recoverPq]] re-runs
+    * it wholesale and no reader ever sees a mixed-codebook artifact. */
+  private def rebuildPqFromSnapshot(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    savePqIndexOf(spark.read.parquet(pqRetrainSnapshot(indexDir)), indexDir,
+      meta.getAs[Int]("n_coarse"), meta.getAs[Int]("n_sub"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("k"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/tombstones"), true)
+    fs.delete(pqRetrainMarker(indexDir), false)
+    fs.delete(new org.apache.hadoop.fs.Path(pqRetrainSnapshot(indexDir)), true)
+    pqLoadedBookCache.remove((spark, indexDir))
+    pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
+    ()
+  }
+
+  /** Codebook-drift maintenance for the TRAINED family — the lifecycle
+    * step frozen codebooks otherwise lack, and the PQ analog of
+    * [[graft.ops.LshIndex.maintainGeometry]]: production PQ trains once
+    * (day 1's batch) and every later delta encodes under the frozen
+    * coarse/sub/PQ books, so as the corpus outgrows and drifts off the
+    * training sample, ADC recall decays SILENTLY at fixed rerank (the
+    * q140 table's measured shape). This probes two bounded signals
+    * against the provenance frozen in `meta`:
+    *
+    *   - GROWTH: live vectors ≥ `growthFactor` × the training-set size
+    *     (the corpus has outgrown the sample the books summarize);
+    *   - QUALITY: measured mean explained energy has DECAYED to ≤ the
+    *     train-time value / `explainedDecay` ([[meanExplainedMicros]] —
+    *     one order-free narrow-column aggregate over the codes store,
+    *     tombstones out; a distribution shift shows up here even at
+    *     constant size, because new vectors sit farther from the frozen
+    *     sub-centroids, the geometry explains less of their energy, and
+    *     PQ is left compressing more with the same 8 codes).
+    *
+    * Either trips a RETRAIN-AND-RE-ENCODE rebuild: the live set is
+    * snapshotted (the rebuild overwrites the very stores it reads), the
+    * marker commits the intent, and the full trained base build re-runs
+    * from the snapshot — deterministic, so the result is EXACTLY the
+    * artifact a fresh [[savePqIndexOf]] over the live corpus would
+    * build (the q173 gate pins the serve under q138's full-corpus
+    * oracle). The structural config (nCoarse/nSub/m/k) stays frozen
+    * across retrains — the gate-comparable contract; re-deriving it
+    * adaptively is the caller's choice via an explicit rebuild.
+    * Idempotent: after a rebuild the meta freezes the live count and
+    * the re-measured residual reproduces bit-exactly, so a second run
+    * measures its own frozen values and does nothing. A pre-meta
+    * artifact BACKFILLS provenance from the artifact itself (structural
+    * config from the stores, the live measurements as the frozen
+    * baseline) and returns None — the first run after upgrade
+    * establishes the baseline rather than guessing one.
+    *
+    * Returns (trainedOn, liveNow) if a rebuild ran. */
+  def maintainPqCodebooks(spark: SparkSession, indexDir: String,
+      growthFactor: Double = 2.0, explainedDecay: Double = 1.5): Option[(Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    recoverPq(spark, indexDir)
+    val dead = vecTombstonesOf(spark, indexDir)
+    val liveCodes = dropDead(
+      spark.read.parquet(s"$indexDir/codes").select("vec_id", "proj"), dead)
+    val liveCount = liveCodes.count()
+    val measured = meanExplainedMicros(liveCodes)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$indexDir/meta"))) {
+      val book = readPqBook(spark, indexDir)
+      val nCoarse = spark.read.parquet(s"$indexDir/coarse").count().toInt
+      val nSub = (spark.read.parquet(s"$indexDir/subcents").count() /
+        math.max(nCoarse, 1)).toInt
+      writePqMeta(spark, indexDir, nCoarse, nSub, book.m, book.k,
+        liveCount, measured)
+      return None
+    }
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val nTrained = meta.getAs[Long]("n_trained")
+    val frozen = meta.getAs[Double]("explained_micros")
+    val drifted = liveCount >= growthFactor * nTrained ||
+      (frozen > 0.0 && measured * explainedDecay <= frozen)
+    if (!drifted) return None
+    dropDead(spark.read.parquet(s"$indexDir/vectors"), dead)
+      .write.mode("overwrite").parquet(pqRetrainSnapshot(indexDir))
+    fs.create(pqRetrainMarker(indexDir), true).close() // the commit point
+    rebuildPqFromSnapshot(spark, indexDir)
+    Some((nTrained, liveCount))
+  }
+
+  /** q173: the codebook-drift maintenance path under q138's oracle —
+    * the trained-family analog of [[graft.ops.LshIndex
+    * .lshTopKRegeometried]] (q171). The artifact starts in the drifted
+    * production shape: books TRAINED on the first `baseCount` vectors
+    * (the day-1 bootstrap batch — every seed id present, so the build
+    * is well-formed, just summarizing a corpus 100× smaller than what
+    * it grows into), the whole remaining corpus appended under those
+    * frozen books. [[maintainPqCodebooks]] must measure the drift
+    * (growth trigger) and retrain-and-re-encode; because the rebuild is
+    * the deterministic full base build over the live set, the serve
+    * afterward must be EXACTLY the fresh full-corpus build's relation —
+    * pinned in the hash gate, not just spec-asserted. A second
+    * maintenance call must measure its own frozen values and hold
+    * still. */
+  def pqTopKRetrained(spark: SparkSession, dir: String,
+      nCoarse: Int = 8, nSub: Int = 4, m: Int = 8, k: Int = 64,
+      nProbe1: Int = 4, nProbe2: Int = 2,
+      nQueries: Int = 100, topK: Int = 3, rerank: Int = 16,
+      baseCount: Int = 64): DataFrame = {
+    val indexDir = persistedPq.getOrCreate(
+      spark, s"$dir#retrain:$nCoarse:$nSub:$m:$k:$baseCount") { tmp =>
+      val e = unitEmbeddings(spark, dir)
+      savePqIndexOf(e.where(col("vec_id") < baseCount), tmp, nCoarse, nSub, m, k)
+      appendPqDelta(e.where(col("vec_id") >= baseCount), tmp)
+      require(maintainPqCodebooks(spark, tmp).isDefined,
+        "the drifted artifact must retrain onto the live corpus")
+      require(maintainPqCodebooks(spark, tmp).isEmpty,
+        "a retrained artifact must measure its own baseline and hold still")
+    }
+    pqTopKFromIndex(spark, indexDir, nProbe1, nProbe2, nQueries, topK, rerank)
   }
 
   /** Drop a dead set's rows from the compressed artifact: only the

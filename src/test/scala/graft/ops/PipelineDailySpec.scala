@@ -131,6 +131,29 @@ class PipelineDailySpec extends AnyFunSuite {
     } finally rm(new java.io.File(work))
   }
 
+  test("maintenance retrains drifted PQ codebooks exactly once") {
+    val work = tmpDir("graft-daily-pqdrift")
+    try {
+      // day 1 trains the books on a SMALL bootstrap batch; day 2 grows
+      // the corpus well past the growth trigger's 2× of that sample
+      Pipeline.runDaily(spark, dir, work, batchPct = 10)
+      Pipeline.runDaily(spark, dir, work, batchPct = 60)
+      val booksBefore = spark.read.parquet(s"$work/pq/pqbook")
+        .orderBy("j", "code").collect().map(_.toString).toSeq
+      val first = Pipeline.runMaintenance(spark, dir, work)
+      assert(first.pqRetrain.isDefined,
+        "a corpus at far past 2x the training sample did not retrain")
+      assert(spark.read.parquet(s"$work/pq/pqbook")
+          .orderBy("j", "code").collect().map(_.toString).toSeq != booksBefore,
+        "the 'retrain' kept the day-1 books")
+      // the retrained artifact froze its own baseline: a second
+      // maintenance run measures it and holds still
+      val second = Pipeline.runMaintenance(spark, dir, work)
+      assert(second.pqRetrain.isEmpty, "the retrained artifact re-tripped")
+      assert(second.servedPq == first.servedPq)
+    } finally rm(new java.io.File(work))
+  }
+
   test("maintenance retires, compacts and serves; a second run changes nothing") {
     val work = tmpDir("graft-daily-maint")
     try {
