@@ -447,6 +447,12 @@ object SparkEntry {
     // re-scans held text) and must keep EXACTLY the docs the direct
     // batch rule (quality gate -> vs-corpus fp kill -> min keeper) keeps
     "q172_curated_batch_from_index" -> ((s, d) => Pipeline.curatedBatchFromIndex(s, d)),
+    // q174: the fingerprint membership store's COMPOSED lifecycle (base
+    // + delta + tombstones + resurrection + compaction) probed by the
+    // q172 curation rule — no trained state, so the lifecycle ≡ a fresh
+    // build of the surviving held set, and the oracle is q172's with
+    // the held side restricted to the survivors
+    "q174_curated_batch_lifecycle" -> ((s, d) => Pipeline.curatedBatchLifecycle(s, d)),
     // q166: q163's fused relation served entirely from the persisted
     // BM25 + LSH artifacts — the RAG restart shape (a redeployed
     // service holds only its indexes): lexical pool from the
@@ -2341,6 +2347,39 @@ object SparkEntry {
         |held AS (
         |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         |  FROM documents WHERE (doc_id * 2654435761) % 100 >= 30),
+        |qf AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM q),
+        |fresh AS (SELECT qf.doc_id, qf.fp FROM qf ANTI JOIN held USING (fp))
+        |SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp
+        |ORDER BY doc_id""".stripMargin,
+    // q174: q172's curation rule probed against the lifecycle-composed
+    // store — held restricted to the SURVIVORS of the delete set (a
+    // deleted doc re-appended with (doc_id*104729)%100 < 40 resurrects;
+    // the rest stay expunged, so their fingerprints no longer kill).
+    // The batch additionally carries re-keyed copies of every 7th held
+    // doc (the corpus itself has zero duplicate fingerprints, so raw
+    // docs would never exercise the kill): a copy kills iff its
+    // original survived the lifecycle
+    "q174_curated_batch_lifecycle" ->
+      """WITH batch AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE (doc_id * 2654435761) % 100 < 30
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, n_chars FROM documents
+        |  WHERE (doc_id * 2654435761) % 100 >= 30 AND doc_id % 7 = 0),
+        |q AS (
+        |  SELECT doc_id, text FROM batch
+        |  WHERE round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |      + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|of|to|and|is|in)\b')) * 10.0 /
+        |          greatest(len(regexp_extract_all(text, '\S+')), 1), 1.0)
+        |      + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |          greatest(length(text), 1)), 4) >= 0.5),
+        |held AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents WHERE (doc_id * 2654435761) % 100 >= 30
+        |    AND NOT ((doc_id * 7919) % 100 < 30 AND (doc_id * 104729) % 100 >= 40)),
         |qf AS (
         |  SELECT doc_id,
         |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g'))) AS fp

@@ -64,8 +64,14 @@ object FingerprintIndex {
 
   /** Replay-guarded delta append: doc_ids the store already holds
     * anti-join out (a retried ingest is a no-op); a first delta into an
-    * empty dir IS the base build. Appended rows land as dynamic
-    * partition appends touching only the delta's fp buckets. */
+    * empty dir IS the base build; a delta doc_id present in the
+    * tombstone set is being deliberately RE-INGESTED — its dead rows
+    * expunge and its tombstone withdraws BEFORE the replay guard runs,
+    * so the fresh row appends and neither generation double-serves
+    * (the [[LshIndex.appendLshDelta]] resurrection contract; without
+    * it, the guard would silently absorb the re-ingest and the next
+    * compaction would erase the doc for good). Appended rows land as
+    * dynamic partition appends touching only the delta's fp buckets. */
   def appendFingerprintDelta(deltaDocs: DataFrame, indexDir: String,
       fpBuckets: Int = DefaultFpBuckets): Unit = {
     val spark = deltaDocs.sparkSession
@@ -74,6 +80,17 @@ object FingerprintIndex {
     if (!fs.exists(fsPath(s"$indexDir/meta"))) {
       saveFingerprintIndexOf(deltaDocs, indexDir, fpBuckets)
       return
+    }
+    tombstonesOf(spark, indexDir).foreach { dead =>
+      val overlap = dead.join(deltaDocs.select("doc_id"), Seq("doc_id")).cache()
+      if (overlap.count() > 0) {
+        expunge(spark, indexDir, overlap)
+        val tsTmp = s"$indexDir/tombstones_withdraw_tmp"
+        dead.join(overlap, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(tsTmp)
+        SafeSwap.swapDir(fs, fsPath(s"$indexDir/tombstones"), fsPath(tsTmp))
+      }
+      overlap.unpersist(blocking = false)
     }
     val frozen = readMeta(spark, indexDir)
     val fresh = fpRows(deltaDocs).join(
@@ -126,10 +143,31 @@ object FingerprintIndex {
     else None
   }
 
-  /** Expunge the tombstones: only the fp_bucket partitions holding a
-    * dead doc's row rewrite (named by joining the dead set against the
-    * store — cost ∝ |dead| + touched partitions), tombstones deleted
-    * LAST (the commit point); crash-safe via [[SafeSwap]]. */
+  /** Drop a dead set's rows from the store: only the fp_bucket
+    * partitions holding a dead doc's row rewrite (named by joining the
+    * dead set against the store — cost ∝ |dead| + touched partitions);
+    * crash-safe via [[SafeSwap]]. Shared by [[compactFingerprintIndex]]
+    * (whole tombstone set) and the resurrection path in
+    * [[appendFingerprintDelta]] (the re-ingested overlap only). */
+  private def expunge(spark: SparkSession, indexDir: String,
+      dead: DataFrame): Unit = {
+    val fs = hadoopFs(spark, indexDir)
+    val store = spark.read.parquet(s"$indexDir/fingerprints")
+    val touched = store.join(dead, Seq("doc_id"))
+      .select(col("fp_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ fpBuckets values
+    if (touched.nonEmpty) {
+      val tmp = s"$indexDir/fingerprints_compact_tmp"
+      store.where(col("fp_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
+        .join(dead, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("fp_bucket").parquet(tmp)
+      SafeSwap.swapPartitions(fs, fsPath(s"$indexDir/fingerprints"), fsPath(tmp),
+        touched.toIndexedSeq.map(b => s"fp_bucket=$b"))
+    }
+  }
+
+  /** Expunge the tombstones ([[expunge]] over the whole set), tombstones
+    * deleted LAST (the commit point). */
   def compactFingerprintIndex(spark: SparkSession, indexDir: String): Unit = {
     val fs = hadoopFs(spark, indexDir)
     recoverStores(spark, indexDir)
@@ -140,18 +178,7 @@ object FingerprintIndex {
       return
     }
     tombstonesOf(spark, indexDir).foreach { dead =>
-      val store = spark.read.parquet(s"$indexDir/fingerprints")
-      val touched = store.join(dead, Seq("doc_id"))
-        .select(col("fp_bucket").cast("long")).distinct()
-        .collect().map(_.getLong(0)) // bounded: ≤ fpBuckets values
-      if (touched.nonEmpty) {
-        val tmp = s"$indexDir/fingerprints_compact_tmp"
-        store.where(col("fp_bucket").isin(touched.toIndexedSeq.map(Long.box): _*))
-          .join(dead, Seq("doc_id"), "left_anti")
-          .write.mode("overwrite").partitionBy("fp_bucket").parquet(tmp)
-        SafeSwap.swapPartitions(fs, fsPath(s"$indexDir/fingerprints"), fsPath(tmp),
-          touched.toIndexedSeq.map(b => s"fp_bucket=$b"))
-      }
+      expunge(spark, indexDir, dead)
       fs.delete(fsPath(s"$indexDir/tombstones"), true)
     }
   }

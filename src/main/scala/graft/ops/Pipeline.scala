@@ -62,6 +62,58 @@ object Pipeline {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** q174: the fingerprint family's COMPOSED lifecycle under q172's
+    * oracle shape — the q165/q162 contract for the membership store:
+    * base build (the held corpus's even half) → delta append (the odd
+    * half) → tombstone a delete set spanning both → re-append half the
+    * deleted docs (RESURRECTION — the append expunges their dead rows
+    * and withdraws their tombstones) → compact → probe. Because the
+    * store holds no trained state, the composition ≡ a fresh build of
+    * the surviving held set EXACTLY, and the gate pins the curation
+    * answer against q172's oracle with the held side restricted to the
+    * survivors.
+    *
+    * The corpus carries NO exact-normalized duplicates (measured: zero
+    * colliding fingerprints at sf0.001 and sf0.01), so a batch of raw
+    * corpus docs would never exercise the kill and the gate would be
+    * vacuously q172. The probe batch therefore ALSO carries re-keyed
+    * COPIES of every 7th held doc (doc_id + 10⁷, same text — the
+    * arriving-scrape-of-an-already-held-page shape): a copy whose
+    * original SURVIVES the delete set must be killed by the probe, and
+    * a copy whose original was retired-and-not-resurrected must be
+    * KEPT — both directions of the lifecycle's membership change land
+    * in the answer (49 copies → 8 kept / 41 killed at gate scale). */
+  def curatedBatchLifecycle(spark: SparkSession, dir: String,
+      batchPct: Int = 30, deletePct: Int = 30, reappendPct: Int = 40,
+      copyMod: Int = 7): DataFrame = {
+    val held0 = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(100)) >= batchPct)
+    val fpDir = persistedFp.getOrCreate(spark,
+        s"$dir#lifecycle:$batchPct:$deletePct:$reappendPct") { tmp =>
+      val held = held0.select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(7919L), lit(100)) < deletePct).as("deleted"),
+        (pmod(col("doc_id") * lit(104729L), lit(100)) < reappendPct).as("reappend"))
+      FingerprintIndex.saveFingerprintIndexOf(
+        held.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id", "text"), tmp)
+      FingerprintIndex.appendFingerprintDelta(
+        held.where(pmod(col("doc_id"), lit(2)) === 1).select("doc_id", "text"), tmp)
+      FingerprintIndex.tombstoneDocs(held.where(col("deleted")).select("doc_id"), tmp)
+      FingerprintIndex.appendFingerprintDelta(
+        held.where(col("deleted") && col("reappend")).select("doc_id", "text"), tmp)
+      FingerprintIndex.compactFingerprintIndex(spark, tmp)
+    }
+    // n_chars rides along explicitly: the quality gate references it,
+    // and a Union (unlike a plain Project) can't resolve it from below
+    val incoming = Tables.documents(spark, dir)
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct)
+      .select("doc_id", "text", "n_chars")
+      .unionByName(held0.where(pmod(col("doc_id"), lit(copyMod)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          col("text"), col("n_chars")))
+    curatedDeltaFromIndex(incoming, fpDir)
+      .select("doc_id").orderBy("doc_id")
+  }
+
   /** Release this session's memoized fingerprint artifacts. */
   def releaseStages(spark: SparkSession): Int = persistedFp.release(spark)
 

@@ -48,6 +48,34 @@ class FingerprintIndexSpec extends AnyFunSuite {
     } finally { rm(new java.io.File(inc)); rm(new java.io.File(full)) }
   }
 
+  test("a tombstoned doc re-appended RESURRECTS: lifecycle equals a fresh build of the survivors") {
+    val life = tmpDir("graft-fpidx-life")
+    val ref = tmpDir("graft-fpidx-ref")
+    try {
+      val split = docs.select(col("doc_id"), col("text"),
+        (pmod(col("doc_id") * lit(7919L), lit(100)) < 10).as("deleted"),
+        (pmod(col("doc_id") * lit(104729L), lit(100)) < 50).as("reappend"))
+      FingerprintIndex.saveFingerprintIndexOf(docs, life)
+      FingerprintIndex.tombstoneDocs(split.where(col("deleted")).select("doc_id"), life)
+      // the resurrection: re-ingesting half the deleted docs must
+      // expunge their dead rows and withdraw their tombstones BEFORE
+      // the replay guard — a bare guard would absorb the re-ingest and
+      // the compaction below would erase them for good
+      FingerprintIndex.appendFingerprintDelta(
+        split.where(col("deleted") && col("reappend")).select("doc_id", "text"), life)
+      FingerprintIndex.compactFingerprintIndex(spark, life)
+      FingerprintIndex.saveFingerprintIndexOf(
+        split.where(!col("deleted") || col("reappend")).select("doc_id", "text"), ref)
+      def rows(d: String) = spark.read.parquet(s"$d/fingerprints")
+        .select("doc_id", "fp", "fp_bucket")
+        .collect().map(_.toString).toSeq.sorted
+      assert(rows(life) == rows(ref),
+        "the composed lifecycle diverged from a fresh build of the survivors")
+      assert(!new java.io.File(s"$life/tombstones").exists,
+        "compaction never committed")
+    } finally { rm(new java.io.File(life)); rm(new java.io.File(ref)) }
+  }
+
   test("probe flags exactly the held exact-duplicates, never itself; tombstones hide docs") {
     import spark.implicits._
     val out = tmpDir("graft-fpidx-probe")
