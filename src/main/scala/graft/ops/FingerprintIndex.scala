@@ -93,10 +93,33 @@ object FingerprintIndex {
       overlap.unpersist(blocking = false)
     }
     val frozen = readMeta(spark, indexDir)
-    val fresh = fpRows(deltaDocs).join(
-      spark.read.parquet(s"$indexDir/fingerprints").select("doc_id"),
+    val deltaFps = fpRows(deltaDocs)
+    val fresh = deltaFps.join(guardHeldIds(spark, indexDir, deltaFps, frozen),
       Seq("doc_id"), "left_anti")
     writeFps(fresh, frozen, indexDir, "append")
+  }
+
+  /** The replay guard's DELTA-PROPORTIONAL store scan: the held doc_ids
+    * the incoming delta could possibly collide with. `fp` is a pure
+    * function of the text, so a REPLAYED doc's row sits in exactly the
+    * fp_bucket its delta row hashes to — the delta's bucket vocabulary
+    * (collected locally, ≤ fpBuckets longs) pushes a static partition
+    * filter into the guard scan, the same prune [[probeFingerprints]]
+    * runs two lines later. Guard cost is ∝ the delta's bucket
+    * vocabulary, never the corpus — without the prune, every nightly
+    * append paid a corpus-wide narrow-column scan just to discover the
+    * delta was (mostly) fresh. Sound under the guard's own replay
+    * semantics (same doc_id ⇒ same bytes): a doc_id re-ingested with
+    * DIFFERENT text is a new document version, which this store's
+    * contract routes through tombstone + re-append, not the guard. */
+  private[ops] def guardHeldIds(spark: SparkSession, indexDir: String,
+      deltaFps: DataFrame, fpBuckets: Int): DataFrame = {
+    val deltaBuckets = deltaFps
+      .select(pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: ≤ fpBuckets values
+    spark.read.parquet(s"$indexDir/fingerprints")
+      .where(col("fp_bucket").isin(deltaBuckets: _*))
+      .select("doc_id")
   }
 
   /** Which held docs does each probe doc exactly duplicate (normalized

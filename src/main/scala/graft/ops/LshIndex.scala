@@ -24,14 +24,18 @@ import graft.functions.VectorFunctions.dotProduct
   * geometries in one store would silently zero recall across the split.
   *
   * Layout (the postings/image-index twins):
-  *   - `$dir/vectors` — (vec_id, u): unit vectors; the replay guard's
-  *     column-pruned scan target AND the exact-rescore store.
+  *   - `$dir/vectors` — (vec_id, u), partitioned by `id_bucket =
+  *     pmod(xxhash64(vec_id), B)`: the exact-rescore store, AND the
+  *     replay guard's scan target — the guard and the expunge prune to
+  *     the id buckets their id-set hashes to, so append/delete cost is
+  *     ∝ the delta, never the corpus.
   *   - `$dir/buckets` — (vec_id, tbl, bucket), partitioned by
   *     `bucket_bucket = pmod(xxhash64(tbl, bucket), B)`: the probe-side
   *     store. A small probe batch collects its bucket ids locally and
   *     pushes a static partition filter — probe cost ∝ the batch's
   *     bucket vocabulary, never the corpus.
-  *   - `$dir/meta` — (bits, n_tables): the frozen geometry.
+  *   - `$dir/meta` — (bits, n_tables, bucket_buckets, id_buckets): the
+  *     frozen geometry, config AND layout moduli.
   *   - `$dir/tombstones` — (vec_id): anti-joined at serve, expunged by
   *     [[compactLshIndex]].
   *
@@ -47,6 +51,13 @@ object LshIndex {
     * artifact listable while a probe batch still prunes to ≤ its own
     * bucket vocabulary. */
   val DefaultBucketBuckets = 64
+
+  /** Partition count of the vectors store (`id_bucket =
+    * pmod(xxhash64(vec_id), B)`): the delta append's replay guard and
+    * the expunge's touched-partition rewrite both prune to the id
+    * buckets their id-set hashes to — guard/delete cost ∝ the delta,
+    * never the corpus. */
+  val DefaultIdBuckets = 64
 
   private val persistedIndex = new TempArtifacts("graft-lsh-index")
   private[ops] def persistedIndexDirFor(spark: SparkSession, dir: String): Option[String] =
@@ -124,7 +135,7 @@ object LshIndex {
   def maintainGeometry(spark: SparkSession, indexDir: String): Option[(Int, Int)] = {
     val fs = hadoopFs(spark, indexDir)
     recoverStores(spark, indexDir)
-    val (bits, nTables, _) = readMeta(spark, indexDir)
+    val (bits, nTables, _, _) = readMeta(spark, indexDir)
     val live = liveVectors(spark, indexDir)
     val target = Similarity.adaptiveLshConfig(live.count())
     if (target == ((bits, nTables))) return None
@@ -169,23 +180,25 @@ object LshIndex {
     hadoopFs(spark, indexDir).delete(fsPath(staging), true)
   }
 
-  /** (bits, nTables, bucketBuckets) — ALL THREE are frozen geometry:
-    * mixing bucket keys from two (bits, nTables) in one store zeroes
-    * recall across the split, and mixing two partition-dir counts makes
-    * the serve-time partition prune silently miss rows landed under the
-    * other modulus. */
-  private def readMeta(spark: SparkSession, indexDir: String): (Int, Int, Int) = {
+  /** (bits, nTables, bucketBuckets, idBuckets) — ALL FOUR are frozen
+    * geometry: mixing bucket keys from two (bits, nTables) in one store
+    * zeroes recall across the split, and mixing two partition-dir
+    * counts (either store's) makes the corresponding partition prune
+    * silently miss rows landed under the other modulus. */
+  private def readMeta(spark: SparkSession, indexDir: String): (Int, Int, Int, Int) = {
     val r = spark.read.parquet(s"$indexDir/meta").head()
-    // FAIL FAST, never guess: the serve/expunge partition prune is only
-    // sound under the exact modulus the writes used. Guessing a default
-    // for an artifact whose meta predates the field would let a
-    // non-default-built store serve silently-empty candidates (probes
+    // FAIL FAST, never guess: the serve/expunge/guard partition prunes
+    // are only sound under the exact modulus the writes used. Guessing
+    // a default for an artifact whose meta predates the field would let
+    // a non-default-built store serve silently-empty candidates (probes
     // hashed mod 64 miss dirs laid out mod 16) — an error is the safe
-    // answer; rebuild the artifact.
-    require(r.schema.fieldNames.contains("bucket_buckets"),
-      s"$indexDir/meta lacks bucket_buckets (pre-partition-prune artifact); " +
+    // answer; migrate the artifact.
+    require(r.schema.fieldNames.contains("bucket_buckets") &&
+        r.schema.fieldNames.contains("id_buckets"),
+      s"$indexDir/meta predates the partition-prune layout; " +
         "run LshIndex.migrateLshIndex once to upgrade it in place")
-    (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"), r.getAs[Int]("bucket_buckets"))
+    (r.getAs[Int]("bits"), r.getAs[Int]("n_tables"),
+      r.getAs[Int]("bucket_buckets"), r.getAs[Int]("id_buckets"))
   }
 
   /** One-shot in-place upgrade of a pre-partition-prune artifact (meta
@@ -203,25 +216,40 @@ object LshIndex {
     * meta lands, readers still fail fast rather than mix layouts).
     * Idempotent: a current-layout artifact is a no-op. */
   def migrateLshIndex(spark: SparkSession, indexDir: String,
-      bucketBuckets: Int = DefaultBucketBuckets): Boolean = {
+      bucketBuckets: Int = DefaultBucketBuckets,
+      idBuckets: Int = DefaultIdBuckets): Boolean = {
     val fs = hadoopFs(spark, indexDir)
     recoverStores(spark, indexDir)
     val meta = spark.read.parquet(s"$indexDir/meta").head()
-    if (meta.schema.fieldNames.contains("bucket_buckets")) return false
+    if (meta.schema.fieldNames.contains("bucket_buckets") &&
+        meta.schema.fieldNames.contains("id_buckets")) return false
     val (bits, nTables) = (meta.getAs[Int]("bits"), meta.getAs[Int]("n_tables"))
-    // overwrite of the buckets store IS the rebuild; a crash mid-write
-    // leaves a meta that still fails fast, so the artifact stays
-    // unreadable-LOUDLY during the window, never silently mixed-layout
-    writeBuckets(spark.read.parquet(s"$indexDir/vectors"), bits, nTables,
+    // re-layout the vectors store first (tmp + swap — the rewrite reads
+    // the store it replaces), then rebuild the bucket store from it; a
+    // crash mid-migration leaves a meta that still fails fast, so the
+    // artifact stays unreadable-LOUDLY during the window, never
+    // silently mixed-layout
+    val vTmp = s"$indexDir/vectors_migrate_tmp"
+    spark.read.parquet(s"$indexDir/vectors").select(col("vec_id"), col("u"))
+      .withColumn("id_bucket", pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(vTmp)
+    SafeSwap.swapDir(fs, fsPath(s"$indexDir/vectors"), fsPath(vTmp))
+    writeBuckets(vectorsStore(spark, indexDir), bits, nTables,
       bucketBuckets, indexDir, "overwrite")
     import spark.implicits._
     val mTmp = s"$indexDir/meta_migrate_tmp"
-    Seq((bits, nTables, bucketBuckets))
-      .toDF("bits", "n_tables", "bucket_buckets")
+    Seq((bits, nTables, bucketBuckets, idBuckets))
+      .toDF("bits", "n_tables", "bucket_buckets", "id_buckets")
       .coalesce(1).write.mode("overwrite").parquet(mTmp)
     SafeSwap.swapDir(fs, fsPath(s"$indexDir/meta"), fsPath(mTmp))
     true
   }
+
+  /** The vectors store in its public (vec_id, u) shape — every reader
+    * goes through this so the physical `id_bucket` partition column
+    * never leaks into served relations. */
+  private def vectorsStore(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors").select(col("vec_id"), col("u"))
 
   /** Persist the index from an arbitrary unit-vector relation. Geometry
     * defaults to the adaptive derivation over THIS relation's count —
@@ -229,22 +257,24 @@ object LshIndex {
     * the artifact's meta for every later delta. */
   def saveLshIndexOf(vecs: DataFrame, outDir: String,
       bits: Int = 0, nTables: Int = 0,
-      bucketBuckets: Int = DefaultBucketBuckets): Unit = {
-    require(bucketBuckets > 0, "bucket count must be positive")
+      bucketBuckets: Int = DefaultBucketBuckets,
+      idBuckets: Int = DefaultIdBuckets): Unit = {
+    require(bucketBuckets > 0 && idBuckets > 0, "bucket counts must be positive")
     val spark = vecs.sparkSession
     val (bitsEff, nTablesEff) =
       if (bits > 0 && nTables > 0) (bits, nTables)
       else Similarity.adaptiveLshConfig(vecs.count())
     require(bitsEff <= 30, "bucket keys fold into one positive Int")
     vecs.select(col("vec_id"), col("u"))
-      .write.mode("overwrite").parquet(s"$outDir/vectors")
+      .withColumn("id_bucket", pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/vectors")
     // bucket store derives from the just-written vectors parquet — a
     // second scan of the artifact, not of the upstream corpus
-    writeBuckets(spark.read.parquet(s"$outDir/vectors"), bitsEff, nTablesEff,
+    writeBuckets(vectorsStore(spark, outDir), bitsEff, nTablesEff,
       bucketBuckets, outDir, "overwrite")
     import spark.implicits._
-    Seq((bitsEff, nTablesEff, bucketBuckets))
-      .toDF("bits", "n_tables", "bucket_buckets")
+    Seq((bitsEff, nTablesEff, bucketBuckets, idBuckets))
+      .toDF("bits", "n_tables", "bucket_buckets", "id_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
   }
 
@@ -284,7 +314,7 @@ object LshIndex {
         bucketBuckets = bucketBuckets)
       return
     }
-    val (bits, nTables, frozenBuckets) = readMeta(spark, indexDir)
+    val (bits, nTables, frozenBuckets, idBuckets) = readMeta(spark, indexDir)
     val delta = deltaVecs.select(col("vec_id"), col("u")).cache()
     delta.count()
     tombstonesOf(spark, indexDir).foreach { dead =>
@@ -298,8 +328,7 @@ object LshIndex {
       }
       overlap.unpersist(blocking = false)
     }
-    val fresh = delta.join(
-        spark.read.parquet(s"$indexDir/vectors").select("vec_id"),
+    val fresh = delta.join(guardHeldIds(spark, indexDir, delta, idBuckets),
         Seq("vec_id"), "left_anti").cache()
     fresh.count()
     // WRITE ORDER MATTERS (the appendPostingsDelta/appendPqDelta
@@ -315,10 +344,32 @@ object LshIndex {
     // the whole delta and no duplicate row ever exists in either store.
     AppendCommit.begin(fs, indexDir, Seq("buckets", "vectors"))
     writeBuckets(fresh, bits, nTables, frozenBuckets, indexDir, "append")
-    fresh.write.mode("append").parquet(s"$indexDir/vectors")
+    fresh.withColumn("id_bucket",
+        pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)))
+      .write.mode("append").partitionBy("id_bucket").parquet(s"$indexDir/vectors")
     AppendCommit.commit(fs, indexDir)
     fresh.unpersist(blocking = false)
     delta.unpersist(blocking = false)
+  }
+
+  /** The replay guard's DELTA-PROPORTIONAL store scan: the held vec_ids
+    * the incoming delta could collide with. The vectors store is laid
+    * out by `id_bucket = pmod(xxhash64(vec_id), idBuckets)`, so a
+    * replayed vec_id's row sits in exactly the bucket its delta row
+    * hashes to — the delta's id-bucket vocabulary (collected locally,
+    * ≤ idBuckets longs) pushes a static partition filter into the guard
+    * scan. Guard cost ∝ the delta's bucket vocabulary, never the
+    * corpus: without the prune, every nightly append paid a corpus-wide
+    * narrow-column scan + shuffle just to re-discover its own delta was
+    * fresh. */
+  private[ops] def guardHeldIds(spark: SparkSession, indexDir: String,
+      delta: DataFrame, idBuckets: Int): DataFrame = {
+    val deltaBuckets = delta
+      .select(pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: ≤ idBuckets values
+    spark.read.parquet(s"$indexDir/vectors")
+      .where(col("id_bucket").isin(deltaBuckets: _*))
+      .select("vec_id")
   }
 
   /** Retire vectors — tombstones, not rewrites (cost ∝ |deletes|);
@@ -334,20 +385,21 @@ object LshIndex {
     else None
   }
 
-  /** Drop a dead set's rows from both stores: vectors rewrites wholesale
-    * (the artifact's narrow per-vector relation — the dl/hashes
-    * precedent), the bucket store rewrites only the partitions holding a
-    * dead vector's rows. Which partitions those are is DERIVED, not
-    * discovered: bucket keys are pure functions of the vector, so the
-    * dead set's own signatures (recomputed from the vectors store under
-    * the frozen geometry — bit-identical to what the write landed) name
-    * the touched `bucket_bucket` dirs without scanning the full bucket
-    * store; expunge cost is ∝ |dead| + the touched partitions. */
+  /** Drop a dead set's rows from both stores, touched partitions only.
+    * Which partitions those are is DERIVED, not discovered: both
+    * stores' partition keys are pure functions of the row — the dead
+    * set's own signatures (recomputed from the vectors store under the
+    * frozen geometry — bit-identical to what the write landed) name the
+    * touched `bucket_bucket` dirs, and the dead ids themselves hash to
+    * the touched `id_bucket` dirs (no scan at all). Expunge cost is
+    * ∝ |dead| + the touched partitions — the wholesale vectors rewrite
+    * this replaced was the one corpus-proportional term left in the
+    * delete path. */
   private def expunge(spark: SparkSession, indexDir: String, dead: DataFrame): Unit = {
     val fs = hadoopFs(spark, indexDir)
-    val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
+    val (bits, nTables, bucketBuckets, idBuckets) = readMeta(spark, indexDir)
     val buckets = spark.read.parquet(s"$indexDir/buckets")
-    val deadVecs = spark.read.parquet(s"$indexDir/vectors")
+    val deadVecs = vectorsStore(spark, indexDir)
       .join(dead, Seq("vec_id"), "left_semi")
     val touched = Similarity.lshSignaturesOf(deadVecs, bits, nTables)
       .select(posexplode(col("buckets")).as(Seq("tbl", "bucket")))
@@ -362,11 +414,18 @@ object LshIndex {
       SafeSwap.swapPartitions(fs, fsPath(s"$indexDir/buckets"), fsPath(tmp),
         touched.toIndexedSeq.map(b => s"bucket_bucket=$b"))
     }
-    val vTmp = s"$indexDir/vectors_compact_tmp"
-    spark.read.parquet(s"$indexDir/vectors")
-      .join(dead, Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(vTmp)
-    SafeSwap.swapDir(fs, fsPath(s"$indexDir/vectors"), fsPath(vTmp))
+    val touchedIds = dead
+      .select(pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ idBuckets values
+    if (touchedIds.nonEmpty) {
+      val vTmp = s"$indexDir/vectors_compact_tmp"
+      spark.read.parquet(s"$indexDir/vectors")
+        .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
+        .join(dead, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("id_bucket").parquet(vTmp)
+      SafeSwap.swapPartitions(fs, fsPath(s"$indexDir/vectors"), fsPath(vTmp),
+        touchedIds.toIndexedSeq.map(b => s"id_bucket=$b"))
+    }
   }
 
   /** Expunge the tombstones — rewrite only touched bucket partitions +
@@ -399,13 +458,13 @@ object LshIndex {
   def lshTopKFromIndex(spark: SparkSession, indexDir: String,
       nQueries: Int = 200, k: Int = 3, maxFlips: Int = 2): DataFrame = {
     recoverStores(spark, indexDir)
-    val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
+    val (bits, nTables, bucketBuckets, _) = readMeta(spark, indexDir)
     val dead = tombstonesOf(spark, indexDir)
     def live(df: DataFrame): DataFrame = dead match {
       case Some(d) => df.join(d, Seq("vec_id"), "left_anti")
       case None => df
     }
-    val vectors = live(spark.read.parquet(s"$indexDir/vectors"))
+    val vectors = live(vectorsStore(spark, indexDir))
     val qv = vectors.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("u").as("qu"))
     val masks = typedLit(Similarity.probeMasks(bits, maxFlips))
@@ -456,7 +515,7 @@ object LshIndex {
       threshold: Double = 0.4): DataFrame = {
     val spark = probeVecs.sparkSession
     recoverStores(spark, indexDir)
-    val (bits, nTables, bucketBuckets) = readMeta(spark, indexDir)
+    val (bits, nTables, bucketBuckets, _) = readMeta(spark, indexDir)
     // UNCACHED on purpose: the probe relation is read twice (the local
     // bucket-id collect below + the candidate join), but each read is
     // one narrow codegen'd projection over the delta. A cache here
@@ -483,7 +542,7 @@ object LshIndex {
       .where(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("pu"), col("vec_id"))
       .dropDuplicates("probe_id", "vec_id")
-    cand.join(spark.read.parquet(s"$indexDir/vectors")
+    cand.join(vectorsStore(spark, indexDir)
         .select(col("vec_id"), col("u").as("nu")), Seq("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         round(dotProduct(col("pu"), col("nu")), 4).as("cos_sim"))
@@ -498,7 +557,7 @@ object LshIndex {
     * and the next compaction. */
   def liveVectors(spark: SparkSession, indexDir: String): DataFrame = {
     recoverStores(spark, indexDir)
-    val raw = spark.read.parquet(s"$indexDir/vectors")
+    val raw = vectorsStore(spark, indexDir)
     tombstonesOf(spark, indexDir) match {
       case Some(dead) => raw.join(dead, Seq("vec_id"), "left_anti")
       case None => raw

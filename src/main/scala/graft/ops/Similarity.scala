@@ -1169,9 +1169,11 @@ object Similarity {
     val codes = pqCodesStage(spark, dir, nCoarse, nSub, m, k)
     codes.write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
     writePqMeta(spark, outDir, nCoarse, nSub, m, k,
-      codes.count(), meanExplainedMicros(codes))
+      codes.count(), meanExplainedMicros(codes), DefaultPqIdBuckets)
     assigned.select(col("vec_id"), col("u"))
-      .write.mode("overwrite").parquet(s"$outDir/vectors")
+      .withColumn("id_bucket",
+        pmod(xxhash64(col("vec_id")), lit(DefaultPqIdBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/vectors")
   }
 
   /** The artifact's frozen-training provenance: the structural config,
@@ -1183,11 +1185,55 @@ object Similarity {
     * present ⇒ build complete) also implies meta is present. */
   private def writePqMeta(spark: SparkSession, outDir: String,
       nCoarse: Int, nSub: Int, m: Int, k: Int,
-      nTrained: Long, explainedMicros: Double): Unit = {
+      nTrained: Long, explainedMicros: Double,
+      idBuckets: Int): Unit = {
     import spark.implicits._
-    Seq((nCoarse, nSub, m, k, nTrained, explainedMicros))
-      .toDF("n_coarse", "n_sub", "m", "k", "n_trained", "explained_micros")
+    Seq((nCoarse, nSub, m, k, nTrained, explainedMicros, idBuckets))
+      .toDF("n_coarse", "n_sub", "m", "k", "n_trained", "explained_micros",
+        "id_buckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
+  /** Partition count of the refine (vectors) store — the delta append's
+    * replay guard and the expunge's rewrite prune to the id buckets
+    * their id-set hashes to. 0 in meta = legacy unpartitioned layout
+    * (pre-upgrade artifact whose provenance was backfilled): guard and
+    * expunge fall back to the full-store forms, and the next codebook
+    * retrain rebuild upgrades the layout for free. */
+  val DefaultPqIdBuckets = 64
+
+  /** The artifact's refine-store layout modulus (0 = legacy
+    * unpartitioned). */
+  private def pqIdBuckets(spark: SparkSession, indexDir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0
+    else {
+      val r = spark.read.parquet(s"$indexDir/meta").head()
+      if (r.schema.fieldNames.contains("id_buckets")) r.getAs[Int]("id_buckets")
+      else 0
+    }
+  }
+
+  /** The refine store in its public (vec_id, u) shape — readers go
+    * through this so the physical `id_bucket` partition column never
+    * leaks into served relations. */
+  private def pqVectorsStore(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vectors").select(col("vec_id"), col("u"))
+
+  /** The replay guard's DELTA-PROPORTIONAL refine-store scan (the
+    * [[LshIndex.guardHeldIds]] twin): the delta's id-bucket vocabulary
+    * (collected locally, ≤ idBuckets longs) pushes a static partition
+    * filter into the guard scan — guard cost ∝ the delta, never the
+    * corpus. */
+  private[ops] def pqGuardHeldIds(spark: SparkSession, indexDir: String,
+      delta: DataFrame, idBuckets: Int): DataFrame = {
+    val deltaBuckets = delta
+      .select(pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: <= idBuckets values
+    spark.read.parquet(s"$indexDir/vectors")
+      .where(col("id_bucket").isin(deltaBuckets: _*))
+      .select("vec_id")
   }
 
   /** Mean EXPLAINED energy of a codes relation in micros: the per-row
@@ -1272,9 +1318,11 @@ object Similarity {
         graft.functions.CodebookFunctions.pqEncode(col("r"), book).as("codes"))
       .write.mode("overwrite").partitionBy("cent_id").parquet(s"$outDir/codes")
     writePqMeta(spark, outDir, nCoarse, nSub, m, k,
-      resid.count(), meanExplainedMicros(resid))
+      resid.count(), meanExplainedMicros(resid), DefaultPqIdBuckets)
     assigned.select(col("vec_id"), col("u"))
-      .write.mode("overwrite").parquet(s"$outDir/vectors")
+      .withColumn("id_bucket",
+        pmod(xxhash64(col("vec_id")), lit(DefaultPqIdBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/vectors")
     Seq(cents, a1, subCents, assigned, resid).foreach(_.unpersist(blocking = false))
   }
 
@@ -1317,9 +1365,13 @@ object Similarity {
       }
       overlap.unpersist(blocking = false)
     }
+    val idB = pqIdBuckets(spark, indexDir)
     val fresh = (
       if (!vfs.exists(vecPath)) deltaVecs
-      else deltaVecs.join(
+      else if (idB > 0) deltaVecs.join(
+        pqGuardHeldIds(spark, indexDir, deltaVecs, idB),
+        Seq("vec_id"), "left_anti")
+      else deltaVecs.join( // legacy unpartitioned layout: full-store guard
         spark.read.parquet(s"$indexDir/vectors").select("vec_id"),
         Seq("vec_id"), "left_anti")).cache()
     fresh.count()
@@ -1336,8 +1388,13 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), col("sub_id"), col("proj"),
         graft.functions.CodebookFunctions.pqEncode(col("r"), book).as("codes"))
       .write.mode("append").partitionBy("cent_id").parquet(s"$indexDir/codes")
-    assigned.select(col("vec_id"), col("u"))
-      .write.mode("append").parquet(s"$indexDir/vectors")
+    val freshVecs = assigned.select(col("vec_id"), col("u"))
+    if (idB > 0)
+      freshVecs.withColumn("id_bucket",
+          pmod(xxhash64(col("vec_id")), lit(idB.toLong)))
+        .write.mode("append").partitionBy("id_bucket").parquet(s"$indexDir/vectors")
+    else
+      freshVecs.write.mode("append").parquet(s"$indexDir/vectors")
     AppendCommit.commit(vfs, indexDir)
     fresh.unpersist(blocking = false)
     // a warm serve caches the artifact relations as of load time — an
@@ -1395,7 +1452,7 @@ object Similarity {
     val codes = rel("codes")(spark.read.parquet(s"$indexDir/codes")
       .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
         col("sub_id"), col("proj"), col("codes")))
-    val vectors = rel("vectors")(spark.read.parquet(s"$indexDir/vectors"))
+    val vectors = rel("vectors")(pqVectorsStore(spark, indexDir))
     (book, coarse, subCents, codes, vectors)
   }
 
@@ -1463,7 +1520,7 @@ object Similarity {
       spark.read.parquet(s"$indexDir/codes")
         .select(col("vec_id"), col("cent_id").cast("long").as("cent_id"),
           col("sub_id"), col("proj"), col("codes")),
-      spark.read.parquet(s"$indexDir/vectors"),
+      pqVectorsStore(spark, indexDir),
       nProbe1, nProbe2, nQueries, topK, rerank,
       dead = vecTombstonesOf(spark, indexDir))
 
@@ -1652,8 +1709,11 @@ object Similarity {
       val nCoarse = spark.read.parquet(s"$indexDir/coarse").count().toInt
       val nSub = (spark.read.parquet(s"$indexDir/subcents").count() /
         math.max(nCoarse, 1)).toInt
+      // id_buckets = 0: the pre-upgrade refine store is unpartitioned;
+      // guard/expunge stay in their legacy full-store forms until the
+      // next retrain rebuild re-lays it out
       writePqMeta(spark, indexDir, nCoarse, nSub, book.m, book.k,
-        liveCount, measured)
+        liveCount, measured, idBuckets = 0)
       return None
     }
     val meta = spark.read.parquet(s"$indexDir/meta").head()
@@ -1662,7 +1722,7 @@ object Similarity {
     val drifted = liveCount >= growthFactor * nTrained ||
       (frozen > 0.0 && measured * explainedDecay <= frozen)
     if (!drifted) return None
-    dropDead(spark.read.parquet(s"$indexDir/vectors"), dead)
+    dropDead(pqVectorsStore(spark, indexDir), dead)
       .write.mode("overwrite").parquet(pqRetrainSnapshot(indexDir))
     fs.create(pqRetrainMarker(indexDir), true).close() // the commit point
     rebuildPqFromSnapshot(spark, indexDir)
@@ -1729,11 +1789,30 @@ object Similarity {
         new org.apache.hadoop.fs.Path(tmp),
         touched.toIndexedSeq.map(c => s"cent_id=$c"))
     }
-    val vTmp = s"$indexDir/vectors_compact_tmp"
-    spark.read.parquet(s"$indexDir/vectors")
-      .join(dead, Seq("vec_id"), "left_anti")
-      .write.mode("overwrite").parquet(vTmp)
-    SafeSwap.swapDir(fs, vecRoot, new org.apache.hadoop.fs.Path(vTmp))
+    val idB = pqIdBuckets(spark, indexDir)
+    if (idB > 0) {
+      // the dead ids themselves name the touched id_bucket dirs — no
+      // store scan; rewrite cost is the touched partitions only
+      val touchedIds = dead
+        .select(pmod(xxhash64(col("vec_id")), lit(idB.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)) // bounded: <= idBuckets values
+      if (touchedIds.nonEmpty) {
+        val vTmp = s"$indexDir/vectors_compact_tmp"
+        spark.read.parquet(s"$indexDir/vectors")
+          .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
+          .join(dead, Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("id_bucket").parquet(vTmp)
+        SafeSwap.swapPartitions(fs, vecRoot,
+          new org.apache.hadoop.fs.Path(vTmp),
+          touchedIds.toIndexedSeq.map(b => s"id_bucket=$b"))
+      }
+    } else { // legacy unpartitioned layout: wholesale rewrite
+      val vTmp = s"$indexDir/vectors_compact_tmp"
+      spark.read.parquet(s"$indexDir/vectors")
+        .join(dead, Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(vTmp)
+      SafeSwap.swapDir(fs, vecRoot, new org.apache.hadoop.fs.Path(vTmp))
+    }
     // drop the resident pre-expunge relations for THIS artifact
     pqLoadedRelCache.release(k => k._1 == spark && k._2 == indexDir)
     ()

@@ -134,6 +134,43 @@ class FingerprintIndexSpec extends AnyFunSuite {
     } finally rm(new java.io.File(out))
   }
 
+  test("the append replay guard prunes the store to the delta's fp buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val out = tmpDir("graft-fpidx-guardprune")
+    try {
+      FingerprintIndex.saveFingerprintIndexOf(docs, out)
+      // a replayed 1-doc delta: same text ⇒ same fp ⇒ same bucket, so
+      // the guard must find it reading ONE partition (semi-join: the
+      // production anti-join is empty and AQE would hide the scan)
+      val deltaFps = docs.where(col("doc_id") === 0L)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      val guarded = deltaFps.join(
+        FingerprintIndex.guardHeldIds(spark, out, deltaFps,
+          FingerprintIndex.DefaultFpBuckets),
+        Seq("doc_id"), "left_semi")
+      assert(guarded.count() == 1, "the guard scan missed a replayed doc_id")
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scansOf)
+      }
+      val storeScans = scansOf(guarded.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/fingerprints")))
+      assert(storeScans.nonEmpty, "no fingerprint-store scan in the guard plan")
+      val readParts = storeScans.map(_.selectedPartitions.partitionCount).max
+      val allDirs = new java.io.File(s"$out/fingerprints").listFiles()
+        .count(_.getName.startsWith("fp_bucket="))
+      assert(readParts == 1,
+        s"a 1-doc delta must read exactly its own fp bucket, read $readParts")
+      assert(readParts < allDirs, "the guard's static partition filter vanished")
+    } finally rm(new java.io.File(out))
+  }
+
   test("the probe scan prunes the store to the batch's fp buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -181,6 +181,8 @@ class LshIndexSpec extends AnyFunSuite {
       }
       devolve("buckets",
         spark.read.parquet(s"$out/buckets").select("vec_id", "tbl", "bucket"))
+      devolve("vectors",
+        spark.read.parquet(s"$out/vectors").select("vec_id", "u"))
       devolve("meta",
         spark.read.parquet(s"$out/meta").select("bits", "n_tables").coalesce(1))
       // pre-migration: every reader fails FAST and names the fix
@@ -197,6 +199,9 @@ class LshIndexSpec extends AnyFunSuite {
       assert(new java.io.File(s"$out/buckets").listFiles()
           .exists(_.getName.startsWith("bucket_bucket=")),
         "migration did not re-partition the bucket store")
+      assert(new java.io.File(s"$out/vectors").listFiles()
+          .exists(_.getName.startsWith("id_bucket=")),
+        "migration did not re-partition the vectors store")
       assert(!LshIndex.migrateLshIndex(spark, out),
         "a current-layout artifact must be a migration no-op")
     } finally rm(new java.io.File(out))
@@ -238,6 +243,41 @@ class LshIndexSpec extends AnyFunSuite {
       assert(bucketScans.exists(_.partitionFilters.exists(
           _.references.exists(_.name == "bucket_bucket"))),
         "the bucket_bucket partition filter vanished from the serve plan")
+    } finally rm(new java.io.File(out))
+  }
+
+  test("the append replay guard prunes the vectors store to the delta's id buckets") {
+    val out = tmpDir("graft-lshidx-guardprune")
+    try {
+      LshIndex.saveLshIndex(spark, dir, out)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      // a 1-vector delta names exactly one id bucket; pin with a HELD
+      // id via a semi-join (the production anti-join over a replayed
+      // delta is EMPTY, and AQE's EmptyRelation would hide the scan)
+      val delta = Similarity.unitEmbeddings(spark, dir).where(col("vec_id") === 0L)
+      val guarded = delta.join(
+        LshIndex.guardHeldIds(spark, out, delta, LshIndex.DefaultIdBuckets),
+        Seq("vec_id"), "left_semi")
+      assert(guarded.count() == 1, "the guard scan missed a held vec_id")
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scansOf)
+      }
+      val vecScans = scansOf(guarded.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+      assert(vecScans.nonEmpty, "no vectors-store scan in the guard plan")
+      val readParts = vecScans.map(_.selectedPartitions.partitionCount).max
+      val allDirs = new java.io.File(s"$out/vectors").listFiles()
+        .count(_.getName.startsWith("id_bucket="))
+      assert(readParts == 1,
+        s"a 1-vector delta must read exactly its own id bucket, read $readParts")
+      assert(readParts < allDirs, "the guard's static partition filter vanished")
     } finally rm(new java.io.File(out))
   }
 

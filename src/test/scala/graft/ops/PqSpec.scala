@@ -203,6 +203,42 @@ class PqSpec extends AnyFunSuite {
       f"IVFADC re-rank recall vs the exact probe fell to $recall%.2f")
   }
 
+  test("the PQ append replay guard prunes the refine store to the delta's id buckets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-guardprune").toString
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    try {
+      Similarity.savePqIndexOf(Similarity.unitEmbeddings(spark, dir), tmp)
+      val delta = Similarity.unitEmbeddings(spark, dir).where(col("vec_id") === 0L)
+      val guarded = delta.join(
+        Similarity.pqGuardHeldIds(spark, tmp, delta, Similarity.DefaultPqIdBuckets),
+        Seq("vec_id"), "left_semi")
+      assert(guarded.count() == 1, "the guard scan missed a held vec_id")
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] = {
+        val self = p match { case s: FileSourceScanExec => Seq(s); case _ => Nil }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self ++ kids.flatMap(scansOf)
+      }
+      val vecScans = scansOf(guarded.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("/vectors")))
+      assert(vecScans.nonEmpty, "no refine-store scan in the guard plan")
+      val readParts = vecScans.map(_.selectedPartitions.partitionCount).max
+      val allDirs = new java.io.File(s"$tmp/vectors").listFiles()
+        .count(_.getName.startsWith("id_bucket="))
+      assert(readParts == 1,
+        s"a 1-vector delta must read exactly its own id bucket, read $readParts")
+      assert(readParts < allDirs, "the guard's static partition filter vanished")
+    } finally rmrf(new java.io.File(tmp))
+  }
+
   test("q173: drift maintenance retrains; the serve equals the fresh full-corpus build") {
     // the gate's own requires already pin "one rebuild, then stable";
     // this pins the ANSWER: retrain-and-re-encode over the live set is
