@@ -51,6 +51,15 @@ object ImageIndex {
     * format change). */
   val DefaultBandBuckets = 16
 
+  /** Partition count of the per-doc hashes store (`id_bucket =
+    * pmod(xxhash64(doc_id), B)`): the delta append's replay guard and
+    * the expunge's rewrite prune to the id buckets their id-set hashes
+    * to — guard/delete cost ∝ the delta, never the corpus. A
+    * pre-layout artifact (no `id_bucket` partition column) is detected
+    * from the store's schema and served/guarded in the legacy
+    * full-store forms; the next base rebuild re-lays it out. */
+  val DefaultIdBuckets = 64
+
   private val persistedIndex = new TempArtifacts("graft-image-index")
   private[ops] def persistedIndexDirFor(spark: SparkSession, dir: String): Option[String] =
     persistedIndex.peek(spark, dir)
@@ -76,15 +85,33 @@ object ImageIndex {
         pmod(xxhash64(col("family"), col("band"), col("band_key")), lit(bandBuckets.toLong)))
   }
 
+  /** The replay guard's DELTA-PROPORTIONAL store scan (the
+    * [[LshIndex.guardHeldIds]] twin for the image family): the delta's
+    * id-bucket vocabulary (collected locally, ≤ idBuckets longs) pushes
+    * a static partition filter into the guard scan — guard cost ∝ the
+    * delta, never the corpus. */
+  private[ops] def guardHeldIds(spark: SparkSession, indexDir: String,
+      delta: DataFrame, idBuckets: Int): DataFrame = {
+    val deltaBuckets = delta
+      .select(pmod(xxhash64(col("doc_id")), lit(idBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: <= idBuckets values
+    spark.read.parquet(s"$indexDir/hashes")
+      .where(col("id_bucket").isin(deltaBuckets: _*))
+      .select("doc_id")
+  }
+
   /** Persist the index from an arbitrary per-doc hash relation
     * ([[Multimodal.imageHashesOf]] output shape) — the decode already
     * happened upstream, exactly once. The band store derives from the
     * just-written hashes parquet (a second scan of the TINY artifact,
     * never a second decode). */
   def saveImageHashIndexOf(hashes: DataFrame, outDir: String,
-      bandBuckets: Int = DefaultBandBuckets): Unit = {
-    require(bandBuckets > 0, "bucket count must be positive")
-    hashes.write.mode("overwrite").parquet(s"$outDir/hashes")
+      bandBuckets: Int = DefaultBandBuckets,
+      idBuckets: Int = DefaultIdBuckets): Unit = {
+    require(bandBuckets > 0 && idBuckets > 0, "bucket counts must be positive")
+    hashes.withColumn("id_bucket",
+        pmod(xxhash64(col("doc_id")), lit(idBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/hashes")
     val spark = hashes.sparkSession
     bandsOfHashes(spark.read.parquet(s"$outDir/hashes"), bandBuckets)
       .write.mode("overwrite").partitionBy("band_bucket").parquet(s"$outDir/bands")
@@ -144,9 +171,14 @@ object ImageIndex {
       overlap.unpersist(blocking = false)
     }
     val hashesPath = new org.apache.hadoop.fs.Path(s"$indexDir/hashes")
+    val bucketed = fs.exists(hashesPath) &&
+      spark.read.parquet(s"$indexDir/hashes").columns.contains("id_bucket")
     val fresh = (
       if (!fs.exists(hashesPath)) deltaHashes
-      else deltaHashes.join(
+      else if (bucketed) deltaHashes.join(
+        guardHeldIds(spark, indexDir, deltaHashes, DefaultIdBuckets),
+        Seq("doc_id"), "left_anti")
+      else deltaHashes.join( // pre-layout artifact: full-store guard
         spark.read.parquet(s"$indexDir/hashes").select("doc_id"),
         Seq("doc_id"), "left_anti")).cache()
     fresh.count()
@@ -165,7 +197,12 @@ object ImageIndex {
     AppendCommit.begin(fs, indexDir, Seq("bands", "hashes"))
     bandsOfHashes(fresh, bandBuckets)
       .write.mode("append").partitionBy("band_bucket").parquet(s"$indexDir/bands")
-    fresh.write.mode("append").parquet(s"$indexDir/hashes")
+    if (bucketed || !fs.exists(hashesPath))
+      fresh.withColumn("id_bucket",
+          pmod(xxhash64(col("doc_id")), lit(DefaultIdBuckets.toLong)))
+        .write.mode("append").partitionBy("id_bucket").parquet(s"$indexDir/hashes")
+    else
+      fresh.write.mode("append").parquet(s"$indexDir/hashes")
     AppendCommit.commit(fs, indexDir)
     fresh.unpersist(blocking = false)
     deltaHashes.unpersist(blocking = false)
@@ -211,11 +248,29 @@ object ImageIndex {
         new org.apache.hadoop.fs.Path(tmp),
         touched.toIndexedSeq.map(b => s"band_bucket=$b"))
     }
-    val hTmp = s"$indexDir/hashes_compact_tmp"
-    spark.read.parquet(s"$indexDir/hashes")
-      .join(dead, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(hTmp)
-    SafeSwap.swapDir(fs, hashesRoot, new org.apache.hadoop.fs.Path(hTmp))
+    if (spark.read.parquet(s"$indexDir/hashes").columns.contains("id_bucket")) {
+      // the dead ids themselves name the touched id_bucket dirs — no
+      // store scan; rewrite cost is the touched partitions only
+      val touchedIds = dead
+        .select(pmod(xxhash64(col("doc_id")), lit(DefaultIdBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)) // bounded: <= idBuckets values
+      if (touchedIds.nonEmpty) {
+        val hTmp = s"$indexDir/hashes_compact_tmp"
+        spark.read.parquet(s"$indexDir/hashes")
+          .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
+          .join(dead, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("id_bucket").parquet(hTmp)
+        SafeSwap.swapPartitions(fs, hashesRoot,
+          new org.apache.hadoop.fs.Path(hTmp),
+          touchedIds.toIndexedSeq.map(b => s"id_bucket=$b"))
+      }
+    } else { // pre-layout artifact: wholesale rewrite
+      val hTmp = s"$indexDir/hashes_compact_tmp"
+      spark.read.parquet(s"$indexDir/hashes")
+        .join(dead, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(hTmp)
+      SafeSwap.swapDir(fs, hashesRoot, new org.apache.hadoop.fs.Path(hTmp))
+    }
   }
 
   /** Expunge the tombstones — [[Retrieval.compactPostings]]'s contract

@@ -162,7 +162,43 @@ object Retrieval {
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$outDir/postings")
-    dlStage(spark, dir).write.mode("overwrite").parquet(s"$outDir/dl")
+    writeDl(dlStage(spark, dir), s"$outDir/dl", "overwrite")
+  }
+
+  /** Partition count of the per-doc dl store (`id_bucket =
+    * pmod(xxhash64(doc_id), B)`): the delta append's replay guard and
+    * the expunge's rewrite prune to the id buckets their id-set hashes
+    * to — guard/delete cost ∝ the delta, never the corpus. A pre-layout
+    * artifact (no `id_bucket` partition column) is detected from the
+    * store's schema and guarded/expunged in the legacy full-store
+    * forms; the next base rebuild re-lays it out. */
+  val DefaultIdBuckets = 64
+
+  private def writeDl(dl: DataFrame, path: String, mode: String): Unit =
+    dl.withColumn("id_bucket",
+        pmod(xxhash64(col("doc_id")), lit(DefaultIdBuckets.toLong)))
+      .write.mode(mode).partitionBy("id_bucket").parquet(path)
+
+  /** The dl store in its public (doc_id, dl) shape — readers go through
+    * this so the physical `id_bucket` partition column (absent on
+    * pre-layout artifacts — drop is a no-op then) never leaks into
+    * served relations or corpus stats. */
+  private def dlStore(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/dl").drop("id_bucket")
+
+  /** The replay guard's DELTA-PROPORTIONAL dl scan (the
+    * [[LshIndex.guardHeldIds]] twin for the postings family): the
+    * delta's id-bucket vocabulary (collected locally, ≤ idBuckets
+    * longs) pushes a static partition filter into the guard scan —
+    * guard cost ∝ the delta, never the corpus. */
+  private[ops] def guardHeldIds(spark: SparkSession, indexDir: String,
+      delta: DataFrame, idBuckets: Int): DataFrame = {
+    val deltaBuckets = delta
+      .select(pmod(xxhash64(col("doc_id")), lit(idBuckets.toLong)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq // local: <= idBuckets values
+    spark.read.parquet(s"$indexDir/dl")
+      .where(col("id_bucket").isin(deltaBuckets: _*))
+      .select("doc_id")
   }
 
   /** Persist an index from an arbitrary (doc_id, text) base relation —
@@ -176,8 +212,8 @@ object Retrieval {
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("overwrite").partitionBy("term_bucket")
       .parquet(s"$outDir/postings")
-    p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
-      .write.mode("overwrite").parquet(s"$outDir/dl")
+    writeDl(p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id"),
+      s"$outDir/dl", "overwrite")
   }
 
   /** Merge a delta batch of NEW documents into a persisted
@@ -237,9 +273,14 @@ object Retrieval {
     }
     // materialized BEFORE the appends: the second write's source must
     // not re-read the dl file it is itself appending to
+    val bucketed = fs.exists(dlPath) &&
+      spark.read.parquet(s"$indexDir/dl").columns.contains("id_bucket")
     val fresh = (
       if (!fs.exists(dlPath)) deltaDocs
-      else deltaDocs.join(
+      else if (bucketed) deltaDocs.join(
+        guardHeldIds(spark, indexDir, deltaDocs, DefaultIdBuckets),
+        Seq("doc_id"), "left_anti")
+      else deltaDocs.join( // pre-layout artifact: full-store guard
         spark.read.parquet(s"$indexDir/dl").select("doc_id"),
         Seq("doc_id"), "left_anti")).cache()
     fresh.count()
@@ -253,8 +294,9 @@ object Retrieval {
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(termBuckets.toLong)))
       .write.mode("append").partitionBy("term_bucket")
       .parquet(s"$indexDir/postings")
-    p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
-      .write.mode("append").parquet(s"$indexDir/dl")
+    val freshDl = p.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+    if (bucketed || !fs.exists(dlPath)) writeDl(freshDl, s"$indexDir/dl", "append")
+    else freshDl.write.mode("append").parquet(s"$indexDir/dl")
     AppendCommit.commit(fs, indexDir)
     fresh.unpersist(blocking = false)
   }
@@ -347,11 +389,29 @@ object Retrieval {
         new org.apache.hadoop.fs.Path(tmp),
         touched.toIndexedSeq.map(b => s"term_bucket=$b"))
     }
-    val dlTmp = s"$indexDir/dl_compact_tmp"
-    spark.read.parquet(s"$indexDir/dl")
-      .join(dead, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(dlTmp)
-    SafeSwap.swapDir(fs, dlRoot, new org.apache.hadoop.fs.Path(dlTmp))
+    if (spark.read.parquet(s"$indexDir/dl").columns.contains("id_bucket")) {
+      // the dead ids themselves name the touched id_bucket dirs — no
+      // store scan; rewrite cost is the touched partitions only
+      val touchedIds = dead
+        .select(pmod(xxhash64(col("doc_id")), lit(DefaultIdBuckets.toLong)).as("b"))
+        .distinct().collect().map(_.getLong(0)) // bounded: <= idBuckets values
+      if (touchedIds.nonEmpty) {
+        val dlTmp = s"$indexDir/dl_compact_tmp"
+        spark.read.parquet(s"$indexDir/dl")
+          .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
+          .join(dead, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy("id_bucket").parquet(dlTmp)
+        SafeSwap.swapPartitions(fs, dlRoot,
+          new org.apache.hadoop.fs.Path(dlTmp),
+          touchedIds.toIndexedSeq.map(b => s"id_bucket=$b"))
+      }
+    } else { // pre-layout artifact: wholesale rewrite
+      val dlTmp = s"$indexDir/dl_compact_tmp"
+      spark.read.parquet(s"$indexDir/dl")
+        .join(dead, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(dlTmp)
+      SafeSwap.swapDir(fs, dlRoot, new org.apache.hadoop.fs.Path(dlTmp))
+    }
   }
 
   /** q144: the q142 lifecycle COMPACTED — same base + delta + deletes,
@@ -493,7 +553,7 @@ object Retrieval {
     val postingsLive = spark.read.parquet(s"$indexDir/postings")
       .where(col("term_bucket").isin(buckets: _*))
       .select(col("doc_id"), col("term"), col("tf"))
-    val dlLive = spark.read.parquet(s"$indexDir/dl")
+    val dlLive = dlStore(spark, indexDir)
     // tombstoned docs drop out at serve time: postings AFTER the bucket
     // prune (the anti-join touches only probed rows), dl BEFORE corpus
     // stats (n_docs/avgdl/df shrink exactly as a rebuild's would). No
