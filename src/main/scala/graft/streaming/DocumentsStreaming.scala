@@ -583,8 +583,23 @@ object DocumentsStreaming {
   private[graft] def admitDocBatch(batch: DataFrame, batchId: Long,
       postingsDir: String, fpDir: String, flagsDir: String,
       minQuality: Double): Unit = {
-    val spark = batch.sparkSession
     if (batch.isEmpty) return
+    val keepers = curatedKeepers(batch, batchId, fpDir, flagsDir, minQuality)
+    graft.ops.Retrieval.appendPostingsDelta(keepers, postingsDir)
+    graft.ops.FingerprintIndex.appendFingerprintDelta(keepers, fpDir)
+  }
+
+  /** The batch-curation rule of one trigger, DETERMINISTIC on
+    * redelivery by construction: quality gate (pure), exact-dup kill
+    * from the DURABLE flags (committed first under the per-batch
+    * marker — a fresh re-probe on redelivery could see the batch's own
+    * admitted fingerprints and shrink the keeper set between
+    * deliveries), within-trigger min-doc_id keeper (pure). Shared by
+    * the text-only admit and the one-trigger multi-modality admit so
+    * the two loops can never curate differently. */
+  private def curatedKeepers(batch: DataFrame, batchId: Long,
+      fpDir: String, flagsDir: String, minQuality: Double): DataFrame = {
+    val spark = batch.sparkSession
     val quality = batch.where(TextAnalysis.qualityScore >= minQuality)
       .select(col("doc_id"), col("text"))
     val fs = new org.apache.hadoop.fs.Path(fpDir)
@@ -608,12 +623,81 @@ object DocumentsStreaming {
     // within-trigger keeper: one doc per fingerprint, min doc_id
     val withFp = fresh.withColumn("fp",
       TextAnalysis.fingerprint(col("text")))
-    val keepers = withFp.join(
+    withFp.join(
         withFp.groupBy("fp").agg(min("doc_id").as("doc_id")),
         Seq("doc_id", "fp"), "left_semi")
       .select("doc_id", "text")
-    graft.ops.Retrieval.appendPostingsDelta(keepers, postingsDir)
-    graft.ops.FingerprintIndex.appendFingerprintDelta(keepers, fpDir)
+  }
+
+  /** The STREAMING runDaily — one trigger admits one document batch
+    * into ALL its artifacts: the batch (doc_id, text, n_chars,
+    * embedding) is curated ONCE ([[curatedKeepers]] — quality gate,
+    * vs-corpus fingerprint kill from the durable flags, within-trigger
+    * keeper, exactly [[graft.ops.Pipeline.runDaily]]'s rule), and the
+    * keepers then append to the BM25 postings, fingerprint membership,
+    * image-hash, and LSH vector artifacts in one trigger — instead of
+    * three separate streams probing the same docs.
+    *
+    * Idempotence under at-least-once redelivery is COMPOSITIONAL, and
+    * that composition is the point: the keeper set derives from the
+    * durable flags (identical on every delivery), and each family's
+    * append self-guards (replay anti-join + commit marker), so a crash
+    * anywhere — BETWEEN family appends, or inside one — redelivers the
+    * batch, the already-landed families' appends no-op, the crashed
+    * family's marker rolls its partial rows back, and the remaining
+    * families land. MultiModalAdmitSpec pins N mixed triggers ≡ batch
+    * admits on every artifact, including a crash between family
+    * appends inside one trigger.
+    *
+    * Artifact layout matches [[graft.ops.Pipeline.runDaily]]'s workDir
+    * (`bm25/`, `fp/`, `images/`, `lsh/`) so a deployment can switch
+    * between the nightly batch and this stream without migrating
+    * anything; flags land under `flagsDir/fp` (the only gate flags this
+    * loop produces — image/embedding near-dup gating stays with the
+    * one-modality loops, as in the nightly). */
+  def ingestAdmitAll(docs: DataFrame, workDir: String, flagsDir: String,
+      checkpointDir: String, minQuality: Double = 0.5,
+      expectedCorpusVectors: Long = 0L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitAllBatch(batch, batchId, workDir, flagsDir, minQuality,
+          expectedCorpusVectors)
+      }
+      .start()
+
+  /** One trigger of [[ingestAdmitAll]], exposed for the replay and
+    * crash-between-families specs. */
+  private[graft] def admitAllBatch(batch: DataFrame, batchId: Long,
+      workDir: String, flagsDir: String, minQuality: Double,
+      expectedCorpusVectors: Long,
+      crashAfterFamilies: Int = Int.MaxValue): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val keepers = curatedKeepers(batch.select("doc_id", "text", "n_chars"),
+      batchId, s"$workDir/fp", s"$flagsDir/fp", minQuality).cache()
+    keepers.count()
+    // the runDaily append order; each family self-guards, so the
+    // crashAfterFamilies test hook (stop after N families — the
+    // crash-between-appends window no in-process stream can force
+    // deterministically) converges on redelivery
+    val families: Seq[() => Unit] = Seq(
+      () => graft.ops.Retrieval.appendPostingsDelta(keepers, s"$workDir/bm25"),
+      () => graft.ops.FingerprintIndex.appendFingerprintDelta(keepers, s"$workDir/fp"),
+      () => graft.ops.ImageIndex.appendImageHashDelta(keepers, s"$workDir/images"),
+      () => {
+        val keptVecs = batch
+          .select(col("doc_id").as("vec_id"),
+            graft.ops.Similarity.unitVec(col("embedding")).as("u"))
+          .join(keepers.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+        graft.ops.LshIndex.appendLshDelta(keptVecs, s"$workDir/lsh",
+          expectedCorpusVectors = expectedCorpusVectors)
+      })
+    families.take(crashAfterFamilies).foreach(_.apply())
+    keepers.unpersist(blocking = false)
   }
 
   /** One trigger of [[imageIngestAdmit]], exposed for the replay spec. */

@@ -85,6 +85,24 @@ class AppendCrashWindowsSpec extends AnyFunSuite {
         assert(!new java.io.File(s"$inc/_append_pending").exists,
           s"${f.name}/$window: the marker survived recovery")
       }
+      // WARM window: a serve's resident state (if the family memoizes
+      // any — PQ's loaded relations; the others re-read paths, but that
+      // immunity is TESTED here, not assumed) must not outlive a
+      // rollback that deletes files. Serve to warm, crash with both
+      // stores appended, then serve TWICE: the first recovers (and must
+      // drop any resident listings the rollback invalidated — the r14
+      // PQ staleness class), the second answers from whatever stayed
+      // resident.
+      f.serve(inc)
+      AppendCommit.begin(fs, inc, Seq(f.derived, f.guard))
+      plant(inc, f.derived, Some(f.derivedPart))
+      plant(inc, f.guard, None)
+      assert(f.serve(inc) == baseServe,
+        s"${f.name}/warm: the first post-crash serve diverged")
+      assert(f.serve(inc) == baseServe,
+        s"${f.name}/warm: a warm re-serve after the rollback diverged")
+      assert((listing(s"$inc/${f.derived}"), listing(s"$inc/${f.guard}")) == baseState,
+        s"${f.name}/warm: rollback was not byte-equivalent")
       // the retried REAL append converges: crashed-and-recovered ≡ a
       // clean twin that never crashed, with no duplicate guard ids
       f.append(delta, inc)
