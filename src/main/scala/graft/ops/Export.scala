@@ -29,23 +29,43 @@ object Export {
   /** Write the curated corpus as `outDir/shard=N/` parquet (rows in the
     * deterministic export order) and return the per-shard manifest:
     * (shard, n_docs, n_tokens, total_chars, order_checksum). The
-    * manifest is also written to `outDir/_manifest` as parquet. */
+    * manifest is also written to `outDir/_manifest` as parquet, and the
+    * frozen nibble count to `outDir/_export_meta` (the incremental
+    * re-export must key docs under the SHIPPED shard geometry, never a
+    * freshly re-derived one). */
   def writeTrainingShards(spark: SparkSession, dir: String, outDir: String,
-      nibbles: Int = 0): DataFrame = {
-    val clean = Curation.keeperDocs(spark, dir)
+      nibbles: Int = 0): DataFrame =
+    writeTrainingShardsOf(spark, Curation.keeperDocs(spark, dir), outDir, nibbles)
+
+  private[ops] def writeTrainingShardsOf(spark: SparkSession, clean: DataFrame,
+      outDir: String, nibbles: Int = 0): DataFrame = {
     val nib = if (nibbles > 0) nibbles else Sampling.shardNibbles(clean.count())
-    val keyed = clean
-      .withColumn("h", md5(concat(lit("shuffle|"), col("doc_id").cast("string"))))
-      .withColumn("shard", conv(substring(col("h"), 1, nib), 16, 10).cast("long"))
-      .withColumn("n_tok", TextAnalysis.nTokens(col("text")))
+    val keyed = keyedOf(clean, nib)
     keyed
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "h", "doc_id")
       .select("shard", "doc_id", "lang", "source", "n_chars", "n_tok", "text")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val manifest = manifestOf(keyed)
+    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
+    import spark.implicits._
+    Seq(nib).toDF("nibbles")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/_export_meta")
+    manifest
+  }
+
+  /** The export permutation keys: ONE salt-keyed md5 drives shard
+    * assignment and within-shard order (q101's rule). */
+  private def keyedOf(clean: DataFrame, nib: Int): DataFrame =
+    clean
+      .withColumn("h", md5(concat(lit("shuffle|"), col("doc_id").cast("string"))))
+      .withColumn("shard", conv(substring(col("h"), 1, nib), 16, 10).cast("long"))
+      .withColumn("n_tok", TextAnalysis.nTokens(col("text")))
+
+  private def manifestOf(keyed: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("h", "doc_id")
-    val manifest = keyed
+    keyed
       .withColumn("pos", row_number().over(w).cast("long"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -53,8 +73,70 @@ object Export {
         sum("n_chars").as("total_chars"),
         sum(col("pos") * col("doc_id")).as("order_checksum"))
       .orderBy("shard")
-    manifest.write.mode("overwrite").parquet(s"$outDir/_manifest")
-    manifest
+  }
+
+  /** INCREMENTAL re-export — the nightly's scale move: shard membership
+    * is a pure function of doc_id, so the admitted + retired id-set
+    * names exactly the shards whose contents can have changed; only
+    * those rewrite (from the CURRENT curated corpus, under the SHIPPED
+    * nibble geometry), behind per-shard [[SafeSwap]], and the manifest
+    * merges recomputed touched rows with the prior untouched ones —
+    * provably ≡ a full rewrite's (ExportSpec pins byte-wise per-shard
+    * file equality against a fresh full export). Untouched shard files
+    * are not rewritten, re-sorted, or even read.
+    *
+    * Falls back to the full rewrite when: the artifact was never
+    * exported (no manifest/meta — bootstrap), or the corpus has moved
+    * past its frozen nibble boundary (every shard's membership changes
+    * then; the full rewrite re-derives and re-freezes the geometry).
+    * The manifest store swaps LAST — a crash mid-rewrite leaves prior
+    * manifest rows describing prior files for every shard the swap
+    * didn't reach, and the retry re-rewrites the touched set (the
+    * deterministic permutation makes that convergent). */
+  def writeTrainingShardsIncremental(spark: SparkSession, dir: String,
+      outDir: String, changedIds: DataFrame): DataFrame =
+    writeTrainingShardsIncrementalOf(spark, Curation.keeperDocs(spark, dir),
+      outDir, changedIds)
+
+  private[ops] def writeTrainingShardsIncrementalOf(spark: SparkSession,
+      clean: DataFrame, outDir: String, changedIds: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    SafeSwap.recover(fs, root)
+    if (!exists(s"$outDir/_manifest") || !exists(s"$outDir/_export_meta"))
+      return writeTrainingShardsOf(spark, clean, outDir)
+    val nib = spark.read.parquet(s"$outDir/_export_meta").head().getAs[Int]("nibbles")
+    if (Sampling.shardNibbles(clean.count()) != nib)
+      return writeTrainingShardsOf(spark, clean, outDir)
+    val touched = changedIds
+      .select(conv(substring(
+          md5(concat(lit("shuffle|"), col("doc_id").cast("string"))), 1, nib),
+        16, 10).cast("long").as("shard"))
+      .distinct().collect().map(_.getLong(0)) // bounded: ≤ 16^nib shards
+    if (touched.isEmpty)
+      return spark.read.parquet(s"$outDir/_manifest").orderBy("shard")
+    val touchedSeq = touched.toIndexedSeq
+    val keyed = keyedOf(clean, nib)
+      .where(col("shard").isin(touchedSeq.map(Long.box): _*))
+    val tmp = s"$outDir/_shards_incr_tmp"
+    keyed
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "h", "doc_id")
+      .select("shard", "doc_id", "lang", "source", "n_chars", "n_tok", "text")
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    SafeSwap.swapPartitions(fs, root, new org.apache.hadoop.fs.Path(tmp),
+      touchedSeq.map(s => s"shard=$s"))
+    // manifest: recomputed touched rows replace prior ones; a touched
+    // shard with zero surviving docs drops out (its dir swapped away)
+    val prior = spark.read.parquet(s"$outDir/_manifest")
+      .where(!col("shard").isin(touchedSeq.map(Long.box): _*))
+    val manifest = prior.unionByName(manifestOf(keyed)).orderBy("shard")
+    val mTmp = s"$outDir/_manifest_incr_tmp"
+    manifest.write.mode("overwrite").parquet(mTmp)
+    SafeSwap.swapDir(fs, new org.apache.hadoop.fs.Path(s"$outDir/_manifest"),
+      new org.apache.hadoop.fs.Path(mTmp))
+    spark.read.parquet(s"$outDir/_manifest").orderBy("shard")
   }
 
   /** Re-derive the manifest from the SHIPPED shards and diff it against

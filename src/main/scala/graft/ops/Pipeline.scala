@@ -239,9 +239,15 @@ object Pipeline {
       Similarity.savePqIndexOf(keptVecs, s"$workDir/pq")
     val repaired = Sketches.appendDailyDeltaVerified(
       Tables.events(spark, corpusDir), s"$workDir/rollup")
+    // 4. EXPORT: deterministic shards + manifest over the curated
+    //    corpus — INCREMENTAL: shard membership is a pure function of
+    //    doc_id, so today's kept set names the only shards whose
+    //    contents can have changed; the bootstrap run (no manifest yet)
+    //    falls through to the full rewrite inside. This was the one
+    //    corpus-wide pass left in the nightly.
+    val manifest = Export.writeTrainingShardsIncremental(
+      spark, corpusDir, s"$workDir/shards", kept.select("doc_id"))
     kept.unpersist(blocking = false)
-    // 4. EXPORT: deterministic shards + manifest over the curated corpus
-    val manifest = Export.writeTrainingShards(spark, corpusDir, s"$workDir/shards")
     DailyReport(converted, incoming.count(), nKept, repaired, manifest.count())
   }
 

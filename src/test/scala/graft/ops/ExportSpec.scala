@@ -64,4 +64,61 @@ class ExportSpec extends AnyFunSuite {
     assert(bad.exists(r => r.getAs[Long]("shard") == shards.head && r.isNullAt(2)),
       s"missing shard not flagged: ${bad.mkString(", ")}")
   }
+
+  test("incremental re-export equals a full rewrite, byte-wise per shard file") {
+    val incr = tmp("incr"); val full = tmp("full")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    def shardDirs(out: String): Map[String, java.io.File] =
+      new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .map(f => f.getName -> f).toMap
+    def shardBytes(d: java.io.File): Seq[Byte] = {
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"${d.getName}: expected exactly one data file, got ${parts.length}")
+      java.nio.file.Files.readAllBytes(parts.head.toPath).toSeq
+    }
+    try {
+      // corpus v1 = keepers minus an 'arriving tomorrow' slice
+      val keepers = Curation.keeperDocs(spark, dir)
+      val added = keepers.where(pmod(col("doc_id"), lit(11)) === 0)
+      val v1 = keepers.where(pmod(col("doc_id"), lit(11)) =!= 0)
+      Export.writeTrainingShardsOf(spark, v1, incr)
+      val before = shardDirs(incr).map { case (n, d) =>
+        n -> d.listFiles().map(f => (f.getName, f.length())).toSet
+      }
+      // tomorrow: the slice admits; only its shards may rewrite
+      val mIncr = Export.writeTrainingShardsIncrementalOf(
+        spark, keepers, incr, added.select("doc_id")).collect().map(_.toString).toSeq
+      val mFull = Export.writeTrainingShardsOf(spark, keepers, full)
+        .collect().map(_.toString).toSeq
+      assert(mIncr == mFull, "incremental manifest diverged from the full rewrite's")
+      val di = shardDirs(incr); val df2 = shardDirs(full)
+      assert(di.keySet == df2.keySet, "shard dir sets diverged")
+      di.keySet.foreach { n =>
+        assert(shardBytes(di(n)) == shardBytes(df2(n)),
+          s"$n: incremental shard bytes diverged from the full rewrite")
+      }
+      // untouched shards were not rewritten: same files, byte for byte
+      val touched = added
+        .select(conv(substring(md5(concat(lit("shuffle|"),
+            col("doc_id").cast("string"))), 1, 1), 16, 10).cast("long").as("s"))
+        .distinct().collect().map(r => s"shard=${r.getLong(0)}").toSet
+      val untouched = before.keySet -- touched
+      assert(untouched.nonEmpty, "vacuous: every shard was touched")
+      untouched.foreach { n =>
+        assert(di(n).listFiles().map(f => (f.getName, f.length())).toSet == before(n),
+          s"$n: an untouched shard's files were rewritten")
+      }
+      // the shipped artifact still passes its own integrity check
+      assert(Export.verifyShards(spark, incr).isEmpty)
+      // a delta naming no new docs is a manifest-only no-op
+      import spark.implicits._
+      val noop = Export.writeTrainingShardsIncrementalOf(spark, keepers, incr,
+        Seq.empty[Long].toDF("doc_id")).collect().map(_.toString).toSeq
+      assert(noop == mFull)
+    } finally { rm(new java.io.File(incr)); rm(new java.io.File(full)) }
+  }
 }
