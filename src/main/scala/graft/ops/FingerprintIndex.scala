@@ -112,7 +112,7 @@ object FingerprintIndex {
     * semantics (same doc_id ⇒ same bytes): a doc_id re-ingested with
     * DIFFERENT text is a new document version, which this store's
     * contract routes through tombstone + re-append, not the guard. */
-  private[ops] def guardHeldIds(spark: SparkSession, indexDir: String,
+  private[graft] def guardHeldIds(spark: SparkSession, indexDir: String,
       deltaFps: DataFrame, fpBuckets: Int): DataFrame = {
     val deltaBuckets = deltaFps
       .select(pmod(xxhash64(col("fp")), lit(fpBuckets.toLong)).as("b"))

@@ -362,7 +362,7 @@ object LshIndex {
     * corpus: without the prune, every nightly append paid a corpus-wide
     * narrow-column scan + shuffle just to re-discover its own delta was
     * fresh. */
-  private[ops] def guardHeldIds(spark: SparkSession, indexDir: String,
+  private[graft] def guardHeldIds(spark: SparkSession, indexDir: String,
       delta: DataFrame, idBuckets: Int): DataFrame = {
     val deltaBuckets = delta
       .select(pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)).as("b"))

@@ -137,8 +137,21 @@ object Pipeline {
     val heldFps = existing
       .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
     val fresh = quality.join(heldFps, Seq("fp"), "left_anti")
-    val keepIds = fresh.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
-    fresh.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
+    minPerFp(fresh)
+  }
+
+  /** The within-batch keeper (one doc per fingerprint, min doc_id) as a
+    * single window pass. A groupBy(min) + self-semi-join answers the
+    * same relation but evaluates `fresh` TWICE — and `fresh` carries
+    * the whole probe/anti-join subtree, so the duplication showed up as
+    * a 3× executed-shuffle blowup in the q174 census. One partitioned
+    * row_number keeps the plan linear; fp cardinality ≈ doc count, so
+    * the window is fully distributed. */
+  private def minPerFp(fresh: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    fresh.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn", "fp")
   }
 
   /** [[curatedDelta]] with the held fingerprints read from the
@@ -156,8 +169,7 @@ object Pipeline {
       .select(col("probe_id").as("doc_id")).distinct()
     val fresh = quality.join(flagged, Seq("doc_id"), "left_anti")
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
-    val keepIds = fresh.groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
-    fresh.join(keepIds, Seq("doc_id"), "left_semi").drop("fp")
+    minPerFp(fresh)
   }
 
   /** Run one day: convert any landed raw files, curate the incoming doc

@@ -191,7 +191,7 @@ object Retrieval {
     * delta's id-bucket vocabulary (collected locally, ≤ idBuckets
     * longs) pushes a static partition filter into the guard scan —
     * guard cost ∝ the delta, never the corpus. */
-  private[ops] def guardHeldIds(spark: SparkSession, indexDir: String,
+  private[graft] def guardHeldIds(spark: SparkSession, indexDir: String,
       delta: DataFrame, idBuckets: Int): DataFrame = {
     val deltaBuckets = delta
       .select(pmod(xxhash64(col("doc_id")), lit(idBuckets.toLong)).as("b"))

@@ -1226,7 +1226,7 @@ object Similarity {
     * (collected locally, ≤ idBuckets longs) pushes a static partition
     * filter into the guard scan — guard cost ∝ the delta, never the
     * corpus. */
-  private[ops] def pqGuardHeldIds(spark: SparkSession, indexDir: String,
+  private[graft] def pqGuardHeldIds(spark: SparkSession, indexDir: String,
       delta: DataFrame, idBuckets: Int): DataFrame = {
     val deltaBuckets = delta
       .select(pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)).as("b"))

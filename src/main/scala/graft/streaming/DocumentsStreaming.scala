@@ -620,12 +620,14 @@ object DocumentsStreaming {
             .select(col("probe_id").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
       else quality
-    // within-trigger keeper: one doc per fingerprint, min doc_id
-    val withFp = fresh.withColumn("fp",
-      TextAnalysis.fingerprint(col("text")))
-    withFp.join(
-        withFp.groupBy("fp").agg(min("doc_id").as("doc_id")),
-        Seq("doc_id", "fp"), "left_semi")
+    // within-trigger keeper: one doc per fingerprint, min doc_id —
+    // one window pass, not a groupBy + self-semi-join (which would
+    // evaluate the probe/anti-join subtree twice per trigger)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
+    fresh.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
       .select("doc_id", "text")
   }
 
