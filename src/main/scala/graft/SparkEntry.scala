@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Hybrid, ImageIndex, LshIndex, Multimodal, Packing, Pipeline, Relational, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Audit, ConvertQueries, Curation, Dedup, Events, Export, Hybrid, ImageIndex, LshIndex, Multimodal, Packing, Pipeline, Relational, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -453,6 +453,14 @@ object SparkEntry {
     // build of the surviving held set, and the oracle is q172's with
     // the held side restricted to the survivors
     "q174_curated_batch_lifecycle" -> ((s, d) => Pipeline.curatedBatchLifecycle(s, d)),
+    // q175: the INCREMENTALLY-maintained training export's manifest —
+    // the artifact seeds with yesterday's keeper corpus, today's
+    // arriving slice admits through the touched-shard rewrite, and the
+    // shipped accounting must equal an independent engine's FULL export
+    // of the whole keeper corpus (q72 keeper chain + q101 permutation
+    // + manifest aggregation): the incremental path is oracle-gated,
+    // not just spec-pinned byte-wise against our own full rewrite
+    "q175_export_manifest_incremental" -> ((s, d) => Export.manifestIncremental(s, d)),
     // q166: q163's fused relation served entirely from the persisted
     // BM25 + LSH artifacts — the RAG restart shape (a redeployed
     // service holds only its indexes): lexical pool from the
@@ -3162,6 +3170,45 @@ object SparkEntry {
         |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
         |  min(doc_id) AS first_id
         |FROM clean GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q175: the q72 keeper chain + the q101 permutation (nib 1) + the
+    // manifest aggregation — the accounting a FULL export of the keeper
+    // corpus ships; the engine side serves it from the incrementally
+    // maintained artifact
+    "q175_export_manifest_incremental" ->
+      """WITH q AS (
+        |  SELECT * FROM documents
+        |  WHERE round(0.4 * least(n_chars * 1.0 / 500.0, 1.0)
+        |      + 0.4 * least(len(regexp_extract_all(text, '\b(the|a|of|to|and|is|in)\b')) * 10.0 /
+        |          greatest(len(regexp_extract_all(text, '\S+')), 1), 1.0)
+        |      + 0.2 * (1.0 - length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0 /
+        |          greatest(length(text), 1)), 4) >= 0.5),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id FROM q
+        |  GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')))),
+        |tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |        unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+        |                for i in range(1, len(t) - 3)]) AS gram
+        |      FROM tok WHERE len(t) >= 5),
+        |contaminated AS (
+        |  SELECT DISTINCT tr.doc_id
+        |  FROM (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0) tr
+        |  JOIN (SELECT gram FROM g WHERE doc_id % 97 = 0) ev USING (gram)),
+        |clean AS (
+        |  SELECT q.* FROM q JOIN keep USING (doc_id)
+        |  WHERE q.doc_id % 97 <> 0 AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |k2 AS (SELECT doc_id, n_chars,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |    md5('shuffle|' || doc_id) AS h FROM clean),
+        |s AS (SELECT *, CAST(strpos('0123456789abcdef', substring(h, 1, 1)) - 1 AS BIGINT) AS shard
+        |      FROM k2),
+        |p AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+        |      FROM s)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(pos * doc_id) AS BIGINT) AS order_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     // q70: literal expected relation (the fixture pins the regex
     // semantics; Spark-side redaction is plain regexp_replace chains)
     "q70_pii_redact" ->

@@ -139,6 +139,38 @@ object Export {
     spark.read.parquet(s"$outDir/_manifest").orderBy("shard")
   }
 
+  private val persistedShards = new TempArtifacts("graft-export-shards")
+
+  /** Release this session's memoized export artifacts. */
+  def releaseStages(spark: SparkSession): Int = persistedShards.release(spark)
+
+  /** q175: the INCREMENTALLY-maintained export's manifest under the
+    * full-rewrite oracle — ExportSpec pins incremental ≡ full byte-wise
+    * per shard file; this pins the shipped accounting against an
+    * independent engine. The artifact is seeded with yesterday's
+    * corpus (keepers minus the q96-rule arriving slice, the q172/q174
+    * split discipline), then today's slice admits through
+    * [[writeTrainingShardsIncremental]]'s touched-shard rewrite; the
+    * served manifest must equal what DuckDB computes for a FULL export
+    * of the whole keeper corpus (q72's keeper chain + q101's
+    * permutation + the manifest aggregation). Nibbles pinned at 1 —
+    * the gate's frozen geometry, like every gate's fixed config. */
+  def manifestIncremental(spark: SparkSession, dir: String,
+      batchPct: Int = 30): DataFrame = {
+    val outDir = persistedShards.getOrCreate(spark, s"$dir#incr:$batchPct") { tmp =>
+      val keepers = Curation.keeperDocs(spark, dir)
+      val arriving = pmod(col("doc_id") * lit(2654435761L), lit(100)) < batchPct
+      writeTrainingShardsOf(spark, keepers.where(!arriving), tmp, nibbles = 1)
+      writeTrainingShardsIncrementalOf(spark, keepers, tmp,
+        keepers.where(arriving).select("doc_id"))
+      ()
+    }
+    spark.read.parquet(s"$outDir/_manifest")
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        col("total_chars"), col("order_checksum"))
+      .orderBy("shard")
+  }
+
   /** Re-derive the manifest from the SHIPPED shards and diff it against
     * the stored `_manifest` — the receiving side's integrity check
     * before tokenization (did every shard arrive, whole and in order?).

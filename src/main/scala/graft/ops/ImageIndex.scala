@@ -111,6 +111,7 @@ object ImageIndex {
     require(bandBuckets > 0 && idBuckets > 0, "bucket counts must be positive")
     hashes.withColumn("id_bucket",
         pmod(xxhash64(col("doc_id")), lit(idBuckets.toLong)))
+      .repartition(col("id_bucket")) // one file per bucket dir, not one per task
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/hashes")
     val spark = hashes.sparkSession
     bandsOfHashes(spark.read.parquet(s"$outDir/hashes"), bandBuckets)
@@ -200,6 +201,7 @@ object ImageIndex {
     if (bucketed || !fs.exists(hashesPath))
       fresh.withColumn("id_bucket",
           pmod(xxhash64(col("doc_id")), lit(DefaultIdBuckets.toLong)))
+        .repartition(col("id_bucket"))
         .write.mode("append").partitionBy("id_bucket").parquet(s"$indexDir/hashes")
     else
       fresh.write.mode("append").parquet(s"$indexDir/hashes")
@@ -259,6 +261,7 @@ object ImageIndex {
         spark.read.parquet(s"$indexDir/hashes")
           .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
           .join(dead, Seq("doc_id"), "left_anti")
+          .repartition(col("id_bucket"))
           .write.mode("overwrite").partitionBy("id_bucket").parquet(hTmp)
         SafeSwap.swapPartitions(fs, hashesRoot,
           new org.apache.hadoop.fs.Path(hTmp),

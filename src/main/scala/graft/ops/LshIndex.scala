@@ -232,6 +232,7 @@ object LshIndex {
     val vTmp = s"$indexDir/vectors_migrate_tmp"
     spark.read.parquet(s"$indexDir/vectors").select(col("vec_id"), col("u"))
       .withColumn("id_bucket", pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)))
+      .repartition(col("id_bucket"))
       .write.mode("overwrite").partitionBy("id_bucket").parquet(vTmp)
     SafeSwap.swapDir(fs, fsPath(s"$indexDir/vectors"), fsPath(vTmp))
     writeBuckets(vectorsStore(spark, indexDir), bits, nTables,
@@ -267,6 +268,7 @@ object LshIndex {
     require(bitsEff <= 30, "bucket keys fold into one positive Int")
     vecs.select(col("vec_id"), col("u"))
       .withColumn("id_bucket", pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)))
+      .repartition(col("id_bucket")) // one file per bucket dir, not one per task
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/vectors")
     // bucket store derives from the just-written vectors parquet — a
     // second scan of the artifact, not of the upstream corpus
@@ -346,6 +348,7 @@ object LshIndex {
     writeBuckets(fresh, bits, nTables, frozenBuckets, indexDir, "append")
     fresh.withColumn("id_bucket",
         pmod(xxhash64(col("vec_id")), lit(idBuckets.toLong)))
+      .repartition(col("id_bucket"))
       .write.mode("append").partitionBy("id_bucket").parquet(s"$indexDir/vectors")
     AppendCommit.commit(fs, indexDir)
     fresh.unpersist(blocking = false)
@@ -422,6 +425,7 @@ object LshIndex {
       spark.read.parquet(s"$indexDir/vectors")
         .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
         .join(dead, Seq("vec_id"), "left_anti")
+        .repartition(col("id_bucket"))
         .write.mode("overwrite").partitionBy("id_bucket").parquet(vTmp)
       SafeSwap.swapPartitions(fs, fsPath(s"$indexDir/vectors"), fsPath(vTmp),
         touchedIds.toIndexedSeq.map(b => s"id_bucket=$b"))

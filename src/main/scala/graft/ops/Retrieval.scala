@@ -177,6 +177,7 @@ object Retrieval {
   private def writeDl(dl: DataFrame, path: String, mode: String): Unit =
     dl.withColumn("id_bucket",
         pmod(xxhash64(col("doc_id")), lit(DefaultIdBuckets.toLong)))
+      .repartition(col("id_bucket")) // one file per bucket dir, not one per task
       .write.mode(mode).partitionBy("id_bucket").parquet(path)
 
   /** The dl store in its public (doc_id, dl) shape — readers go through
@@ -400,6 +401,7 @@ object Retrieval {
         spark.read.parquet(s"$indexDir/dl")
           .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
           .join(dead, Seq("doc_id"), "left_anti")
+          .repartition(col("id_bucket"))
           .write.mode("overwrite").partitionBy("id_bucket").parquet(dlTmp)
         SafeSwap.swapPartitions(fs, dlRoot,
           new org.apache.hadoop.fs.Path(dlTmp),

@@ -1173,6 +1173,7 @@ object Similarity {
     assigned.select(col("vec_id"), col("u"))
       .withColumn("id_bucket",
         pmod(xxhash64(col("vec_id")), lit(DefaultPqIdBuckets.toLong)))
+      .repartition(col("id_bucket")) // one file per bucket dir, not one per task
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/vectors")
   }
 
@@ -1322,6 +1323,7 @@ object Similarity {
     assigned.select(col("vec_id"), col("u"))
       .withColumn("id_bucket",
         pmod(xxhash64(col("vec_id")), lit(DefaultPqIdBuckets.toLong)))
+      .repartition(col("id_bucket")) // one file per bucket dir, not one per task
       .write.mode("overwrite").partitionBy("id_bucket").parquet(s"$outDir/vectors")
     Seq(cents, a1, subCents, assigned, resid).foreach(_.unpersist(blocking = false))
   }
@@ -1392,6 +1394,7 @@ object Similarity {
     if (idB > 0)
       freshVecs.withColumn("id_bucket",
           pmod(xxhash64(col("vec_id")), lit(idB.toLong)))
+        .repartition(col("id_bucket"))
         .write.mode("append").partitionBy("id_bucket").parquet(s"$indexDir/vectors")
     else
       freshVecs.write.mode("append").parquet(s"$indexDir/vectors")
@@ -1801,6 +1804,7 @@ object Similarity {
         spark.read.parquet(s"$indexDir/vectors")
           .where(col("id_bucket").isin(touchedIds.toIndexedSeq.map(Long.box): _*))
           .join(dead, Seq("vec_id"), "left_anti")
+          .repartition(col("id_bucket"))
           .write.mode("overwrite").partitionBy("id_bucket").parquet(vTmp)
         SafeSwap.swapPartitions(fs, vecRoot,
           new org.apache.hadoop.fs.Path(vTmp),

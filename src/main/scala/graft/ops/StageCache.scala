@@ -132,5 +132,5 @@ object StageRegistry {
       TextAnalysis.releaseStages(spark) + Retrieval.releaseStages(spark) +
       Sketches.releaseSession(spark) + ImageIndex.releaseStages(spark) +
       LshIndex.releaseStages(spark) + Hybrid.releaseStages(spark) +
-      Pipeline.releaseStages(spark)
+      Pipeline.releaseStages(spark) + Export.releaseStages(spark)
 }

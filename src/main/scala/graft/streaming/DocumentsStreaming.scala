@@ -637,8 +637,8 @@ object DocumentsStreaming {
     * vs-corpus fingerprint kill from the durable flags, within-trigger
     * keeper, exactly [[graft.ops.Pipeline.runDaily]]'s rule), and the
     * keepers then append to the BM25 postings, fingerprint membership,
-    * image-hash, and LSH vector artifacts in one trigger — instead of
-    * three separate streams probing the same docs.
+    * image-hash, LSH vector, and trained-PQ artifacts in one trigger —
+    * instead of three separate streams probing the same docs.
     *
     * Idempotence under at-least-once redelivery is COMPOSITIONAL, and
     * that composition is the point: the keeper set derives from the
@@ -652,7 +652,7 @@ object DocumentsStreaming {
     * appends inside one trigger.
     *
     * Artifact layout matches [[graft.ops.Pipeline.runDaily]]'s workDir
-    * (`bm25/`, `fp/`, `images/`, `lsh/`) so a deployment can switch
+    * (`bm25/`, `fp/`, `images/`, `lsh/`, `pq/`) so a deployment can switch
     * between the nightly batch and this stream without migrating
     * anything; flags land under `flagsDir/fp` (the only gate flags this
     * loop produces — image/embedding near-dup gating stays with the
@@ -681,6 +681,11 @@ object DocumentsStreaming {
     val keepers = curatedKeepers(batch.select("doc_id", "text", "n_chars"),
       batchId, s"$workDir/fp", s"$flagsDir/fp", minQuality).cache()
     keepers.count()
+    def keptVecs = batch
+      .select(col("doc_id").as("vec_id"),
+        graft.ops.Similarity.unitVec(col("embedding")).as("u"))
+      .join(keepers.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
     // the runDaily append order; each family self-guards, so the
     // crashAfterFamilies test hook (stop after N families — the
     // crash-between-appends window no in-process stream can force
@@ -689,14 +694,20 @@ object DocumentsStreaming {
       () => graft.ops.Retrieval.appendPostingsDelta(keepers, s"$workDir/bm25"),
       () => graft.ops.FingerprintIndex.appendFingerprintDelta(keepers, s"$workDir/fp"),
       () => graft.ops.ImageIndex.appendImageHashDelta(keepers, s"$workDir/images"),
+      () => graft.ops.LshIndex.appendLshDelta(keptVecs, s"$workDir/lsh",
+        expectedCorpusVectors = expectedCorpusVectors),
       () => {
-        val keptVecs = batch
-          .select(col("doc_id").as("vec_id"),
-            graft.ops.Similarity.unitVec(col("embedding")).as("u"))
-          .join(keepers.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi")
-        graft.ops.LshIndex.appendLshDelta(keptVecs, s"$workDir/lsh",
-          expectedCorpusVectors = expectedCorpusVectors)
+        // the TRAINED family rides the same trigger: the first batch
+        // bootstraps by training the books on itself (runDaily's rule),
+        // guarded on `vectors` — the LAST store the base build writes,
+        // hence a true commit point (the runDaily crash-window
+        // argument verbatim); later triggers encode under frozen books
+        val fs = new org.apache.hadoop.fs.Path(s"$workDir/pq")
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$workDir/pq/vectors")))
+          graft.ops.Similarity.appendPqDelta(keptVecs, s"$workDir/pq")
+        else
+          graft.ops.Similarity.savePqIndexOf(keptVecs, s"$workDir/pq")
       })
     families.take(crashAfterFamilies).foreach(_.apply())
     keepers.unpersist(blocking = false)

@@ -9,10 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 /** The one-trigger multi-modality admit (the streaming runDaily): one
-  * document batch is curated ONCE and its keepers land in ALL four
+  * document batch is curated ONCE and its keepers land in ALL five
   * doc-keyed artifacts (BM25 postings, fingerprint membership, image
-  * hashes, LSH vectors) inside one trigger — instead of three separate
-  * streams probing the same docs. Idempotence is compositional: the
+  * hashes, LSH vectors, trained-PQ codes) inside one trigger —
+  * instead of separate per-modality streams probing the same docs. Idempotence is compositional: the
   * keeper set derives from durable flags, every family append
   * self-guards, so redelivery and a crash BETWEEN family appends both
   * converge. */
@@ -45,7 +45,9 @@ class MultiModalAdmitSpec extends AnyFunSuite {
     store(d, "fp/fingerprints", Seq("doc_id", "fp")),
     store(d, "images/hashes", Seq("doc_id", "a_hi", "a_lo", "d_hi", "d_lo")),
     store(d, "lsh/vectors", Seq("vec_id")),
-    store(d, "lsh/buckets", Seq("vec_id", "tbl", "bucket")))
+    store(d, "lsh/buckets", Seq("vec_id", "tbl", "bucket")),
+    store(d, "pq/vectors", Seq("vec_id")),
+    store(d, "pq/codes", Seq("vec_id", "cent_id", "sub_id", "codes")))
 
   test("N mixed triggers equal batch admits on every artifact; redelivery and a mid-trigger crash converge") {
     val root = Files.createTempDirectory("graft-mm-admit")
@@ -82,7 +84,7 @@ class MultiModalAdmitSpec extends AnyFunSuite {
       assert(artifactState(work) == expected,
         "a redelivered trigger changed an artifact")
       // CRASH BETWEEN FAMILY APPENDS: a third batch admits its first
-      // two families (bm25 + fp), then "crashes" before images/lsh;
+      // two families (bm25 + fp), then "crashes" before images/lsh/pq;
       // the checkpoint redelivery re-runs the whole trigger — the
       // landed families' guards absorb, the missing families land
       val b2 = graft.ops.Tables.documents(spark, sf)
