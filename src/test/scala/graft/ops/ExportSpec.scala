@@ -119,6 +119,24 @@ class ExportSpec extends AnyFunSuite {
       val noop = Export.writeTrainingShardsIncrementalOf(spark, keepers, incr,
         Seq.empty[Long].toDF("doc_id")).collect().map(_.toString).toSeq
       assert(noop == mFull)
+      // the RETIRE direction: the slice leaves the corpus again; the
+      // same touched-shard rewrite must shrink those shards back to a
+      // fresh v1 export (a takedown's shards rewrite, nothing else)
+      val mBack = Export.writeTrainingShardsIncrementalOf(
+        spark, v1, incr, added.select("doc_id")).collect().map(_.toString).toSeq
+      val v1Full = tmp("v1full")
+      try {
+        val mV1 = Export.writeTrainingShardsOf(spark, v1, v1Full)
+          .collect().map(_.toString).toSeq
+        assert(mBack == mV1,
+          "retiring the slice diverged from a fresh export without it")
+        val db = shardDirs(incr); val dv = shardDirs(v1Full)
+        assert(db.keySet == dv.keySet)
+        db.keySet.foreach { n =>
+          assert(shardBytes(db(n)) == shardBytes(dv(n)),
+            s"$n: post-retire shard bytes diverged from the fresh export")
+        }
+      } finally rm(new java.io.File(v1Full))
     } finally { rm(new java.io.File(incr)); rm(new java.io.File(full)) }
   }
 }
