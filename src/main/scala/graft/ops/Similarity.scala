@@ -933,6 +933,14 @@ object Similarity {
     }
     // replay guard (the appendPostingsDelta/appendPqDelta contract):
     // already-indexed vec_ids anti-join out against the inverted file's
+    // vec_id column. RECORDED TRADE (r15): unlike the per-id refine
+    // stores (dl/hashes/LSH/PQ vectors, which re-laid out under
+    // id_bucket for delta-proportional guards), this family's guard key
+    // lives in its ONE store, whose partitioning must stay cent_id (the
+    // serving prune). The guard therefore stays a column-pruned linear
+    // scan of the inverted file; making it delta-proportional would
+    // mean a membership sidecar — a second store + commit marker for a
+    // family that deliberately has one store.
     // pruned vec_id column, so a re-merged batch is a no-op instead of
     // double-writing assignment rows. Materialized before the append —
     // the write's source must not re-list the files it is appending.
