@@ -283,6 +283,58 @@ class PqSpec extends AnyFunSuite {
     } finally rmrf(new java.io.File(tmp))
   }
 
+  test("a crashed codebook retrain completes from its snapshot at the next serve") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pq-retraincrash").toString
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete()
+    }
+    try {
+      val e = Similarity.unitEmbeddings(spark, dir)
+      // the drifted production shape: books trained on the first 64
+      // vectors, the rest appended under them
+      Similarity.savePqIndexOf(e.where(col("vec_id") < 64), tmp)
+      Similarity.appendPqDelta(e.where(col("vec_id") >= 64), tmp)
+      // plant the crash WINDOW the marker commits over: snapshot
+      // written, marker durable, rebuild never ran (the state
+      // maintainPqCodebooks leaves if the JVM dies right after the
+      // commit point)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      Similarity.unitEmbeddings(spark, dir).select("vec_id", "u")
+        .write.mode("overwrite").parquet(s"$tmp/retrain_snapshot")
+      fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_retrain_pending"), true).close()
+      // the NORMAL serve entry (warm path — recoverPq runs inside the
+      // artifact load) must complete the rebuild before answering: the
+      // answer equals a fresh full-corpus build's serve
+      val served = Similarity.pqTopKFromIndex(spark, tmp)
+        .collect().map(_.toString).toSeq
+      val fresh = java.nio.file.Files.createTempDirectory("graft-pq-fresh").toString
+      try {
+        Similarity.savePqIndexOf(Similarity.unitEmbeddings(spark, dir), fresh)
+        assert(served == Similarity.pqTopKFromIndexCold(spark, fresh)
+            .collect().map(_.toString).toSeq,
+          "the recovered rebuild diverged from a fresh full-corpus build")
+      } finally rmrf(new java.io.File(fresh))
+      assert(!new java.io.File(s"$tmp/_retrain_pending").exists &&
+          !new java.io.File(s"$tmp/retrain_snapshot").exists,
+        "recovery left the marker or snapshot behind")
+      // with NO marker, a leftover snapshot is a crash BEFORE the
+      // commit point: the old artifact must stay untouched and the
+      // stray snapshot must drop
+      val before = spark.read.parquet(s"$tmp/pqbook")
+        .orderBy("j", "code").collect().map(_.toString).toSeq
+      Similarity.unitEmbeddings(spark, dir).select("vec_id", "u").limit(10)
+        .write.mode("overwrite").parquet(s"$tmp/retrain_snapshot")
+      Similarity.pqTopKFromIndex(spark, tmp).collect()
+      assert(!new java.io.File(s"$tmp/retrain_snapshot").exists,
+        "a pre-commit snapshot survived recovery")
+      assert(spark.read.parquet(s"$tmp/pqbook")
+          .orderBy("j", "code").collect().map(_.toString).toSeq == before,
+        "a pre-commit crash rebuilt the artifact anyway")
+    } finally rmrf(new java.io.File(tmp))
+  }
+
   test("a pre-meta artifact backfills provenance and establishes a baseline") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-pq-premeta").toString
