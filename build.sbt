@@ -34,4 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default vs 76.6 s with headroom, q39 35 s -> 2.1 s). Uniform
   // late-session inflation, invisible on short runs.
   "-XX:ReservedCodeCacheSize=1g",
+  // the 171-query surface compiles ~5k distinct whole-stage-codegen
+  // units per pass; Spark's generated-class cache holds only 100
+  // (static conf, so set at JVM level for every forked main AND the
+  // test harness). With the default, EVERY warm run of EVERY query
+  // re-Janino-compiles its full plan (measured: q140 re-compiled 34-37
+  // classes per warm run; full sf0.1 bench 120.4 -> 102.4 s with the
+  // cache sized to hold the working set). Scale-neutral: compile churn
+  // costs the same on cluster executors.
+  s"-Dspark.sql.codegen.cache.maxEntries=${sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")}",
 )

@@ -697,9 +697,32 @@ object Dedup {
     * instead of a claim. */
   val lastPropagationRounds = new java.util.concurrent.atomic.AtomicInteger(-1)
 
+  /** Session stage for the propagated label assignment: FIVE query
+    * surfaces consume the identical (doc_id, label) relation (q59
+    * clusters, q67 canonical keepers, q100 leakage-safe split, q109
+    * funnel rung 3, the q72 curation pipeline), and each invocation of
+    * the BSP loop below is a driver-paced sequence of checkpointed
+    * rounds — the per-round fixed cost is exactly what [[StageCache]]
+    * exists to pay once per (session, inputs). Keyed on the full
+    * parameter tuple: an unconverged run's labels DO depend on
+    * maxIters, so different budgets must not share an entry. The
+    * rounds telemetry ([[lastPropagationRounds]]) is recorded by the
+    * building invocation; staged serves leave it untouched (−1 under
+    * the bench's per-query reset), so the bench artifact carries the
+    * round count on whichever query built the stage. */
+  private val labelsCache = new StageCache[(SparkSession, String, Double, Int)]
+
+  private[ops] def clusterLabels(spark: SparkSession, dir: String, threshold: Double,
+      maxIters: Int): DataFrame =
+    labelsCache.getOrBuild((spark, dir, threshold, maxIters)) {
+      val built = clusterLabelsUncached(spark, dir, threshold, maxIters).cache()
+      built.count()
+      built
+    }
+
   /** Per-doc min-label after propagation — the raw (doc_id, label)
     * assignment [[clusters]] histograms and [[canonical]] selects within. */
-  private[ops] def clusterLabels(spark: SparkSession, dir: String, threshold: Double,
+  private def clusterLabelsUncached(spark: SparkSession, dir: String, threshold: Double,
       maxIters: Int): DataFrame = {
     val edges = confirmedPairs(spark, dir).where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
@@ -816,5 +839,6 @@ object Dedup {
   def releaseStages(spark: SparkSession): Int =
     minhashCache.release(_._1 eq spark) +
       simhashCache.release(_._1 eq spark) +
-      pairsCache.release(_._1 eq spark)
+      pairsCache.release(_._1 eq spark) +
+      labelsCache.release(_._1 eq spark)
 }

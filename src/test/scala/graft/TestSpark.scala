@@ -18,6 +18,10 @@ object TestSpark {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the session-level perf confs the mains get (cached-plan AQE,
+    // listing threshold) — plan-pinning suites must exercise the same
+    // physical configuration the bench and Verify run under
+    GraftSession.configure(s)
     s
   }
 
